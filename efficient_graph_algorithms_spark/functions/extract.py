@@ -1,0 +1,109 @@
+"""HTML → text / href extraction.
+
+The per-row invariant from the task's input hint: *byte-identical
+extracted text per url*. We guarantee it by having exactly ONE pure
+Python extractor (`extract_text`, `extract_hrefs`) used everywhere —
+by the synthetic pages generator (so pages.text == extract_text(html)
+by construction), by the NumPy oracle, and inside the Arrow pandas
+UDFs below. No locale, no encoding drift (explicit utf-8 with
+errors='replace'), no version-dependent parser.
+
+The reference's analogous step is mesh→adjacency extraction
+(``reference src/ega/util/mesh_utils.py:41-73``): source payload in,
+edge list out. Here payload = html bytes, edges = normalized hrefs.
+
+All Spark-side application is vectorized (Arrow scalar pandas_udf over
+batches) — never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
+_P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
+_A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
+_HREF_RE = re.compile(r"""<a\b[^>]*?href\s*=\s*["']([^"']+)["']""", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+
+
+def _clean(fragment: str) -> str:
+    """Strip inner tags and collapse horizontal whitespace."""
+    return _WS_RE.sub(" ", _TAG_RE.sub(" ", fragment)).strip()
+
+
+def extract_text(html: bytes | str) -> str:
+    """Visible text of a page: title, <p> bodies, <a> anchor texts.
+
+    Joined with single '\\n' separators — a stable, order-preserving,
+    byte-deterministic rule.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    parts: list[str] = []
+    m = _TITLE_RE.search(html)
+    if m:
+        t = _clean(m.group(1))
+        if t:
+            parts.append(t)
+    for m2 in _P_RE.finditer(html):
+        t = _clean(m2.group(1))
+        if t:
+            parts.append(t)
+    for m3 in _A_RE.finditer(html):
+        t = _clean(m3.group(1))
+        if t:
+            parts.append(t)
+    return "\n".join(parts)
+
+
+def normalize_url(url: str) -> str:
+    """Canonical url form: lowercase scheme+authority, strip fragment,
+    strip trailing slash (but keep a bare authority's root)."""
+    url = url.strip()
+    if "#" in url:
+        url = url.split("#", 1)[0]
+    if "://" in url:
+        scheme, rest = url.split("://", 1)
+        if "/" in rest:
+            host, path = rest.split("/", 1)
+            url = scheme.lower() + "://" + host.lower() + "/" + path
+        else:
+            url = scheme.lower() + "://" + rest.lower()
+    if url.endswith("/") and url.count("/") > 3:
+        url = url.rstrip("/")
+    return url
+
+
+def extract_hrefs(html: bytes | str, base_url: str | None = None) -> list[str]:
+    """All normalized absolute hrefs in document order (duplicates kept;
+    dedup is a relational decision downstream, not the extractor's)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html):
+        href = m.group(1).strip()
+        if not href:
+            continue
+        if "://" not in href and base_url:
+            base = base_url.rsplit("/", 1)[0]
+            href = base + "/" + href.lstrip("/")
+        out.append(normalize_url(href))
+    return out
+
+
+# --- Arrow-vectorized Spark UDFs (batch pandas in, batch pandas out) -------
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_hrefs_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_hrefs)

@@ -1,0 +1,138 @@
+"""Text-analysis operators for a training-data pipeline over a
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+Every operator here is a pure column expression (JVM-side, whole-stage
+codegen — no Python in the hot path) and has an exactly-equivalent
+DuckDB SQL form used as its correctness oracle:
+
+- token_count     whitespace tokenization
+- lang_id         stopword-hit n-gram heuristic (en/de/fr)
+- quality_score   length / punctuation / stopword-ratio composite
+- fingerprint     portable 60-bit content hash of normalized text
+
+Number-producing operators round at OUT_DECIMALS so Spark/DuckDB float
+results hash identically in the driver's order-insensitive comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+OUT_DECIMALS = 6
+
+# stopword markers per language, matched as whole words on lowercased text
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "et", "la", "les", "est"],
+}
+_EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+
+def _marker_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.regexp_count(low, F.lit(_marker_pattern(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties resolve en > de > fr;
+    'und' (unknown) when no marker hits at all."""
+    s = lang_scores(text)
+    best = F.greatest(s["en"], s["de"], s["fr"])
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length saturation (40%), alphanumeric
+    ratio (30%), English-stopword ratio saturation (30%)."""
+    t = F.trim(text)
+    n = F.length(t).cast("double")
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", "")).cast("double")
+    toks = token_count(t).cast("double")
+    stop_hits = F.regexp_count(F.lower(t), F.lit(_marker_pattern(_EN_STOP))).cast("double")
+    len_term = F.least(F.lit(1.0), n / F.lit(500.0))
+    alnum_term = F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
+    stop_term = F.least(F.lit(1.0), F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)) * F.lit(5.0))
+    return F.round(
+        len_term * F.lit(0.4) + alnum_term * F.lit(0.3) + stop_term * F.lit(0.3),
+        OUT_DECIMALS,
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase form used for fingerprint/dedup."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint60(text: Column) -> Column:
+    """Portable 60-bit content fingerprint (same value in DuckDB via
+    ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(normalized_text(text)), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL fragments (must stay in lockstep with the columns above)
+# ---------------------------------------------------------------------------
+
+def duck_token_count(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END"
+    )
+
+
+def duck_marker_count(expr: str, words: list[str]) -> str:
+    pat = _marker_pattern(words)
+    return f"len(regexp_extract_all(lower({expr}), '{pat}'))"
+
+
+def duck_lang_id(expr: str) -> str:
+    en = duck_marker_count(expr, LANG_MARKERS["en"])
+    de = duck_marker_count(expr, LANG_MARKERS["de"])
+    fr = duck_marker_count(expr, LANG_MARKERS["fr"])
+    return (
+        f"CASE WHEN greatest({en},{de},{fr}) = 0 THEN 'und' "
+        f"WHEN {en} = greatest({en},{de},{fr}) THEN 'en' "
+        f"WHEN {de} = greatest({en},{de},{fr}) THEN 'de' ELSE 'fr' END"
+    )
+
+
+def duck_quality_score(expr: str) -> str:
+    t = f"trim({expr})"
+    n = f"len({t})::DOUBLE"
+    alnum = f"len(regexp_replace({t}, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE"
+    toks = f"({duck_token_count(expr)})::DOUBLE"
+    stops = f"({duck_marker_count(expr, _EN_STOP)})::DOUBLE"
+    return (
+        f"round(least(1.0, {n}/500.0)*0.4 "
+        f"+ (CASE WHEN {n} > 0 THEN {alnum}/{n} ELSE 0.0 END)*0.3 "
+        f"+ least(1.0, (CASE WHEN {toks} > 0 THEN {stops}/{toks} ELSE 0.0 END)*5.0)*0.3, "
+        f"{OUT_DECIMALS})"
+    )
+
+
+def duck_normalized_text(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def duck_fingerprint60(expr: str) -> str:
+    return f"(('0x' || substr(md5({duck_normalized_text(expr)}), 1, 15))::BIGINT)"

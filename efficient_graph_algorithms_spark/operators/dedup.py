@@ -1,0 +1,221 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` table.
+
+Five families, each a first-class query with an exact DuckDB oracle:
+
+- exact          content-hash groupBy (keep min doc_id per group)
+- ngram_jaccard  word-3-gram shingles, inverted-index candidate join,
+                 exact Jaccard verify (no cross join — candidates only
+                 from shared shingles, which is the scalable plan shape)
+- minhash_lsh    portable 60-bit shingle hashes, XOR-permutation
+                 MinHash signatures, banded LSH candidate join,
+                 signature-similarity verify
+- simhash        60-bit simhash fingerprints + near-dup pairs by
+                 Hamming distance via band join
+- embedding near-dup lives in operators/similarity.py (cosine)
+
+All hashing is the portable md5-prefix 60-bit hash
+(functions/hashing.py) so every step is reproducible in ANSI-ish SQL —
+no engine-specific hash functions anywhere.
+
+Scale notes: shingle/band joins shuffle on short join keys; hot
+shingles (boilerplate) are the skew risk — ngram_jaccard drops
+shingles above a document-frequency cap, the standard trick (and AQE
+skew-join covers the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.hashing import minhash_seeds
+from efficient_graph_algorithms_spark.functions.text import normalized_text
+
+SHINGLE_W = 3  # words per shingle
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of K/BANDS rows each
+HOT_SHINGLE_DF_CAP = 1000  # drop shingles appearing in > this many docs
+
+
+def _tokens(text_col) -> F.Column:
+    return F.split(normalized_text(text_col), " ")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle string) — distinct word-SHINGLE_W-grams per doc.
+    Docs shorter than SHINGLE_W words contribute their full text."""
+    toks = _tokens(F.col(text_col))
+    sh = F.when(
+        F.size(toks) < SHINGLE_W, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) content:
+    (fp, n_dups, keep_id) for groups with >1 member."""
+    from efficient_graph_algorithms_spark.functions.text import fingerprint60
+
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint60(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = HOT_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with shingle-set Jaccard >= threshold,
+    a < b. Candidates come from an inverted-index self-join on shingle
+    (docs sharing >= 1 non-hot shingle), then exact verification:
+        J(a,b) = |common| / (|A| + |B| - |common|).
+    """
+    sh = shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("df")).where(F.col("df") > df_cap)
+    cold = sh.join(hot, "shingle", "left_anti")
+    a = cold.select(F.col("id").alias("a"), "shingle")
+    b = cold.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_hash60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, seed: int = 42,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, perm, minhash) — long form so the SQL oracle is a plain
+    groupBy-min; perm in [0, k)."""
+    seeds = minhash_seeds(k, seed)
+    sh = shingles(docs, id_col, text_col).select(
+        "id", _shingle_hash60(F.col("shingle")).alias("h")
+    )
+    perms = F.explode(
+        F.array(*[F.struct(F.lit(i).alias("perm"), F.lit(s).alias("pseed")) for i, s in enumerate(seeds)])
+    ).alias("ps")
+    return (
+        sh.select("id", "h", perms)
+        .select("id", F.col("ps.perm").alias("perm"),
+                F.col("h").bitwiseXOR(F.col("ps.pseed")).alias("hp"))
+        .groupBy("id", "perm")
+        .agg(F.min("hp").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, sig_sim) near-dup candidates: pairs agreeing on at least
+    one full LSH band, verified by signature similarity (fraction of
+    equal minhashes) >= threshold. a < b."""
+    sig = minhash_signatures(docs, k, seed, id_col, text_col)
+    rows = k // bands
+    banded = sig.withColumn("band", (F.col("perm") / F.lit(rows)).cast("int"))
+    band_key = banded.groupBy("id", "band").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash")))).alias("bkey")
+    )
+    a = band_key.select(F.col("id").alias("a"), "band", "bkey")
+    b = band_key.select(F.col("id").alias("b"), "band", "bkey")
+    cand = a.join(b, ["band", "bkey"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sa = sig.select(F.col("id").alias("a"), "perm", F.col("minhash").alias("ma"))
+    sb = sig.select(F.col("id").alias("b"), "perm", F.col("minhash").alias("mb"))
+    sim = (
+        cand.join(sa, "a")
+        .join(sb, ["b", "perm"])
+        .groupBy("a", "b")
+        .agg(F.round(F.avg((F.col("ma") == F.col("mb")).cast("double")), 6).alias("sig_sim"))
+    )
+    return sim.where(F.col("sig_sim") >= threshold)
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 60,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — per-bit majority vote over token hashes.
+    bit b of simhash = 1 iff  Σ_tokens (2·bit_b(h(token)) − 1) > 0."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    h = toks.select("id", _shingle_hash60(F.col("tok")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        h.select("id", "h", bit)
+        .select(
+            "id", "bit",
+            (F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidate generation: split the fingerprint into max_hamming+1
+    equal-width bands; any pair within distance max_hamming agrees on
+    >= 1 band (pigeonhole) — band equi-join, then exact popcount verify."""
+    fp = simhash_fingerprints(docs, bits, id_col, text_col)
+    nb = max_hamming + 1
+    width = bits // nb
+    band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
+    mask = F.shiftleft(F.lit(1).cast("long"), width) - 1
+    banded = fp.select("id", "simhash", band).select(
+        "id", "simhash", "band",
+        F.shiftright(F.col("simhash"), (F.col("band") * width).cast("int")).bitwiseAND(mask).alias("bkey"),
+    )
+    a = banded.select(F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey")
+    b = banded.select(F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

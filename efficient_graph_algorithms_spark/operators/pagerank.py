@@ -1,0 +1,157 @@
+"""PageRank / personalized PageRank — the benchmark query.
+
+Semantics (mirrors the reference's random-walk kernels,
+``reference src/ega/algorithms/graph_kernels.py:66-79``, plus the
+standard uniform dangling-mass redistribution the reference leaves
+undefined — its ``A/A.sum(axis=0)`` divides by zero on dangling nodes):
+
+    r_{t+1} = (1-α)·p + α·(Pᵀ r_t + dangling_mass·p)
+    stop when  Σ|r_{t+1} - r_t| < tol        (tol = 1e-6)
+
+p = uniform 1/N, or a normalized personalization vector (PPR — the
+reference's ``random_walk_with_restart_kernel`` fixed point).
+
+Physical plan per iteration (designed for 10^12-edge scale):
+- ``linked`` = edges ⋈ out-degree, built ONCE, repartitioned by src and
+  persisted — the invariant side of every iteration (the reference's
+  "pre-factorization reuse" pattern,
+  ``reference scripts/experiments/blur_on_mesh.py:20-24``).
+- one shuffle per iteration: the groupBy(dst) aggregate. The ranks
+  side arrives hash-partitioned by id from the previous iteration's
+  aggregate, so the join reuses that exchange.
+- dangling mass + L1 delta are scalar aggregates (the only
+  driver↔cluster data transfer per iteration).
+- per-iteration checkpoint cuts lineage and makes the loop resumable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.plans.checkpoint import CheckpointManager
+
+DEFAULT_ALPHA = 0.85
+DEFAULT_TOL = 1e-6
+DEFAULT_MAX_ITER = 200
+
+
+def vertex_table(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = DEFAULT_ALPHA,
+    tol: float = DEFAULT_TOL,
+    max_iter: int = DEFAULT_MAX_ITER,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    personalization: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Run PageRank to convergence. Returns (ranks(id, rank), info).
+
+    edges: (src, dst) directed, deduplicated. vertices: (id) — pass it
+    when isolated vertices exist beyond edge endpoints.
+    personalization: (id, p) unnormalized weights; None → uniform.
+    """
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    verts = (vertices or vertex_table(edges)).select("id").repartition(sp, "id")
+    n = verts.count()
+
+    if personalization is not None:
+        ptot = personalization.agg(F.sum("p")).collect()[0][0]
+        pvec = verts.join(personalization, "id", "left").select(
+            "id", (F.coalesce(F.col("p"), F.lit(0.0)) / F.lit(float(ptot))).alias("p")
+        )
+    else:
+        pvec = verts.select("id", F.lit(1.0 / n).alias("p"))
+    pvec = pvec.persist()
+    pvec.count()
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    linked = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
+        .repartition(sp, "src")
+        .persist()
+    )
+    linked.count()
+    # dangling vertex set: no out-links (includes external link targets)
+    dangling = verts.join(deg.select(F.col("src").alias("id")), "id", "left_anti").persist()
+    dangling.count()
+
+    ckpt = CheckpointManager(
+        spark, checkpoint_dir, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
+    )
+    start_iter = 0
+    ranks = pvec.select("id", F.col("p").alias("rank"))
+    if resume and checkpoint_dir:
+        latest = ckpt.latest_iteration()
+        if latest is not None:
+            ranks = ckpt.load_iteration(latest)
+            start_iter = latest
+    ranks = ranks.repartition(sp, "id").persist()
+    ranks.count()
+
+    info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": []}
+    converged = False
+    for it in range(start_iter + 1, max_iter + 1):
+        dm = (
+            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            linked.join(ranks, linked["src"] == ranks["id"])
+            .groupBy(linked["dst"].alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
+        )
+        new_with_old = (
+            pvec.join(contrib, "id", "left")
+            .join(ranks.withColumnRenamed("rank", "rank_old"), "id")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - alpha) * F.col("p")
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm)) * F.col("p"))
+                ).alias("rank"),
+                "rank_old",
+            )
+            .persist()
+        )
+        delta = new_with_old.agg(F.sum(F.abs(F.col("rank") - F.col("rank_old")))).collect()[0][0]
+        old = ranks
+        ranks = ckpt.save_iteration(
+            new_with_old.select("id", "rank"),
+            it,
+            {"delta": float(delta), "dangling_mass": float(dm)},
+        ).repartition(sp, "id").persist()
+        ranks.count()
+        new_with_old.unpersist()
+        old.unpersist()
+        info["iterations"] = it
+        info["deltas"].append(float(delta))
+        if delta < tol:
+            converged = True
+            break
+    info["converged"] = converged
+    for df in (pvec, linked, dangling):
+        df.unpersist()
+    return ranks, info
+
+
+def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Ranked report (reference's ``get_ranking``,
+    ``reference src/ega/algorithms/graph_kernels.py:559-585``)."""
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)

@@ -1,0 +1,148 @@
+"""pages → edges: the extraction phase of the engine.
+
+Pipeline (run once per corpus snapshot, all downstream algorithms read
+the persisted outputs):
+
+  pages(url, html, ...)
+    → extract_hrefs_udf (Arrow batches)        [reference's mesh→adjacency
+      step, ``reference src/ega/util/mesh_utils.py:41-73``]
+    → explode → normalize → raw (src_url, dst_url)
+    → url dictionary (deterministic dense ids — the reference's GIDMapper,
+      ``reference src/ega/algorithms/graph_kernels.py:123-144``)
+    → edges(src, dst) bigint, deduplicated, self-loops dropped
+    → out-degree table
+    → salted CSR-style adjacency blocks (src, salt, dsts[], out_deg)
+
+Scale notes (the part that must survive 10^12 docs):
+- The id dictionary avoids a single-partition window: range-repartition
+  by url, sort within partitions, count per partition, broadcast the
+  cumulative offsets, add offset + local rank via one mapInPandas. Two
+  jobs, no global single-reducer sort. Ranks depend only on the total
+  order of urls, not on where range boundaries land.
+- Adjacency rows for hub vertices are SALTED: a src with out-degree
+  above ``salt_threshold`` is split into multiple (src, salt) rows with
+  bounded ``dsts`` arrays, so no single task carries a 10^7-element
+  array and the per-iteration explode parallelizes over salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.extract import extract_hrefs_udf
+
+SALT_THRESHOLD = 4096  # max dsts per adjacency row before splitting
+
+
+def raw_link_pairs(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url) pairs straight from the html, normalized."""
+    return (
+        pages.select("url", extract_hrefs_udf(F.col("html")).alias("hrefs"))
+        .select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
+        .where(F.col("src_url") != F.col("dst_url"))
+    )
+
+
+def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) -> DataFrame:
+    """Deterministic dense ids 0..N-1 by sorted url order, without a
+    single-partition global window.
+
+    Returns DataFrame(url string, id long). Ids equal
+    ``row_number() over (order by url) - 1`` but are computed scalably:
+    range-partition → sort within partition → per-partition counts →
+    broadcast cumulative offsets → local rank + offset.
+    """
+    distinct = urls.select(F.col(col).alias("url")).distinct()
+    parted = distinct.repartitionByRange(partitions, "url").sortWithinPartitions("url")
+    parted = parted.withColumn("_pid", F.spark_partition_id())
+    # small: one row per partition
+    counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition == one iterator; rows arrive sorted by url
+        seen = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            base = offsets[int(b["_pid"].iloc[0])]
+            ids = range(base + seen, base + seen + len(b))
+            seen += len(b)
+            yield pd.DataFrame({"url": b["url"], "id": list(ids)})
+
+    return parted.mapInPandas(add_ids, "url string, id long")
+
+
+def build_edges(pages: DataFrame, id_partitions: int = 32) -> tuple[DataFrame, DataFrame]:
+    """Return (url_dict(url,id), edges(src,dst)).
+
+    Vertices = every url that appears as a page OR as a link target
+    (targets outside the corpus become vertices with no out-links —
+    dangling handling downstream). Edges deduplicated; no self-loops.
+    """
+    pairs = raw_link_pairs(pages)
+    all_urls = (
+        pages.select("url")
+        .unionByName(pairs.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    url_dict = assign_dense_ids(all_urls, partitions=id_partitions)
+    edges = (
+        pairs.join(url_dict.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"), "src_url")
+        .join(url_dict.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"), "dst_url")
+        .select("src", "dst")
+        .distinct()
+    )
+    return url_dict, edges
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(src, out_deg) — reference's row-sum / degree vector
+    (``reference src/ega/algorithms/graph_kernels.py:67``)."""
+    return edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+
+
+def adjacency_blocks(edges: DataFrame, salt_threshold: int = SALT_THRESHOLD) -> DataFrame:
+    """Salted CSR-style adjacency: (src, salt, dsts array<long>, out_deg).
+
+    Hub srcs (out_deg > salt_threshold) are split across multiple salt
+    rows with |dsts| <= salt_threshold each; out_deg is the TOTAL degree
+    so rank/out_deg contributions stay correct under salting.
+    """
+    salted = edges.withColumn(
+        "salt", (F.xxhash64("dst") % F.lit(64) + F.lit(64)) % F.lit(64)
+    ).withColumn(
+        "salt",
+        F.when(F.col("salt") < 0, F.col("salt") + 64).otherwise(F.col("salt")),
+    )
+    grouped = salted.groupBy("src", "salt").agg(
+        F.array_sort(F.collect_list("dst")).alias("dsts"),
+        F.count("*").alias("cnt"),
+    )
+    w = Window.partitionBy("src")
+    out = grouped.withColumn("out_deg", F.sum("cnt").over(w))
+    # collapse small srcs back to one row (salt 0) to avoid tiny arrays
+    small = (
+        out.where(F.col("out_deg") <= salt_threshold)
+        .groupBy("src", "out_deg")
+        .agg(F.array_sort(F.flatten(F.collect_list("dsts"))).alias("dsts"))
+        .select("src", F.lit(0).alias("salt"), "dsts", "out_deg")
+    )
+    big = out.where(F.col("out_deg") > salt_threshold).select("src", "salt", "dsts", "out_deg")
+    return small.unionByName(big)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: both directions, deduplicated, no self-loops.
+    (The reference stores both directions explicitly,
+    ``reference src/ega/algorithms/brute_force.py:18-22``.)"""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()

@@ -1,0 +1,152 @@
+"""spark-submit entry point for the link-graph engine.
+
+Usage (the north rule's deployment shape):
+
+    spark-submit --py-files dist/ega_spark.zip jobs/run.py <command> [opts]
+
+Commands:
+    generate   --n 10000 --out /path/pages            synthesize pages parquet
+    extract    --pages /path/pages --out /path/graph  pages → url_dict + edges + degrees
+    pagerank   --graph /path/graph [--alpha .85 --tol 1e-6 --checkpoint DIR --resume --top 10]
+    components --graph /path/graph [--checkpoint DIR --resume]
+    lpa        --graph /path/graph [--max-iter 20]
+    triangles  --graph /path/graph
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from efficient_graph_algorithms_spark.session import get_spark  # noqa: E402
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ega-spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--n", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+
+    e = sub.add_parser("extract")
+    e.add_argument("--pages", required=True)
+    e.add_argument("--out", required=True)
+
+    for name in ("pagerank", "components", "lpa", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--graph", required=True)
+        p.add_argument("--out")
+        p.add_argument("--checkpoint")
+        p.add_argument("--resume", action="store_true")
+        if name == "pagerank":
+            p.add_argument("--alpha", type=float, default=0.85)
+            p.add_argument("--tol", type=float, default=1e-6)
+            p.add_argument("--top", type=int, default=10)
+        if name in ("lpa", "components"):
+            p.add_argument("--max-iter", type=int, default=20)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"ega-{args.cmd}")
+    t0 = time.time()
+
+    if args.cmd == "generate":
+        from efficient_graph_algorithms_spark.sources.pages import pages_df
+
+        pages_df(spark, args.n, seed=args.seed).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "generate", "n": args.n, "out": args.out,
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "extract":
+        from efficient_graph_algorithms_spark.sources.edges import (
+            adjacency_blocks, build_edges, out_degrees)
+
+        pages = spark.read.parquet(args.pages)
+        url_dict, edges = build_edges(pages)
+        url_dict.write.mode("overwrite").parquet(f"{args.out}/url_dict")
+        edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+        edges = spark.read.parquet(f"{args.out}/edges")
+        out_degrees(edges).write.mode("overwrite").parquet(f"{args.out}/degrees")
+        adjacency_blocks(edges).write.mode("overwrite").parquet(f"{args.out}/adjacency")
+        n_edges = edges.count()
+        n_verts = spark.read.parquet(f"{args.out}/url_dict").count()
+        print(json.dumps({"cmd": "extract", "vertices": n_verts, "edges": n_edges,
+                          "out": args.out, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    edges = spark.read.parquet(f"{args.graph}/edges")
+    vertices = spark.read.parquet(f"{args.graph}/url_dict").select(F.col("id"))
+
+    if args.cmd == "pagerank":
+        from efficient_graph_algorithms_spark.operators.pagerank import pagerank, top_k
+
+        ranks, info = pagerank(
+            spark, edges, vertices=vertices, alpha=args.alpha, tol=args.tol,
+            checkpoint_dir=args.checkpoint, resume=args.resume,
+        )
+        if args.out:
+            ranks.write.mode("overwrite").parquet(args.out)
+        top = top_k(ranks, args.top).join(
+            spark.read.parquet(f"{args.graph}/url_dict"), "id"
+        ).orderBy(F.desc("rank")).collect()
+        print(json.dumps({
+            "cmd": "pagerank", "n": info["n"], "iterations": info["iterations"],
+            "converged": info["converged"], "final_delta": info["deltas"][-1] if info["deltas"] else None,
+            "sec": round(time.time() - t0, 2),
+            "top": [{"id": r["id"], "url": r["url"], "rank": r["rank"]} for r in top],
+        }))
+        return 0
+
+    if args.cmd == "components":
+        from efficient_graph_algorithms_spark.operators.components import connected_components
+
+        labels, info = connected_components(
+            spark, edges, vertices=vertices, max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint, resume=args.resume,
+        )
+        if args.out:
+            labels.write.mode("overwrite").parquet(args.out)
+        n_comp = labels.select("component").distinct().count()
+        print(json.dumps({"cmd": "components", "rounds": info["rounds"],
+                          "components": n_comp, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "lpa":
+        from efficient_graph_algorithms_spark.operators.lpa import label_propagation
+
+        labels, info = label_propagation(
+            spark, edges, vertices=vertices, max_iter=args.max_iter,
+            checkpoint_dir=args.checkpoint, resume=args.resume,
+        )
+        if args.out:
+            labels.write.mode("overwrite").parquet(args.out)
+        n_lab = labels.select("label").distinct().count()
+        print(json.dumps({"cmd": "lpa", "rounds": info["rounds"], "labels": n_lab,
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "triangles":
+        from efficient_graph_algorithms_spark.operators.triangles import (
+            triangle_count, triangles_per_vertex)
+
+        total = triangle_count(edges).first()["triangles"]
+        if args.out:
+            triangles_per_vertex(edges, vertices=vertices).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "triangles", "triangles": int(total),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

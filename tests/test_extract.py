@@ -1,0 +1,76 @@
+"""Extraction invariants: byte-identical text per url, partition-count
+invariance, generator determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from efficient_graph_algorithms_spark.functions.extract import (
+    extract_hrefs,
+    extract_text,
+    normalize_url,
+)
+from efficient_graph_algorithms_spark.sources.pages import pages_df, pages_pandas
+
+
+def test_extract_text_pure():
+    html = b'<html><head><title>T</title></head><body><p>hello  world</p><a href="https://x.example/a#frag">L</a></body></html>'
+    assert extract_text(html) == "T\nhello world\nL"
+    assert extract_text(html) == extract_text(html.decode())
+    assert extract_hrefs(html) == ["https://x.example/a"]
+
+
+def test_normalize_url():
+    assert normalize_url("HTTPS://Host.EXample/Path#x") == "https://host.example/Path"
+    assert normalize_url("https://h.example/p/") == "https://h.example/p"
+    assert normalize_url("https://h.example/") == "https://h.example/"
+
+
+def test_generator_text_matches_extractor(tiny_pages_pd):
+    for html, text in zip(tiny_pages_pd["html"], tiny_pages_pd["text"]):
+        assert extract_text(html) == text
+
+
+def test_generator_deterministic():
+    a = pages_pandas(100, seed=42)
+    b = pages_pandas(100, seed=42)
+    assert a.equals(b)
+    c = pages_pandas(100, seed=7)
+    assert not a["html"].equals(c["html"])
+
+
+def test_generator_shape(tiny_pages_pd):
+    p = tiny_pages_pd
+    assert list(p.columns) == ["url", "warc_ts", "html", "text", "lang"]
+    assert p["url"].is_unique
+    assert set(p["lang"]) <= {"en", "de", "fr"}
+    # ~2% dangling pages
+    n_dangling = sum(1 for h in p["html"] if b"<a " not in h)
+    assert 0 < n_dangling < len(p) * 0.1
+
+
+def test_spark_generation_matches_pandas_any_partitioning(spark, tiny_pages_pd):
+    for parts in (2, 7):
+        sdf = pages_df(spark, 300, seed=42, partitions=parts).orderBy("url").toPandas()
+        pdf = tiny_pages_pd.sort_values("url").reset_index(drop=True)
+        assert list(sdf["url"]) == list(pdf["url"])
+        assert [bytes(x) for x in sdf["html"]] == [bytes(x) for x in pdf["html"]]
+        assert list(sdf["text"]) == list(pdf["text"])
+
+
+def test_spark_udf_extraction_byte_identical(spark, tiny_pages_pd):
+    from efficient_graph_algorithms_spark.functions.extract import extract_text_udf
+    import pyspark.sql.functions as F
+
+    sdf = pages_df(spark, 300, seed=42, partitions=3)
+    bad = sdf.where(extract_text_udf(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_hub_skew_exists():
+    """A few targets should carry orders of magnitude more in-links."""
+    from tests.conftest import edges_from_pages_pd
+
+    _, edges = edges_from_pages_pd(pages_pandas(2000, seed=42))
+    counts = np.bincount(edges[:, 1])
+    assert counts.max() >= 20 * max(1.0, counts.mean())

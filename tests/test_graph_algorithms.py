@@ -1,0 +1,211 @@
+"""Graph algorithms vs NumPy oracle (the reference's oracle pattern:
+approximate vs brute force, allclose 1e-6 / exact —
+reference scripts/experiments/test_spanning_trees.py:70-76)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from efficient_graph_algorithms_spark.functions.hashing import hash_u64, uniform01
+from efficient_graph_algorithms_spark.oracle import numpy_oracle as oracle
+from efficient_graph_algorithms_spark.operators.components import connected_components
+from efficient_graph_algorithms_spark.operators.gather_scatter import integrate
+from efficient_graph_algorithms_spark.operators.lpa import label_propagation
+from efficient_graph_algorithms_spark.operators.pagerank import pagerank, top_k
+from efficient_graph_algorithms_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+
+
+def er_graph(n: int, p: float, seed: int = 42, directed: bool = True) -> np.ndarray:
+    """Deterministic Erdős–Rényi edges (mirrors reference's seeded
+    random graph families, test/test_graph_kernels.py:7)."""
+    idx = np.arange(n * n, dtype=np.uint64)
+    u = uniform01(seed, idx, stream=11).reshape(n, n)
+    a = u < p
+    np.fill_diagonal(a, False)
+    if not directed:
+        a = np.triu(a)
+    src, dst = np.nonzero(a)
+    return np.stack([src, dst], axis=1).astype(np.int64)
+
+
+def blobs_graph(k: int = 5, n: int = 40, seed: int = 42) -> tuple[np.ndarray, int]:
+    """k disjoint ER blobs + isolated vertices (FIXTURES g_components)."""
+    parts = []
+    for b in range(k):
+        e = er_graph(n, 0.15, seed=seed + b)
+        parts.append(e + b * n)
+    total = k * n + 10  # 10 isolated vertices
+    return np.concatenate(parts), total
+
+
+def spark_edges(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+
+
+def spark_vertices(spark, n):
+    return spark.range(n).withColumnRenamed("id", "id")
+
+
+# --- gather-scatter (core primitive) ---------------------------------------
+
+def test_integrate_matches_dense_matvec(spark):
+    edges = er_graph(60, 0.1)
+    n = 60
+    w = uniform01(1, np.arange(len(edges), dtype=np.uint64))
+    field = uniform01(2, np.arange(n, dtype=np.uint64))
+    exp = oracle.integrate_graph_field(edges, w, field, n)
+    e = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for (a, b), x in zip(edges, w)],
+        "src long, dst long, weight double",
+    )
+    f = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    got = integrate(e, f, weight_col="weight").toPandas().set_index("id")["value"]
+    dense = np.zeros(n)
+    dense[got.index] = got.to_numpy()
+    assert np.allclose(dense, exp, atol=1e-9)
+
+
+# --- PageRank ----------------------------------------------------------------
+
+@pytest.mark.parametrize("n,p", [(80, 0.05), (150, 0.02)])
+def test_pagerank_matches_oracle(spark, n, p):
+    edges = er_graph(n, p)
+    exp, exp_iters = oracle.pagerank(edges, n)
+    ranks, info = pagerank(spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n))
+    got_pd = ranks.toPandas().set_index("id")["rank"]
+    got = np.zeros(n)
+    got[got_pd.index] = got_pd.to_numpy()
+    assert info["converged"]
+    assert info["iterations"] == exp_iters
+    assert np.allclose(got, exp, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_heavy(spark):
+    # explicit dangling vertices: 0->1->2, 2 dangles; isolated 3
+    edges = np.array([[0, 1], [1, 2]])
+    exp, _ = oracle.pagerank(edges, 4)
+    ranks, info = pagerank(spark, spark_edges(spark, edges), vertices=spark_vertices(spark, 4))
+    got = ranks.toPandas().set_index("id")["rank"].reindex(range(4)).to_numpy()
+    assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_personalized_pagerank(spark):
+    n = 60
+    edges = er_graph(n, 0.08, seed=3)
+    pers = np.zeros(n)
+    pers[5] = 1.0
+    pers[17] = 2.0
+    exp, _ = oracle.pagerank(edges, n, personalization=pers)
+    pdf = spark.createDataFrame([(5, 1.0), (17, 2.0)], "id long, p double")
+    ranks, _ = pagerank(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n), personalization=pdf
+    )
+    got = ranks.toPandas().set_index("id")["rank"].reindex(range(n), fill_value=0).to_numpy()
+    assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_top_k(spark):
+    n = 50
+    edges = er_graph(n, 0.1, seed=9)
+    exp, _ = oracle.pagerank(edges, n)
+    ranks, _ = pagerank(spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n))
+    got_ids = [r["id"] for r in top_k(ranks, 5).collect()]
+    order = np.lexsort((np.arange(n), -exp))
+    assert got_ids == list(order[:5])
+
+
+# --- Connected components ----------------------------------------------------
+
+def test_components_exact(spark):
+    edges, n = blobs_graph()
+    exp = oracle.connected_components(edges, n)
+    labels, info = connected_components(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n)
+    )
+    got = labels.toPandas().set_index("id")["component"].reindex(range(n)).to_numpy()
+    assert np.array_equal(got, exp)
+
+
+def test_components_path_graph(spark):
+    # long path stresses pointer jumping
+    n = 200
+    edges = np.array([[i, i + 1] for i in range(n - 1)])
+    exp = oracle.connected_components(edges, n)
+    labels, info = connected_components(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n)
+    )
+    got = labels.toPandas().set_index("id")["component"].reindex(range(n)).to_numpy()
+    assert np.array_equal(got, exp)
+    assert (got == 0).all()
+    assert info["rounds"] < 20  # log-ish, not linear
+
+
+# --- Label propagation --------------------------------------------------------
+
+def test_lpa_matches_oracle_exactly(spark):
+    edges, n = blobs_graph(k=3, n=30)
+    max_iter = 7
+    exp, exp_rounds = oracle.label_propagation(edges, n, max_iter=max_iter)
+    labels, info = label_propagation(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n), max_iter=max_iter
+    )
+    got = labels.toPandas().set_index("id")["label"].reindex(range(n)).to_numpy()
+    assert np.array_equal(got, exp)
+
+
+def test_lpa_two_cliques(spark):
+    # two 5-cliques joined by one edge: converges to two (or one) labels
+    cl = [[i, j] for i in range(5) for j in range(i + 1, 5)]
+    edges = np.array(cl + [[i + 5, j + 5] for i, j in cl] + [[4, 5]])
+    n = 10
+    exp, _ = oracle.label_propagation(edges, n, max_iter=10)
+    labels, _ = label_propagation(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n), max_iter=10
+    )
+    got = labels.toPandas().set_index("id")["label"].reindex(range(n)).to_numpy()
+    assert np.array_equal(got, exp)
+
+
+# --- Triangles ----------------------------------------------------------------
+
+def test_triangles_known_graphs(spark):
+    # K4 has 4 triangles; C5 has 0
+    k4 = np.array([[i, j] for i in range(4) for j in range(i + 1, 4)])
+    c5 = np.array([[i, (i + 1) % 5] for i in range(5)])
+    assert triangle_count(spark_edges(spark, k4)).first()["triangles"] == 4
+    assert triangle_count(spark_edges(spark, c5)).first()["triangles"] == 0
+
+
+def test_triangles_match_oracle(spark):
+    n = 70
+    edges = er_graph(n, 0.08, seed=5)
+    exp_per, exp_total = oracle.triangle_counts(edges, n)
+    e = spark_edges(spark, edges)
+    assert triangle_count(e).first()["triangles"] == exp_total
+    got = (
+        triangles_per_vertex(e, vertices=spark_vertices(spark, n))
+        .toPandas()
+        .set_index("id")["triangles"]
+        .reindex(range(n), fill_value=0)
+        .to_numpy()
+    )
+    assert np.array_equal(got, exp_per)
+
+
+# --- determinism / hashing ----------------------------------------------------
+
+def test_hash_determinism():
+    idx = np.arange(100, dtype=np.uint64)
+    assert np.array_equal(hash_u64(42, idx), hash_u64(42, idx))
+    assert not np.array_equal(hash_u64(42, idx), hash_u64(43, idx))
+    u = uniform01(42, idx)
+    assert (u >= 0).all() and (u < 1).all()
