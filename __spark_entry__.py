@@ -1,38 +1,882 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one DataFrame query per implemented operator
+family from SURVEY.md §2; ``oracle_sql()`` gives the exact DuckDB
+equivalent (same column names, floats rounded identically on both
+sides so the driver's order-insensitive value-hash matches).
+
+Graph queries run on a deterministic edge table derived from
+``lineitem`` (src = l_orderkey % V, dst = l_partkey % V) so Spark and
+DuckDB construct byte-identical graphs with zero RNG.
+
+Iterative-to-convergence queries (full PageRank, LPA) are not
+SQL-expressible — they ship without an oracle entry (rows-only check)
+and are instead verified exactly in tests/ against the NumPy oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GRAPH_V = 2000  # vertex-id space of the derived graph
+PR_ALPHA = 0.85
+PR_SQL_ITERS = 3
+MINHASH_K = 16
+LSH_BANDS = 4
+SIMHASH_BITS = 60
+SIMHASH_MAXHAM = 3
+COS_THRESHOLD = 0.3  # embeddings are near-orthogonal; 0.3 ≈ p99 pairs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived graph (identical construction in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % GRAPH_V).cast("long").alias("src"),
+            (F.col("l_partkey") % GRAPH_V).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_E_SQL = (
+    f"SELECT DISTINCT CAST(l_orderkey % {GRAPH_V} AS BIGINT) AS src, "
+    f"CAST(l_partkey % {GRAPH_V} AS BIGINT) AS dst FROM lineitem "
+    f"WHERE l_orderkey % {GRAPH_V} <> l_partkey % {GRAPH_V}"
+)
+_V_SQL = "SELECT src AS id FROM e UNION SELECT dst FROM e"
+_UND_SQL = "SELECT DISTINCT least(src,dst) AS lo, greatest(src,dst) AS hi FROM e"
+
+
+def _vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+def q_graph_degree_topk(spark, sf_dir):
+    e = _graph_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").alias("in_degree"))
+        .orderBy(F.desc("in_degree"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def q_graph_gather_scatter(spark, sf_dir):
+    """One SpMV: field(v) = ((v*37+11) % 97)/97.0, weight 1."""
+    e = _graph_edges(spark, sf_dir)
+    field = _vertices(e).select(
+        "id", (((F.col("id") * 37 + 11) % 97) / F.lit(97.0)).alias("value")
+    )
+    out = (
+        e.join(field, e["src"] == field["id"])
+        .groupBy(e["dst"].alias("id"))
+        .agg(F.round(F.sum("value"), 6).alias("integrated"))
+    )
+    return out
+
+
+def q_graph_pagerank_3iter(spark, sf_dir):
+    """PR_SQL_ITERS unrolled synchronous PageRank steps (same update
+    rule as operators.pagerank), fully SQL-expressible."""
+    e = _graph_edges(spark, sf_dir).persist()
+    v = _vertices(e).persist()
+    n = v.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    r = v.select("id", F.lit(1.0 / n).alias("r"))
+    for _ in range(PR_SQL_ITERS):
+        dm = (
+            r.join(deg.select(F.col("src").alias("id")), "id", "left_anti")
+            .agg(F.sum("r"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(deg, "src")
+            .join(r.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        r = v.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - PR_ALPHA) / n)
+                + F.lit(PR_ALPHA)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm) / n))
+            ).alias("r"),
+        ).localCheckpoint(eager=True)
+    out = r.select("id", F.round("r", 9).alias("rank"))
+    e.unpersist()
+    v.unpersist()
+    return out
+
+
+def _pr3_oracle_sql() -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM v),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT id, 1.0/(SELECT n FROM n) AS r FROM v),",
+    ]
+    for i in range(1, PR_SQL_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"dm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN r{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.id, {1.0 - PR_ALPHA}/(SELECT n FROM n) "
+            f"+ {PR_ALPHA}*(coalesce(c.c, 0.0) + (SELECT m FROM dm{i})/(SELECT n FROM n)) AS r "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id),",
+        ]
+    lines.append(f"fin AS (SELECT id, round(r, 9) AS rank FROM r{PR_SQL_ITERS})")
+    return "\n".join(lines) + "\nSELECT id, rank FROM fin"
+
+
+def q_graph_components(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.components import connected_components
+
+    e = _graph_edges(spark, sf_dir)
+    labels, _ = connected_components(spark, e, vertices=_vertices(e))
+    return labels.select("id", "component")
+
+
+_CC_ORACLE_SQL = f"""
+WITH RECURSIVE e AS ({_E_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT DISTINCT src AS id FROM sym),
+r(id, comp) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT s.dst, r.comp FROM r JOIN sym s ON s.src = r.id
+)
+SELECT id, min(comp) AS component FROM r GROUP BY id
+"""
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.triangles import triangle_count
+
+    return triangle_count(_graph_edges(spark, sf_dir))
+
+
+_TRI_SQL_BASE = f"""WITH e AS ({_E_SQL}),
+und AS ({_UND_SQL}),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1 JOIN und e2 ON e1.hi = e2.lo
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)"""
+
+
+def q_graph_triangles_per_vertex(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(_graph_edges(spark, sf_dir)).select(
+        "id", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_graph_pagerank_full(spark, sf_dir):
+    """Full convergent PageRank (iterative — rows-only driver check;
+    exact-semantics coverage lives in tests/ vs the NumPy oracle)."""
+    from efficient_graph_algorithms_spark.operators.pagerank import pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, vertices=_vertices(e), tol=1e-6)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_graph_lpa(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.lpa import label_propagation
+
+    e = _graph_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, vertices=_vertices(e), max_iter=5)
+    return labels.select("id", "label")
+
+
+def q_graph_interp_ratio(spark, sf_dir):
+    """Masked-SpMV kernel interpolation (reference Interpolator):
+    known = ids divisible by 3; estimate unknown vertices as
+    sum(known nbr values)/count(known nbrs)."""
+    e = _graph_edges(spark, sf_dir)
+    field = _vertices(e).select(
+        "id",
+        (((F.col("id") * 13 + 5) % 101) / F.lit(101.0)).alias("value"),
+        (F.col("id") % 3 == 0).cast("double").alias("known"),
+    )
+    num = (
+        e.join(field, e["src"] == field["id"])
+        .groupBy(e["dst"].alias("id"))
+        .agg(
+            F.sum(F.col("value") * F.col("known")).alias("num"),
+            F.sum("known").alias("den"),
+        )
+    )
+    return num.where(F.col("den") > 0).select(
+        "id", F.round(F.col("num") / F.col("den"), 6).alias("interp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_rel_groupby_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rel_join_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_rel_window_argmax(spark, sf_dir):
+    """Per-customer top order (the LPA argmax window shape)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.round("o_totalprice", 2).alias("top_price"),
+        )
+    )
+
+
+def q_rel_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def q_rel_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def q_rel_semi_anti(spark, sf_dir):
+    """Customers with no high-value orders (anti-join frontier
+    subtraction, reference's `cluster -= new_cluster` shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def q_rel_set_ops(spark, sf_dir):
+    """Intersection of customer nations and supplier nations."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_rel_onehot_mask(spark, sf_dir):
+    """Field masking (reference interpolator zero-out): acctbal zeroed
+    outside the BUILDING segment, indicator column added."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.round("c_acctbal", 2))
+        .otherwise(F.lit(0.0))
+        .alias("masked_bal"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("ind"),
+    )
+
+
+def q_rel_histogram(spark, sf_dir):
+    """width_bucket histogram of order totalprice, 10 buckets [0, 500k)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.least(
+                F.lit(10), F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_rel_stats(spark, sf_dir):
+    """Welford-style grouped stats (reference eval_kernel_statistics)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_rel_zscore(spark, sf_dir):
+    """z-score correction (reference graph_kernels zscore)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(
+            (F.col("c_acctbal") - F.avg("c_acctbal").over(w))
+            / F.stddev_samp("c_acctbal").over(w),
+            6,
+        ).alias("z"),
+    )
+
+
+def q_rel_scalar_math(spark, sf_dir):
+    """Kernel function application: exp(-λx), log1p, sqrt, clamp
+    (reference gaussian_kernel / f_fun lambdas)."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_retailprice") / 1000.0
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.exp(-F.lit(0.5) * x), 6).alias("exp_kernel"),
+        F.round(F.log1p(x), 6).alias("log1p_x"),
+        F.round(F.sqrt(x), 6).alias("sqrt_x"),
+        F.round(F.greatest(F.least(x, F.lit(1.5)), F.lit(0.5)), 6).alias("clamped"),
+    )
+
+
+def q_rel_date_filter(spark, sf_dir):
+    """Snapshot-style timestamp predicate (warc_ts pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+
+def q_rel_minplus_join(spark, sf_dir):
+    """Min-plus semiring aggregate (reference cluster relator
+    T[i][j] = min_k(eta_i[k] + eta_j[k])): cheapest supplier+part cost
+    pairing per (nation, brand)."""
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        s.crossJoin(p.where(F.col("p_size") <= 5))
+        .groupBy(
+            F.col("s_nationkey").cast("long").alias("nationkey"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.round(F.min(F.col("s_acctbal") + F.col("p_retailprice")), 2).alias("min_cost"))
+    )
+
+
+def q_rel_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity queries
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark, sf_dir):
+    from efficient_graph_algorithms_spark.functions.text import (
+        fingerprint60,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint60(F.col("text")).alias("fp"),
+    )
+
+
+def _text_features_sql() -> str:
+    from efficient_graph_algorithms_spark.functions.text import (
+        duck_fingerprint60,
+        duck_lang_id,
+        duck_quality_score,
+        duck_token_count,
+    )
+
+    return (
+        "SELECT doc_id, "
+        f"CAST({duck_token_count('text')} AS BIGINT) AS n_tokens, "
+        f"{duck_lang_id('text')} AS lang_pred, "
+        f"{duck_quality_score('text')} AS quality, "
+        f"{duck_fingerprint60('text')} AS fp FROM documents"
+    )
+
+
+# documents augmented with planted duplicates (same CTE both engines)
+_DUP_DOCS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50"
+)
+
+
+def _dup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.where(F.col("doc_id") < 50).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_dup_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_sim_cosine_pairs(spark, sf_dir):
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return cosine_pairs(emb, threshold=COS_THRESHOLD)
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    from efficient_graph_algorithms_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+def q_events_user_activity(spark, sf_dir):
+    from efficient_graph_algorithms_spark.streaming.events import user_activity
+
+    return user_activity(_t(spark, sf_dir, "events"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction (decode stubbed deterministic —
+    rows-only check; the Spark plumbing is what's exercised)."""
+    from efficient_graph_algorithms_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_media_features(media, deterministic_fake=True).select(
+        "media_id", "kind", "n_bytes", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle builders for dedup/similarity
+# ---------------------------------------------------------------------------
+
+def _shingle_sql(docs_cte: str) -> str:
+    """Shingle CTEs over `dd(doc_id, text)`."""
+    return f"""
+dd AS ({docs_cte}),
+nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM dd),
+tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
+  FROM tk)"""
+
+
+def _dedup_exact_sql() -> str:
+    return f"""
+WITH dd AS ({_DUP_DOCS_SQL}),
+fps AS (SELECT doc_id AS id,
+  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+  FROM dd)
+SELECT fp, count(*) AS n_dups, min(id) AS keep_id FROM fps GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def _dedup_ngram_sql(threshold: float = 0.8, df_cap: int = 1000) -> str:
+    return f"""
+WITH {_shingle_sql(_DUP_DOCS_SQL)},
+sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {df_cap}),
+cold AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+com AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM cold x JOIN cold y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT c.a, c.b,
+  round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM com c JOIN sizes sa ON sa.id = c.a JOIN sizes sb ON sb.id = c.b
+WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= {threshold}
+"""
+
+
+def _dedup_minhash_sql(threshold: float = 0.5) -> str:
+    from efficient_graph_algorithms_spark.functions.hashing import minhash_seeds
+
+    seeds = minhash_seeds(MINHASH_K, 42)
+    perm_rows = ", ".join(f"({i}, {s})" for i, s in enumerate(seeds))
+    rows_per_band = MINHASH_K // LSH_BANDS
+    return f"""
+WITH {_shingle_sql(_DUP_DOCS_SQL)},
+hs AS (SELECT doc_id AS id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+perms(perm, pseed) AS (VALUES {perm_rows}),
+sig AS (SELECT id, perm, min(xor(h, pseed)) AS mh FROM hs CROSS JOIN perms GROUP BY id, perm),
+bk AS (SELECT id, perm // {rows_per_band} AS band,
+       array_to_string(list_sort(list(perm::VARCHAR || ':' || mh::VARCHAR)), ',') AS bkey
+       FROM sig GROUP BY id, band),
+cand AS (SELECT DISTINCT x.id AS a, y.id AS b FROM bk x
+         JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+sims AS (SELECT c.a, c.b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS sig_sim
+         FROM cand c JOIN sig sa ON sa.id = c.a
+         JOIN sig sb ON sb.id = c.b AND sb.perm = sa.perm
+         GROUP BY c.a, c.b)
+SELECT a, b, sig_sim FROM sims WHERE sig_sim >= {threshold}
+"""
+
+
+def _dedup_simhash_sql(max_ham: int = SIMHASH_MAXHAM, bits: int = SIMHASH_BITS) -> str:
+    nb = max_ham + 1
+    width = bits // nb
+    return f"""
+WITH dd AS ({_DUP_DOCS_SQL}),
+nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM dd),
+tok AS (SELECT doc_id AS id, unnest(string_split(t, ' ')) AS tok FROM nd),
+th AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok WHERE tok <> ''),
+bitsx AS (SELECT id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS bit) b
+          GROUP BY id, b.bit),
+fp AS (SELECT id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       FROM bitsx GROUP BY id),
+banded AS (SELECT id, simhash, b.band,
+           (simhash >> (b.band * {width})) & {(1 << width) - 1} AS bkey
+           FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {nb - 1})) AS band) b),
+cand AS (SELECT DISTINCT x.id AS a, y.id AS b, x.simhash AS fa, y.simhash AS fb
+         FROM banded x JOIN banded y
+         ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
+SELECT a, b, bit_count(xor(fa, fb)) AS hamming FROM cand
+WHERE bit_count(xor(fa, fb)) <= {max_ham}
+"""
+
+
+_COS_EXPR = (
+    "list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))"
+)
+
+
+def _sim_topk_sql(k: int = 5) -> str:
+    return f"""
+WITH scored AS (
+  SELECT x.vec_id AS qid, y.vec_id AS vec_id, round({_COS_EXPR}, 4) AS cos
+  FROM embeddings x JOIN embeddings y ON x.vec_id < 5 AND x.vec_id <> y.vec_id),
+ranked AS (SELECT qid, vec_id, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored)
+SELECT qid, vec_id, cos, CAST(rn AS INT) AS rn FROM ranked WHERE rn <= {k}
+"""
+
+
+def _sim_pairs_sql(threshold: float = COS_THRESHOLD) -> str:
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b, round({_COS_EXPR}, 4) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE x.vec_id < 200 AND y.vec_id < 200 AND round({_COS_EXPR}, 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank on the derived graph at sf0.001, joined
+    with in-degree, top 50."""
+    sf_dir = "/root/testdata/sf0.001"
+    from efficient_graph_algorithms_spark.operators.pagerank import pagerank, top_k
+
+    e = _graph_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, vertices=_vertices(e), tol=1e-6)
+    deg = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_degree"))
+    return (
+        top_k(ranks, 50)
+        .join(deg, "id", "left")
+        .select("id", F.round("rank", 9).alias("rank"), F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph
+        "graph_degree_topk": q_graph_degree_topk,
+        "graph_gather_scatter": q_graph_gather_scatter,
+        "graph_pagerank_3iter": q_graph_pagerank_3iter,
+        "graph_pagerank_full": q_graph_pagerank_full,
+        "graph_components": q_graph_components,
+        "graph_triangle_count": q_graph_triangle_count,
+        "graph_triangles_per_vertex": q_graph_triangles_per_vertex,
+        "graph_lpa": q_graph_lpa,
+        "graph_interp_ratio": q_graph_interp_ratio,
+        # relational operators
+        "rel_groupby_sum": q_rel_groupby_sum,
+        "rel_join_agg": q_rel_join_agg,
+        "rel_window_argmax": q_rel_window_argmax,
+        "rel_window_rank": q_rel_window_rank,
+        "rel_topk": q_rel_topk,
+        "rel_semi_anti": q_rel_semi_anti,
+        "rel_set_ops": q_rel_set_ops,
+        "rel_onehot_mask": q_rel_onehot_mask,
+        "rel_histogram": q_rel_histogram,
+        "rel_stats": q_rel_stats,
+        "rel_zscore": q_rel_zscore,
+        "rel_scalar_math": q_rel_scalar_math,
+        "rel_date_filter": q_rel_date_filter,
+        "rel_minplus_join": q_rel_minplus_join,
+        "rel_distinct": q_rel_distinct,
+        # text / dedup / similarity / streaming / multimodal
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_pairs": q_sim_cosine_pairs,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "events_user_activity": q_events_user_activity,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_degree_topk": f"""
+WITH e AS ({_E_SQL})
+SELECT dst AS id, count(*) AS in_degree FROM e GROUP BY dst
+ORDER BY in_degree DESC, id ASC LIMIT 20
+""",
+        "graph_gather_scatter": f"""
+WITH e AS ({_E_SQL}), v AS ({_V_SQL}),
+f AS (SELECT id, ((id * 37 + 11) % 97) / 97.0 AS value FROM v)
+SELECT e.dst AS id, round(sum(f.value), 6) AS integrated
+FROM e JOIN f ON e.src = f.id GROUP BY e.dst
+""",
+        "graph_pagerank_3iter": _pr3_oracle_sql(),
+        "graph_components": _CC_ORACLE_SQL,
+        "graph_triangle_count": _TRI_SQL_BASE + "\nSELECT count(*) AS triangles FROM tri",
+        "graph_triangles_per_vertex": _TRI_SQL_BASE
+        + """,
+m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+SELECT id, count(*) AS triangles FROM m GROUP BY id
+""",
+        "graph_interp_ratio": f"""
+WITH e AS ({_E_SQL}), v AS ({_V_SQL}),
+f AS (SELECT id, ((id * 13 + 5) % 101) / 101.0 AS value,
+      (CASE WHEN id % 3 = 0 THEN 1.0 ELSE 0.0 END) AS known FROM v),
+agg AS (SELECT e.dst AS id, sum(f.value * f.known) AS num, sum(f.known) AS den
+        FROM e JOIN f ON e.src = f.id GROUP BY e.dst)
+SELECT id, round(num / den, 6) AS interp FROM agg WHERE den > 0
+""",
+        # relational
+        "rel_groupby_sum": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_join_agg": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "rel_window_argmax": """
+SELECT o_custkey AS custkey, o_orderkey AS top_orderkey,
+       round(o_totalprice, 2) AS top_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+WHERE rn = 1
+""",
+        "rel_window_rank": """
+SELECT o_orderpriority, o_orderkey AS orderkey, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, rank() OVER (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders)
+WHERE rnk <= 3
+""",
+        "rel_topk": """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "rel_semi_anti": """
+SELECT c_custkey AS custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+""",
+        "rel_set_ops": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+""",
+        "rel_onehot_mask": """
+SELECT c_custkey AS custkey,
+  CASE WHEN c_mktsegment = 'BUILDING' THEN round(c_acctbal, 2) ELSE 0.0 END AS masked_bal,
+  CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS ind
+FROM customer
+""",
+        "rel_histogram": """
+SELECT least(10, CAST(floor(o_totalprice / 50000.0) AS BIGINT)) AS bucket,
+       count(*) AS n
+FROM orders GROUP BY 1
+""",
+        "rel_stats": """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+  round(avg(c_acctbal), 6) AS mean_bal,
+  round(var_samp(c_acctbal), 4) AS var_bal,
+  count(*) AS n
+FROM customer GROUP BY 1
+""",
+        "rel_zscore": """
+SELECT c_custkey AS custkey,
+  round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+        / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS z
+FROM customer
+""",
+        "rel_scalar_math": """
+SELECT p_partkey AS partkey,
+  round(exp(-0.5 * (p_retailprice / 1000.0)), 6) AS exp_kernel,
+  round(ln(1 + (p_retailprice / 1000.0)), 6) AS log1p_x,
+  round(sqrt(p_retailprice / 1000.0), 6) AS sqrt_x,
+  round(greatest(least(p_retailprice / 1000.0, 1.5), 0.5), 6) AS clamped
+FROM part
+""",
+        "rel_date_filter": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+""",
+        "rel_minplus_join": """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey, p_brand AS brand,
+       round(min(s_acctbal + p_retailprice), 2) AS min_cost
+FROM supplier CROSS JOIN (SELECT * FROM part WHERE p_size <= 5) p
+GROUP BY 1, 2
+""",
+        "rel_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        # text / dedup / similarity / events
+        "text_features": _text_features_sql(),
+        "dedup_exact": _dedup_exact_sql(),
+        "dedup_ngram_jaccard": _dedup_ngram_sql(),
+        "dedup_minhash_lsh": _dedup_minhash_sql(),
+        "dedup_simhash": _dedup_simhash_sql(),
+        "sim_cosine_topk": _sim_topk_sql(),
+        "sim_cosine_pairs": _sim_pairs_sql(),
+        "stream_windowed_counts": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_user_activity": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+        # graph_pagerank_full, graph_lpa, multimodal_features:
+        # iterative / stubbed-decode — rows-only checks by design.
+    }

@@ -1,0 +1,144 @@
+"""Benchmark runner — prints ONE JSON line.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+  q_extract    pages → edges build (href-extraction Arrow UDF path) on a
+               synthesized corpus sized to the sf (north-rule edge build)
+  q_pagerank   full PageRank to L1 < 1e-6 on the extracted web graph
+  q_cc         connected components on the same graph
+  q_triangles  degree-ordered wedge-join triangle count
+  q_lpa        5 rounds of synchronous LPA
+  q_dedup      MinHash-LSH near-dup pairs over documents
+  q_topk_sim   brute-force cosine top-k over embeddings
+
+The headline metric is PageRank edges/sec/iteration (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from efficient_graph_algorithms_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages corpus sized to sf: sf0.1 → 120k pages (~1M edges)
+N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
+WORK = os.environ.get("BENCH_WORK", "/tmp/ega_bench")
+
+
+def main() -> int:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("ega-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    meta: dict[str, object] = {}
+
+    # -- corpus build (timed as q_extract) ---------------------------------
+    pages_path = f"{WORK}/pages_{N_PAGES}"
+    graph_path = f"{WORK}/graph_{N_PAGES}"
+    from efficient_graph_algorithms_spark.sources.pages import pages_df
+
+    if not os.path.exists(pages_path):
+        pages_df(spark, N_PAGES, seed=42).write.mode("overwrite").parquet(pages_path)
+
+    from efficient_graph_algorithms_spark.sources.edges import build_edges
+
+    t0 = time.time()
+    pages = spark.read.parquet(pages_path)
+    url_dict, edges = build_edges(pages)
+    edges.write.mode("overwrite").parquet(f"{graph_path}/edges")
+    url_dict.write.mode("overwrite").parquet(f"{graph_path}/url_dict")
+    queries["q_extract"] = round(time.time() - t0, 3)
+
+    edges = spark.read.parquet(f"{graph_path}/edges").persist()
+    n_edges = edges.count()
+    vertices = spark.read.parquet(f"{graph_path}/url_dict").select("id").persist()
+    n_vertices = vertices.count()
+    meta["n_pages"] = N_PAGES
+    meta["n_edges"] = n_edges
+    meta["n_vertices"] = n_vertices
+
+    # -- PageRank (headline) ------------------------------------------------
+    from efficient_graph_algorithms_spark.operators.pagerank import pagerank
+
+    t0 = time.time()
+    ranks, info = pagerank(spark, edges, vertices=vertices, tol=1e-6)
+    ranks.count()
+    pr_sec = time.time() - t0
+    queries["q_pagerank"] = round(pr_sec, 3)
+    iters = info["iterations"]
+    edges_per_sec_per_iter = n_edges * iters / pr_sec
+    meta["pagerank_iterations"] = iters
+    meta["pagerank_converged"] = info["converged"]
+
+    # -- Connected components -----------------------------------------------
+    from efficient_graph_algorithms_spark.operators.components import connected_components
+
+    t0 = time.time()
+    labels, cinfo = connected_components(spark, edges, vertices=vertices)
+    labels.count()
+    queries["q_cc"] = round(time.time() - t0, 3)
+    meta["cc_rounds"] = cinfo["rounds"]
+
+    # -- Triangles ------------------------------------------------------------
+    from efficient_graph_algorithms_spark.operators.triangles import triangle_count
+
+    t0 = time.time()
+    tri = triangle_count(edges).first()["triangles"]
+    queries["q_triangles"] = round(time.time() - t0, 3)
+    meta["triangles"] = int(tri)
+
+    # -- LPA (bounded rounds) ---------------------------------------------------
+    from efficient_graph_algorithms_spark.operators.lpa import label_propagation
+
+    t0 = time.time()
+    lab, _ = label_propagation(spark, edges, vertices=vertices, max_iter=5)
+    lab.count()
+    queries["q_lpa"] = round(time.time() - t0, 3)
+
+    # -- documents dedup + embeddings topk ----------------------------------------
+    from efficient_graph_algorithms_spark.operators.dedup import minhash_lsh_pairs
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    meta["dedup_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
+    queries["q_dedup"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("qid"), "embedding")
+    t0 = time.time()
+    meta["topk_rows"] = cosine_topk(emb, q, k=10).count()
+    queries["q_topk_sim"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec_per_iteration",
+                "value": round(edges_per_sec_per_iter, 1),
+                "unit": "edges/sec",
+                "queries": queries,
+                "total_sec": total,
+                "sf": sf,
+                "cpus": CPUS,
+                **meta,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,21 +61,31 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division for nonnegative longs: (a - a%b)/b.
+    a - a%b is an exact multiple of b, so the double division is exact
+    (inputs stay far below 2^53)."""
+    return ((a - (a % b)) / b).cast("long")
+
+
 def quality_score(text: Column) -> Column:
-    """Composite quality in [0,1]: length saturation (40%), alphanumeric
-    ratio (30%), English-stopword ratio saturation (30%)."""
+    """Composite quality in [0, 1000] (integer "milli" scale): length
+    saturation (40%), alphanumeric ratio (30%), English-stopword ratio
+    saturation (30%). Pure integer arithmetic end-to-end so the value
+    is EXACTLY reproducible in any engine — no float rounding
+    boundaries."""
     t = F.trim(text)
-    n = F.length(t).cast("double")
-    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", "")).cast("double")
-    toks = token_count(t).cast("double")
-    stop_hits = F.regexp_count(F.lower(t), F.lit(_marker_pattern(_EN_STOP))).cast("double")
-    len_term = F.least(F.lit(1.0), n / F.lit(500.0))
-    alnum_term = F.when(n > 0, alnum / n).otherwise(F.lit(0.0))
-    stop_term = F.least(F.lit(1.0), F.when(toks > 0, stop_hits / toks).otherwise(F.lit(0.0)) * F.lit(5.0))
-    return F.round(
-        len_term * F.lit(0.4) + alnum_term * F.lit(0.3) + stop_term * F.lit(0.3),
-        OUT_DECIMALS,
+    n = F.length(t).cast("long")
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", "")).cast("long")
+    toks = token_count(t)
+    stop_hits = F.regexp_count(F.lower(t), F.lit(_marker_pattern(_EN_STOP))).cast("long")
+    len_t = F.least(F.lit(1000).cast("long"), n * 2)
+    alnum_t = F.when(n > 0, _idiv(alnum * 1000, n)).otherwise(F.lit(0).cast("long"))
+    stop_t = F.least(
+        F.lit(1000).cast("long"),
+        F.when(toks > 0, _idiv(stop_hits * 5000, toks)).otherwise(F.lit(0).cast("long")),
     )
+    return _idiv(len_t * 4 + alnum_t * 3 + stop_t * 3, F.lit(10).cast("long"))
 
 
 def normalized_text(text: Column) -> Column:
@@ -118,16 +128,14 @@ def duck_lang_id(expr: str) -> str:
 
 def duck_quality_score(expr: str) -> str:
     t = f"trim({expr})"
-    n = f"len({t})::DOUBLE"
-    alnum = f"len(regexp_replace({t}, '[^A-Za-z0-9 ]', '', 'g'))::DOUBLE"
-    toks = f"({duck_token_count(expr)})::DOUBLE"
-    stops = f"({duck_marker_count(expr, _EN_STOP)})::DOUBLE"
-    return (
-        f"round(least(1.0, {n}/500.0)*0.4 "
-        f"+ (CASE WHEN {n} > 0 THEN {alnum}/{n} ELSE 0.0 END)*0.3 "
-        f"+ least(1.0, (CASE WHEN {toks} > 0 THEN {stops}/{toks} ELSE 0.0 END)*5.0)*0.3, "
-        f"{OUT_DECIMALS})"
-    )
+    n = f"len({t})::BIGINT"
+    alnum = f"len(regexp_replace({t}, '[^A-Za-z0-9 ]', '', 'g'))::BIGINT"
+    toks = f"({duck_token_count(expr)})::BIGINT"
+    stops = f"({duck_marker_count(expr, _EN_STOP)})::BIGINT"
+    len_t = f"least(1000, {n} * 2)"
+    alnum_t = f"(CASE WHEN {n} > 0 THEN ({alnum} * 1000) // {n} ELSE 0 END)"
+    stop_t = f"least(1000, CASE WHEN {toks} > 0 THEN ({stops} * 5000) // {toks} ELSE 0 END)"
+    return f"((({len_t}) * 4 + {alnum_t} * 3 + {stop_t} * 3) // 10)::BIGINT"
 
 
 def duck_normalized_text(expr: str) -> str:

@@ -180,14 +180,16 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 60,
         h.select("id", "h", bit)
         .select(
             "id", "bit",
-            (F.shiftright(F.col("h"), F.col("bit").cast("int")).bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
+            (F.expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
         )
         .groupBy("id", "bit")
         .agg(F.sum("v").alias("s"))
     )
     return votes.groupBy("id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(F.lit(0))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 
@@ -203,10 +205,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
     nb = max_hamming + 1
     width = bits // nb
     band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
-    mask = F.shiftleft(F.lit(1).cast("long"), width) - 1
+    mask = (1 << width) - 1
     banded = fp.select("id", "simhash", band).select(
         "id", "simhash", "band",
-        F.shiftright(F.col("simhash"), (F.col("band") * width).cast("int")).bitwiseAND(mask).alias("bkey"),
+        F.expr(f"shiftright(simhash, CAST(band * {width} AS INT))")
+        .bitwiseAND(F.lit(mask).cast("long"))
+        .alias("bkey"),
     )
     a = banded.select(F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey")
     b = banded.select(F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "bkey")

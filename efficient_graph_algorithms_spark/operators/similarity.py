@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``      exact brute-force top-k per query (the baseline;
+                       one broadcast of the query set, no shuffle of the
+                       corpus — correct plan shape even at 100 TB when
+                       the query set is small)
+- ``cosine_pairs``     embedding-cosine near-duplicate pairs above a
+                       threshold (candidate restriction by random-
+                       hyperplane LSH bucket; the exact variant for the
+                       oracle does the full pairwise join)
+- ``rp_lsh_buckets``   random-hyperplane signature per vector — the
+                       scale path: vectors sharing a bucket are the
+                       only candidate pairs
+
+All arithmetic is double precision inside JVM higher-order functions
+(``zip_with`` / ``aggregate``) — no Python in the hot path. Outputs are
+rounded (ROUND_DP) and tie-broken by id so Spark and the DuckDB oracle
+order identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.hashing import uniform01
+
+ROUND_DP = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    vectors: (vec_id, embedding); queries: (qid, embedding). The query
+    side is broadcast — corpus never shuffles. Returns
+    (qid, vec_id, cos) with deterministic ordering (cos desc, vec_id asc).
+    """
+    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec")))
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vvec"))
+    scored = v.crossJoin(q).where(F.col("qid") != F.col("vec_id")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vvec")), ROUND_DP).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos", "rn")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) for all pairs a<b with cosine >= threshold — exact
+    (full pairwise; the small-N oracle path)."""
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DP).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def rp_lsh_buckets(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: (vec_id, bucket bigint). bucket bit i =
+    sign(v · r_i) with r_i deterministic (hash-based) Rademacher
+    vectors. Vectors in the same bucket are near-duplicate candidates;
+    expected collision prob = (1 - theta/pi)^n_planes."""
+    planes = [
+        [1.0 if u >= 0.5 else -1.0 for u in uniform01(seed, np.arange(dim, dtype=np.uint64), stream=100 + i)]
+        for i in range(n_planes)
+    ]
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for i, p in enumerate(planes):
+        d = _dot(v, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return vectors.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-dup pairs: bucket join → exact cosine verify.
+    May miss pairs straddling buckets (recall < 1 by design — standard
+    LSH trade-off; raise bands/lower n_planes for recall)."""
+    b = rp_lsh_buckets(vectors, n_planes, dim, seed, id_col, vec_col)
+    withb = vectors.join(b, vectors[id_col] == b["vec_id"]).select(
+        b["vec_id"].alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    a = withb.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    c = withb.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DP).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

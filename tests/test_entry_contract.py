@@ -1,0 +1,66 @@
+"""Driver-contract smoke: entry() + a fast subset of queries()/oracle_sql()
+at sf0.001. The full sf0.01 sweep is tools/check_parity.py (run in CI
+fashion before each round; the driver replays it independently)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_parity import TABLES, compare
+
+SF = "/root/testdata/sf0.001"
+
+FAST_ORACLE_QUERIES = [
+    "graph_degree_topk",
+    "graph_gather_scatter",
+    "rel_groupby_sum",
+    "rel_window_argmax",
+    "rel_topk",
+    "text_features",
+    "dedup_exact",
+    "sim_cosine_topk",
+    "events_user_activity",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {f.name for f in df.schema.fields} == {"id", "rank", "in_degree"}
+    # PageRank invariant on the top slice: positive, sorted
+    ranks = [r["rank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_every_query_has_callable():
+    qs = entrymod.queries()
+    assert len(qs) >= 30
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # iterative/stub queries are the only ones allowed to omit oracles
+    assert set(qs) - set(oracles) == {
+        "graph_pagerank_full",
+        "graph_lpa",
+        "multimodal_features",
+    }
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_query_matches_oracle_sf0001(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(entrymod.oracle_sql()[name]).df()
+    assert compare(sdf, odf) is None

@@ -1,0 +1,156 @@
+"""Similarity search + multimodal plumbing + streaming tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.hashing import uniform01
+from efficient_graph_algorithms_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    rp_lsh_buckets,
+)
+
+DIM = 8
+N = 40
+
+
+def _vecs():
+    out = []
+    for i in range(N):
+        v = uniform01(7, np.arange(DIM, dtype=np.uint64) + np.uint64(i * DIM), stream=3) - 0.5
+        out.append(v)
+    # plant near-duplicates: 30≈0, 31≈1
+    out[30] = out[0] + 1e-4
+    out[31] = out[1] * 1.5
+    return np.array(out)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    vs = _vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vs[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _cos_matrix():
+    vs = _vecs()
+    nrm = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+    return nrm @ nrm.T
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    cm = _cos_matrix()
+    queries = emb_df.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    got = cosine_topk(emb_df, queries, k=5).collect()
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["cos"]))
+    for q in range(3):
+        sims = np.round(cm[q], 4)
+        order = [int(i) for i in np.lexsort((np.arange(N), -sims)) if i != q][:5]
+        assert [v for v, _ in by_q[q]] == order
+        for v, c in by_q[q]:
+            assert c == pytest.approx(sims[v], abs=1e-9)
+
+
+def test_cosine_pairs_exact(spark, emb_df):
+    cm = np.round(_cos_matrix(), 4)
+    got = {(r["a"], r["b"]) for r in cosine_pairs(emb_df, threshold=0.99).collect()}
+    exp = {(a, b) for a in range(N) for b in range(a + 1, N) if cm[a, b] >= 0.99}
+    assert got == exp
+    assert (0, 30) in got and (1, 31) in got
+
+
+def test_lsh_buckets_deterministic_and_colliding(spark, emb_df):
+    b1 = {r["vec_id"]: r["bucket"] for r in rp_lsh_buckets(emb_df, n_planes=8, dim=DIM).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in rp_lsh_buckets(emb_df, n_planes=8, dim=DIM).collect()}
+    assert b1 == b2
+    # planted near-identical vectors land in the same bucket
+    assert b1[0] == b1[30]
+
+
+def test_cosine_pairs_lsh_finds_planted(spark, emb_df):
+    got = {(r["a"], r["b"]) for r in cosine_pairs_lsh(emb_df, threshold=0.99, n_planes=8, dim=DIM).collect()}
+    assert (0, 30) in got
+    # LSH results are a subset of exact results
+    exact = {(r["a"], r["b"]) for r in cosine_pairs(emb_df, threshold=0.99).collect()}
+    assert got <= exact
+
+
+# --- multimodal -----------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        extract_media_features,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "image", bytes([i] * (10 + i)), {"k": str(i)}) for i in range(20)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = extract_media_features(media.repartition(4), deterministic_fake=True).collect()
+    assert len(out) == 20
+    by_id = {r["media_id"]: r for r in out}
+    for i in range(20):
+        r = by_id[i]
+        assert r["n_bytes"] == 10 + i
+        assert len(r["features"]) == FEATURE_DIM
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+    # determinism: same payload → same features regardless of partitioning
+    out2 = extract_media_features(media.repartition(1), deterministic_fake=True).collect()
+    assert {r["media_id"]: r["features"] for r in out2} == {
+        r["media_id"]: r["features"] for r in out
+    }
+    # real decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image", deterministic_fake=False)
+
+
+# --- streaming -------------------------------------------------------------
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Structured Streaming prefix contract: the same transformation on a
+    file stream over the events table equals the batch result."""
+    from efficient_graph_algorithms_spark.streaming.events import (
+        stream_from_directory,
+        windowed_event_counts,
+    )
+
+    import shutil
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "part-0.parquet")
+
+    events = spark.read.parquet(src)
+    batch = windowed_event_counts(events).orderBy("window_start", "event_type").collect()
+
+    stream = stream_from_directory(spark, str(stream_dir), events.schema)
+    assert stream.isStreaming
+    q = (
+        windowed_event_counts(stream, streaming=True)
+        .writeStream.format("memory")
+        .queryName("wec")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wec").orderBy("window_start", "event_type").collect()
+
+    def norm(rows):
+        return [
+            (r["window_start"].replace(tzinfo=None), r["event_type"], r["n_events"], r["sum_value"])
+            for r in rows
+        ]
+
+    assert norm(got) == norm(batch)
