@@ -29,6 +29,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from efficient_graph_algorithms_spark.session import get_spark  # noqa: E402
 
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pages corpus sized to sf: sf0.1 → 120k pages (~1M edges)
@@ -59,6 +63,7 @@ def main() -> int:
     edges.write.mode("overwrite").parquet(f"{graph_path}/edges")
     url_dict.write.mode("overwrite").parquet(f"{graph_path}/url_dict")
     queries["q_extract"] = round(time.time() - t0, 3)
+    _log(f"extract done {queries['q_extract']}s")
 
     edges = spark.read.parquet(f"{graph_path}/edges").persist()
     n_edges = edges.count()
@@ -76,6 +81,7 @@ def main() -> int:
     ranks.count()
     pr_sec = time.time() - t0
     queries["q_pagerank"] = round(pr_sec, 3)
+    _log(f"pagerank done {pr_sec:.1f}s iters={info['iterations']}")
     iters = info["iterations"]
     edges_per_sec_per_iter = n_edges * iters / pr_sec
     meta["pagerank_iterations"] = iters
@@ -88,6 +94,7 @@ def main() -> int:
     labels, cinfo = connected_components(spark, edges, vertices=vertices)
     labels.count()
     queries["q_cc"] = round(time.time() - t0, 3)
+    _log(f"cc done {queries['q_cc']}s")
     meta["cc_rounds"] = cinfo["rounds"]
 
     # -- Triangles ------------------------------------------------------------
@@ -96,6 +103,7 @@ def main() -> int:
     t0 = time.time()
     tri = triangle_count(edges).first()["triangles"]
     queries["q_triangles"] = round(time.time() - t0, 3)
+    _log(f"triangles done {queries['q_triangles']}s")
     meta["triangles"] = int(tri)
 
     # -- LPA (bounded rounds) ---------------------------------------------------
@@ -105,6 +113,7 @@ def main() -> int:
     lab, _ = label_propagation(spark, edges, vertices=vertices, max_iter=5)
     lab.count()
     queries["q_lpa"] = round(time.time() - t0, 3)
+    _log("lpa done")
 
     # -- documents dedup + embeddings topk ----------------------------------------
     from efficient_graph_algorithms_spark.operators.dedup import minhash_lsh_pairs
@@ -114,6 +123,7 @@ def main() -> int:
     t0 = time.time()
     meta["dedup_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
     queries["q_dedup"] = round(time.time() - t0, 3)
+    _log("dedup done")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("qid"), "embedding")

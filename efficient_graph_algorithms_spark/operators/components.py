@@ -90,6 +90,7 @@ def connected_components(
                 ).alias("component"),
                 F.col("component").alias("old"),
             )
+            .persist()  # consumed twice by the self-join below
         )
         # pointer jumping (path halving): component ← component's component
         jumped = (
@@ -106,14 +107,17 @@ def connected_components(
             )
             .persist()
         )
-        changed = jumped.where(F.col("component") != F.col("old")).count()
-        old_labels = labels
+        changed = int(
+            jumped.agg(
+                F.sum((F.col("component") != F.col("old")).cast("long"))
+            ).collect()[0][0]
+            or 0
+        )
         labels = ckpt.save_iteration(
-            jumped.select("id", "component"), it, {"changed": int(changed)}
-        ).repartition(sp, "id").persist()
-        labels.count()
+            jumped.select("id", "component"), it, {"changed": changed}
+        )
         jumped.unpersist()
-        old_labels.unpersist()
+        stepped.unpersist()
         info["rounds"] = it
         if changed == 0:
             break

@@ -90,14 +90,14 @@ def label_propagation(
             )
             .persist()
         )
-        changed = stepped.where(F.col("label") != F.col("old")).count()
-        old_labels = labels
+        changed = int(
+            stepped.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
+            or 0
+        )
         labels = ckpt.save_iteration(
-            stepped.select("id", "label"), it, {"changed": int(changed)}
-        ).repartition(sp, "id").persist()
-        labels.count()
+            stepped.select("id", "label"), it, {"changed": changed}
+        )
         stepped.unpersist()
-        old_labels.unpersist()
         info["rounds"] = it
         if changed == 0:
             info["rounds"] = it - 1

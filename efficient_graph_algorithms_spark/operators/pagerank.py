@@ -12,16 +12,20 @@ p = uniform 1/N, or a normalized personalization vector (PPR — the
 reference's ``random_walk_with_restart_kernel`` fixed point).
 
 Physical plan per iteration (designed for 10^12-edge scale):
-- ``linked`` = edges ⋈ out-degree, built ONCE, repartitioned by src and
-  persisted — the invariant side of every iteration (the reference's
-  "pre-factorization reuse" pattern,
+- ``linked`` = edges ⋈ out-degree with precomputed 1/deg, built ONCE,
+  hash-partitioned by src and persisted — the invariant side of every
+  iteration (the reference's "pre-factorization reuse" pattern,
   ``reference scripts/experiments/blur_on_mesh.py:20-24``).
-- one shuffle per iteration: the groupBy(dst) aggregate. The ranks
-  side arrives hash-partitioned by id from the previous iteration's
-  aggregate, so the join reuses that exchange.
-- dangling mass + L1 delta are scalar aggregates (the only
-  driver↔cluster data transfer per iteration).
-- per-iteration checkpoint cuts lineage and makes the loop resumable.
+- exactly ONE wide shuffle per iteration: the groupBy(dst) aggregate
+  (with map-side partial combine). The rank vector is orders of
+  magnitude smaller than the edge table and broadcasts while it fits;
+  AQE demotes to shuffle join when it doesn't.
+- L1 delta and NEXT iteration's dangling mass come from a single
+  scalar aggregate per iteration (one driver↔cluster scalar transfer).
+- per-iteration checkpoint cuts lineage (flat iteration time) and
+  makes the loop resumable.
+
+Two jobs per iteration total: (materialize new ranks) + (scalar agg).
 """
 
 from __future__ import annotations
@@ -66,20 +70,26 @@ def pagerank(
     """
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    verts = (vertices or vertex_table(edges)).select("id").repartition(sp, "id")
-    n = verts.count()
+    verts = (vertices or vertex_table(edges)).select("id")
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
 
+    # static per-vertex table: teleport prob p + dangling flag
     if personalization is not None:
-        ptot = personalization.agg(F.sum("p")).collect()[0][0]
-        pvec = verts.join(personalization, "id", "left").select(
-            "id", (F.coalesce(F.col("p"), F.lit(0.0)) / F.lit(float(ptot))).alias("p")
+        ptot = float(personalization.agg(F.sum("p")).collect()[0][0])
+        base = verts.join(personalization.withColumnRenamed("p", "_praw"), "id", "left").select(
+            "id", (F.coalesce(F.col("_praw"), F.lit(0.0)) / F.lit(ptot)).alias("p")
         )
     else:
-        pvec = verts.select("id", F.lit(1.0 / n).alias("p"))
-    pvec = pvec.persist()
-    pvec.count()
+        n_tmp = verts.count()
+        base = verts.select("id", F.lit(1.0 / n_tmp).alias("p"))
+    pvec = (
+        base.join(deg.select(F.col("src").alias("id"), F.lit(True).alias("_has_out")), "id", "left")
+        .select("id", "p", F.col("_has_out").isNull().alias("dangling"))
+        .repartition(sp, "id")
+        .persist()
+    )
+    n = pvec.count()
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     linked = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
@@ -87,9 +97,6 @@ def pagerank(
         .persist()
     )
     linked.count()
-    # dangling vertex set: no out-links (includes external link targets)
-    dangling = verts.join(deg.select(F.col("src").alias("id")), "id", "left_anti").persist()
-    dangling.count()
 
     ckpt = CheckpointManager(
         spark, checkpoint_dir, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
@@ -101,22 +108,25 @@ def pagerank(
         if latest is not None:
             ranks = ckpt.load_iteration(latest)
             start_iter = latest
-    ranks = ranks.repartition(sp, "id").persist()
-    ranks.count()
+
+    # dangling mass of the CURRENT rank vector (one-off; subsequent
+    # values ride along with the per-iteration delta aggregate)
+    dm = float(
+        pvec.join(ranks, "id")
+        .agg(F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))))
+        .collect()[0][0]
+        or 0.0
+    )
 
     info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": []}
     converged = False
     for it in range(start_iter + 1, max_iter + 1):
-        dm = (
-            ranks.join(dangling, "id", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
         contrib = (
             linked.join(ranks, linked["src"] == ranks["id"])
             .groupBy(linked["dst"].alias("id"))
             .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
         )
-        new_with_old = (
+        new = (
             pvec.join(contrib, "id", "left")
             .join(ranks.withColumnRenamed("rank", "rank_old"), "id")
             .select(
@@ -124,30 +134,30 @@ def pagerank(
                 (
                     F.lit(1.0 - alpha) * F.col("p")
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm)) * F.col("p"))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm) * F.col("p"))
                 ).alias("rank"),
                 "rank_old",
+                "dangling",
             )
             .persist()
         )
-        delta = new_with_old.agg(F.sum(F.abs(F.col("rank") - F.col("rank_old")))).collect()[0][0]
-        old = ranks
+        agg = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
+        ).collect()[0]
+        delta, dm = float(agg["delta"]), float(agg["dm"] or 0.0)
         ranks = ckpt.save_iteration(
-            new_with_old.select("id", "rank"),
-            it,
-            {"delta": float(delta), "dangling_mass": float(dm)},
-        ).repartition(sp, "id").persist()
-        ranks.count()
-        new_with_old.unpersist()
-        old.unpersist()
+            new.select("id", "rank"), it, {"delta": delta, "dangling_mass": dm}
+        )
+        new.unpersist()
         info["iterations"] = it
-        info["deltas"].append(float(delta))
+        info["deltas"].append(delta)
         if delta < tol:
             converged = True
             break
     info["converged"] = converged
-    for df in (pvec, linked, dangling):
-        df.unpersist()
+    pvec.unpersist()
+    linked.unpersist()
     return ranks, info
 
 

@@ -57,8 +57,16 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) ->
     broadcast cumulative offsets → local rank + offset.
     """
     distinct = urls.select(F.col(col).alias("url")).distinct()
-    parted = distinct.repartitionByRange(partitions, "url").sortWithinPartitions("url")
-    parted = parted.withColumn("_pid", F.spark_partition_id())
+    parted = (
+        distinct.repartitionByRange(partitions, "url")
+        .sortWithinPartitions("url")
+        .withColumn("_pid", F.spark_partition_id())
+        # PIN the partitioning: the range partitioner's sampling is not
+        # guaranteed identical across jobs, and the offsets job and the
+        # id-assignment job must see byte-identical partitions. Without
+        # this persist the two jobs can disagree → duplicate/missing ids.
+        .persist()
+    )
     # small: one row per partition
     counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
     offsets: dict[int, int] = {}
@@ -78,23 +86,39 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) ->
             seen += len(b)
             yield pd.DataFrame({"url": b["url"], "id": list(ids)})
 
-    return parted.mapInPandas(add_ids, "url string, id long")
+    out = parted.mapInPandas(add_ids, "url string, id long")
+    return out
 
 
-def build_edges(pages: DataFrame, id_partitions: int = 32) -> tuple[DataFrame, DataFrame]:
+def build_edges(
+    pages: DataFrame, id_partitions: int = 32, validate: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Return (url_dict(url,id), edges(src,dst)).
 
     Vertices = every url that appears as a page OR as a link target
     (targets outside the corpus become vertices with no out-links —
     dangling handling downstream). Edges deduplicated; no self-loops.
+    validate=True asserts the dictionary is a dense bijection 0..N-1 —
+    a one-time scan guarding every downstream algorithm.
     """
-    pairs = raw_link_pairs(pages)
+    # persist: the href-extraction UDF output feeds three consumers
+    # (url universe + two dictionary joins) — extract once, not thrice
+    pairs = raw_link_pairs(pages).persist()
     all_urls = (
         pages.select("url")
         .unionByName(pairs.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    url_dict = assign_dense_ids(all_urls, partitions=id_partitions)
+    url_dict = assign_dense_ids(all_urls, partitions=id_partitions).persist()
+    if validate:
+        stats = url_dict.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("id").alias("n_ids"),
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+        ).collect()[0]
+        if not (stats["n"] == stats["n_ids"] == stats["hi"] + 1 and stats["lo"] == 0):
+            raise AssertionError(f"url dictionary is not a dense bijection: {stats}")
     edges = (
         pairs.join(url_dict.withColumnRenamed("url", "src_url").withColumnRenamed("id", "src"), "src_url")
         .join(url_dict.withColumnRenamed("url", "dst_url").withColumnRenamed("id", "dst"), "dst_url")

@@ -1,0 +1,130 @@
+"""Two-parallelism-level scaling protocol (BASELINE.md):
+
+Same job, same input: PageRank to L1 < 1e-6 on a prebuilt web graph,
+run at local[8] (N) and local[32] (4N). Reports edges/sec/iteration at
+both and the per-core-normalized scaling efficiency
+
+    eff = (eps_32 / 32) / (eps_8 / 8)
+
+Each configuration runs in a FRESH JVM (subprocess) so executor-thread
+pools, GC state, and code caches don't leak across configs. Repeats ×R
+(default 3), median. Results → BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [--pages 1000000] [--repeats 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from efficient_graph_algorithms_spark.session import get_spark
+from efficient_graph_algorithms_spark.operators.pagerank import pagerank
+
+cpus = int(sys.argv[1]); graph = sys.argv[2]
+spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(32, cpus))
+spark.sparkContext.setLogLevel("ERROR")
+edges = spark.read.parquet(f"{{graph}}/edges").persist()
+n_edges = edges.count()
+verts = spark.read.parquet(f"{{graph}}/url_dict").select("id").persist()
+verts.count()
+t0 = time.time()
+ranks, info = pagerank(spark, edges, vertices=verts, tol=1e-6)
+ranks.count()
+sec = time.time() - t0
+print(json.dumps({{
+    "cpus": cpus, "n_edges": n_edges, "iterations": info["iterations"],
+    "converged": info["converged"], "wall_sec": round(sec, 2),
+    "edges_per_sec_per_iter": round(n_edges * info["iterations"] / sec, 1),
+    "sec_per_iter": round(sec / info["iterations"], 3),
+}}))
+spark.stop()
+"""
+
+
+def build_graph(pages: int) -> str:
+    """Build (once) the shared input graph with a fixed-parallelism JVM so
+    both configs read identical bytes."""
+    work = os.environ.get("BENCH_WORK", "/tmp/ega_bench")
+    graph = f"{work}/scaling_graph_{pages}"
+    if os.path.exists(f"{graph}/edges"):
+        return graph
+    script = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from efficient_graph_algorithms_spark.session import get_spark
+from efficient_graph_algorithms_spark.sources.pages import pages_df
+from efficient_graph_algorithms_spark.sources.edges import build_edges
+spark = get_spark("scaling-build", master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+pages_df(spark, {pages}, seed=42).write.mode("overwrite").parquet("{graph}/pages")
+pages = spark.read.parquet("{graph}/pages")
+url_dict, edges = build_edges(pages, id_partitions=64)
+edges.write.mode("overwrite").parquet("{graph}/edges")
+url_dict.write.mode("overwrite").parquet("{graph}/url_dict")
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", script], check=True)
+    return graph
+
+
+def run_config(cpus: int, graph: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER.format(repo=str(REPO)), str(cpus), graph],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    args = ap.parse_args()
+
+    graph = build_graph(args.pages)
+    results: dict[int, list[dict]] = {}
+    for rep in range(args.repeats):
+        for cpus in args.cpus:
+            r = run_config(cpus, graph)
+            results.setdefault(cpus, []).append(r)
+            print(f"rep {rep} cpus={cpus}: {r}", file=sys.stderr, flush=True)
+
+    lo, hi = args.cpus
+    med = {
+        c: statistics.median(r["edges_per_sec_per_iter"] for r in results[c])
+        for c in args.cpus
+    }
+    eff = (med[hi] / hi) / (med[lo] / lo)
+    summary = {
+        "pages": args.pages,
+        "n_edges": results[lo][0]["n_edges"],
+        "iterations": results[lo][0]["iterations"],
+        "repeats": args.repeats,
+        f"edges_per_sec_per_iter_local{lo}": med[lo],
+        f"edges_per_sec_per_iter_local{hi}": med[hi],
+        "speedup": round(med[hi] / med[lo], 3),
+        "scaling_efficiency": round(eff, 3),
+        "runs": {str(c): results[c] for c in args.cpus},
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
