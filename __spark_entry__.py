@@ -243,6 +243,63 @@ def q_graph_interp_ratio(spark, sf_dir):
     )
 
 
+def q_graph_rw2(spark, sf_dir):
+    """2-step random-walk scores (reference random_walk_kernel)."""
+    from efficient_graph_algorithms_spark.operators.kernels import k_step_random_walk
+
+    e = _graph_edges(spark, sf_dir)
+    field = _vertices(e).select(
+        "id", (((F.col("id") * 37 + 11) % 97) / F.lit(97.0)).alias("value")
+    )
+    out = k_step_random_walk(e, field, k=2)
+    return out.select("id", F.round("value", 9).alias("value"))
+
+
+_RW2_ORACLE_SQL = f"""
+WITH e AS ({_E_SQL}), v AS ({_V_SQL}),
+deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+x0 AS (SELECT id, ((id * 37 + 11) % 97) / 97.0 AS x FROM v),
+x1 AS (SELECT e.dst AS id, sum(x0.x / deg.d) AS x
+       FROM e JOIN deg ON e.src = deg.src JOIN x0 ON x0.id = e.src GROUP BY e.dst),
+x2 AS (SELECT e.dst AS id, sum(x1.x / deg.d) AS x
+       FROM e JOIN deg ON e.src = deg.src JOIN x1 ON x1.id = e.src GROUP BY e.dst)
+SELECT v.id, round(coalesce(x2.x, 0.0), 9) AS value FROM v LEFT JOIN x2 ON v.id = x2.id
+"""
+
+
+def q_graph_heat2(spark, sf_dir):
+    """2-term truncated-Taylor heat diffusion (reference heat_kernel)."""
+    from efficient_graph_algorithms_spark.operators.kernels import heat_kernel_diffusion
+
+    e = _graph_edges(spark, sf_dir)
+    field = _vertices(e).select(
+        "id", (((F.col("id") * 37 + 11) % 97) / F.lit(97.0)).alias("value")
+    )
+    out = heat_kernel_diffusion(e, field, t=0.5, k=2)
+    return out.select("id", F.round("value", 9).alias("value"))
+
+
+_HEAT2_ORACLE_SQL = f"""
+WITH e AS ({_E_SQL}), v AS ({_V_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src AS id, count(*)::DOUBLE AS dg FROM sym GROUP BY src),
+t0 AS (SELECT id, ((id * 37 + 11) % 97) / 97.0 AS tv FROM v),
+at1 AS (SELECT sym.dst AS id, sum(t0.tv) AS av FROM sym JOIN t0 ON t0.id = sym.src GROUP BY sym.dst),
+t1 AS (SELECT v.id,
+       coalesce(deg.dg, 0.0) * coalesce(t0.tv, 0.0) - coalesce(at1.av, 0.0) AS tv
+       FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN t0 ON v.id = t0.id
+       LEFT JOIN at1 ON v.id = at1.id),
+at2 AS (SELECT sym.dst AS id, sum(t1.tv) AS av FROM sym JOIN t1 ON t1.id = sym.src GROUP BY sym.dst),
+t2 AS (SELECT v.id,
+       coalesce(deg.dg, 0.0) * coalesce(t1.tv, 0.0) - coalesce(at2.av, 0.0) AS tv
+       FROM v LEFT JOIN deg ON v.id = deg.id LEFT JOIN t1 ON v.id = t1.id
+       LEFT JOIN at2 ON v.id = at2.id)
+SELECT v.id,
+  round(coalesce(t0.tv, 0.0) - 0.5 * coalesce(t1.tv, 0.0) + 0.125 * coalesce(t2.tv, 0.0), 9) AS value
+FROM v LEFT JOIN t0 ON v.id = t0.id LEFT JOIN t1 ON v.id = t1.id LEFT JOIN t2 ON v.id = t2.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -713,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_per_vertex": q_graph_triangles_per_vertex,
         "graph_lpa": q_graph_lpa,
         "graph_interp_ratio": q_graph_interp_ratio,
+        "graph_rw2": q_graph_rw2,
+        "graph_heat2": q_graph_heat2,
         # relational operators
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
@@ -757,6 +816,8 @@ SELECT e.dst AS id, round(sum(f.value), 6) AS integrated
 FROM e JOIN f ON e.src = f.id GROUP BY e.dst
 """,
         "graph_pagerank_3iter": _pr3_oracle_sql(),
+        "graph_rw2": _RW2_ORACLE_SQL,
+        "graph_heat2": _HEAT2_ORACLE_SQL,
         "graph_components": _CC_ORACLE_SQL,
         "graph_triangle_count": _TRI_SQL_BASE + "\nSELECT count(*) AS triangles FROM tri",
         "graph_triangles_per_vertex": _TRI_SQL_BASE

@@ -169,3 +169,36 @@ def integrate_graph_field(edges, weights, field: np.ndarray, n: int) -> np.ndarr
     out = np.zeros((n,) + field.shape[1:], dtype=np.float64)
     np.add.at(out, dst, (w.reshape(-1, *([1] * (field.ndim - 1))) * field[src]))
     return out
+
+
+def k_step_random_walk(edges, n: int, field: np.ndarray, k: int = 2) -> np.ndarray:
+    """k rounds of x ← Pᵀx with P column-normalized by out-degree
+    (reference random_walk_kernel semantics, graph_kernels.py:66-68)."""
+    src, dst = _edge_arrays(edges)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+    x = np.asarray(field, dtype=np.float64).copy()
+    for _ in range(k):
+        x = np.bincount(dst, weights=x[src] * inv[src], minlength=n)
+    return x
+
+
+def heat_kernel_diffusion(edges, n: int, field: np.ndarray, t: float = 0.5, k: int = 4) -> np.ndarray:
+    """Truncated-Taylor exp(-tL)·x on the simple undirected graph
+    (reference heat_kernel semantics, graph_kernels.py:101-105)."""
+    import math
+
+    src, dst = _edge_arrays(edges)
+    und = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    und |= {(b, a) for a, b in und}
+    s = np.array([a for a, _ in und], dtype=np.int64)
+    d = np.array([b for _, b in und], dtype=np.int64)
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    x = np.asarray(field, dtype=np.float64)
+    term = x.copy()
+    acc = x.copy()
+    for j in range(1, k + 1):
+        a_term = np.bincount(d, weights=term[s], minlength=n)
+        term = deg * term - a_term
+        acc = acc + ((-t) ** j / math.factorial(j)) * term
+    return acc
