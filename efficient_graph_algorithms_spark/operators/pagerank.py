@@ -61,12 +61,23 @@ def pagerank(
     resume: bool = False,
     personalization: DataFrame | None = None,
     num_partitions: int | None = None,
+    broadcast_vertex_threshold: int = 0,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Run PageRank to convergence. Returns (ranks(id, rank), info).
 
     edges: (src, dst) directed, deduplicated. vertices: (id) — pass it
     when isolated vertices exist beyond edge endpoints.
     personalization: (id, p) unnormalized weights; None → uniform.
+
+    broadcast_vertex_threshold > 0 forces a broadcast of the rank
+    vector into the edge join while |V| is below it (map-side, zero
+    shuffle of the edge table) — the same input-size-driven physical-
+    plan switch as the reference's brute-force leaf threshold
+    (``reference src/ega/algorithms/separation_gf_integrator.py:52-55``).
+    Default 0: measured on this box, the co-partitioned shuffle-hash
+    join beats a per-iteration broadcast rebuild at every scale tried
+    (the rank-side exchange is |V|-sized, tiny next to |E|); AQE still
+    auto-broadcasts when it has stats that justify it.
     """
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -118,11 +129,14 @@ def pagerank(
         or 0.0
     )
 
-    info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": []}
+    do_broadcast = n <= broadcast_vertex_threshold
+    info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": [],
+                            "rank_join": "broadcast" if do_broadcast else "shuffle"}
     converged = False
     for it in range(start_iter + 1, max_iter + 1):
+        rank_side = F.broadcast(ranks) if do_broadcast else ranks
         contrib = (
-            linked.join(ranks, linked["src"] == ranks["id"])
+            linked.join(rank_side, linked["src"] == rank_side["id"])
             .groupBy(linked["dst"].alias("id"))
             .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
         )

@@ -33,7 +33,7 @@ from efficient_graph_algorithms_spark.operators.pagerank import pagerank
 
 cpus = int(sys.argv[1]); graph = sys.argv[2]
 spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=max(32, cpus))
+                  shuffle_partitions=128)  # SAME job both configs: fixed partitioning
 spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet(f"{{graph}}/edges").persist()
 n_edges = edges.count()
@@ -93,11 +93,12 @@ def run_config(cpus: int, graph: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=1_000_000)
+    ap.add_argument("--graph", help="prebuilt graph dir (skips the pages build)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
     args = ap.parse_args()
 
-    graph = build_graph(args.pages)
+    graph = args.graph or build_graph(args.pages)
     results: dict[int, list[dict]] = {}
     for rep in range(args.repeats):
         for cpus in args.cpus:
