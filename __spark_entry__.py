@@ -300,6 +300,145 @@ FROM v LEFT JOIN t0 ON v.id = t0.id LEFT JOIN t1 ON v.id = t1.id LEFT JOIN t2 ON
 """
 
 
+def q_graph_epsilon_nn(spark, sf_dir):
+    """ε-NN theta-join graph build over embeddings (reference
+    cdist < epsilon, vertex_normal_prediction.py:326)."""
+    from efficient_graph_algorithms_spark.operators.graph_build import epsilon_nn_graph
+
+    pts = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec"))
+    )
+    return epsilon_nn_graph(pts, eps=1.3).select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+_EPS_NN_SQL = """
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 100)
+SELECT x.id AS src, y.id AS dst,
+  round(sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+        i -> (x.v[i] - y.v[i]) * (x.v[i] - y.v[i])))), 6) AS weight
+FROM e x JOIN e y ON x.id <> y.id
+WHERE sqrt(list_sum(list_transform(generate_series(1, len(x.v)),
+      i -> (x.v[i] - y.v[i]) * (x.v[i] - y.v[i])))) <= 1.3
+"""
+
+
+def q_graph_subgraph(spark, sf_dir):
+    """Induced-subgraph submatrix selection (reference
+    cost_s[indices,:][:,indices], gromov_wasserstein_graphs.py:906-917)."""
+    from efficient_graph_algorithms_spark.operators.graph_build import induced_subgraph
+
+    e = _graph_edges(spark, sf_dir)
+    subset = _vertices(e).where(F.col("id") % 3 == 0)
+    return induced_subgraph(e, subset)
+
+
+_SUBGRAPH_SQL = f"""
+WITH e AS ({_E_SQL})
+SELECT src, dst FROM e WHERE src % 3 = 0 AND dst % 3 = 0
+"""
+
+
+def q_graph_dsd(spark, sf_dir):
+    """Diffusion-state-distance pairs among seeds (reference
+    graph_kernels.py:84-97)."""
+    from efficient_graph_algorithms_spark.operators.transport import (
+        diffusion_state_distance,
+    )
+
+    e = _graph_edges(spark, sf_dir)
+    out = diffusion_state_distance(spark, e, seeds=[0, 1, 2, 3, 4], k=2)
+    return out.select("a", "b", F.round("dsd", 9).alias("dsd"))
+
+
+def _dsd_oracle_sql(seeds=(0, 1, 2, 3, 4), k: int = 2) -> str:
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        f"sd(seed) AS (VALUES {seed_vals}),",
+        "x0 AS (SELECT seed::BIGINT AS seed, seed::BIGINT AS id, 1.0 AS value FROM sd),",
+        "acc0 AS (SELECT * FROM x0),",
+    ]
+    for j in range(1, k + 1):
+        p = j - 1
+        lines += [
+            f"x{j} AS (SELECT x.seed, e.dst AS id, sum(x.value / deg.d) AS value "
+            f"FROM e JOIN deg ON e.src = deg.src JOIN x{p} x ON x.id = e.src "
+            f"GROUP BY x.seed, e.dst),",
+            f"acc{j} AS (SELECT coalesce(a.seed, x.seed) AS seed, coalesce(a.id, x.id) AS id, "
+            f"coalesce(a.value, 0.0) + coalesce(x.value, 0.0) AS value "
+            f"FROM acc{p} a FULL JOIN x{j} x ON a.seed = x.seed AND a.id = x.id),",
+        ]
+    lines += [
+        f"acc AS (SELECT * FROM acc{k}),",
+        "tot AS (SELECT seed, sum(abs(value)) AS t FROM acc GROUP BY seed),",
+        "pairs AS (SELECT a.seed AS a, b.seed AS b FROM sd a JOIN sd b ON a.seed < b.seed),",
+        "inner0 AS (SELECT x.seed AS a, y.seed AS b, "
+        "sum(abs(x.value - y.value)) AS i_abs, sum(abs(x.value)) AS o_a, sum(abs(y.value)) AS o_b "
+        "FROM acc x JOIN acc y ON x.id = y.id AND x.seed < y.seed GROUP BY x.seed, y.seed)",
+    ]
+    return "\n".join(lines) + """
+SELECT p.a::BIGINT AS a, p.b::BIGINT AS b,
+  round(coalesce(i.i_abs, 0.0) + (ta.t - coalesce(i.o_a, 0.0)) + (tb.t - coalesce(i.o_b, 0.0)), 9) AS dsd
+FROM pairs p
+LEFT JOIN inner0 i ON i.a = p.a AND i.b = p.b
+JOIN tot ta ON ta.seed = p.a JOIN tot tb ON tb.seed = p.b
+"""
+
+
+def q_graph_sinkhorn3(spark, sf_dir):
+    """3 fixed Sinkhorn scaling iterations; returns the potentials
+    (reference convolutional_distance / sinkhorn_knopp_iteration)."""
+    from efficient_graph_algorithms_spark.operators.transport import sinkhorn_distance
+
+    e = _graph_edges(spark, sf_dir)
+    v = _vertices(e)
+    musum_df = v.select(F.sum((F.col("id") * 7 + 3) % 101 + 1).alias("s")).collect()
+    nusum_df = v.select(F.sum((F.col("id") * 11 + 5) % 89 + 1).alias("s")).collect()
+    mu = v.select("id", (((F.col("id") * 7 + 3) % 101 + 1) / F.lit(float(musum_df[0]["s"]))).alias("m"))
+    nu = v.select("id", (((F.col("id") * 11 + 5) % 89 + 1) / F.lit(float(nusum_df[0]["s"]))).alias("m"))
+    _, _, pots = sinkhorn_distance(
+        spark, e, mu, nu, n_iter=3, tol=0.0, return_potentials=True
+    )
+    return pots.select("id", F.round("v", 9).alias("v"), F.round("u", 9).alias("u"))
+
+
+def _sinkhorn3_oracle_sql(w: float = 0.5, k: int = 3) -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),",
+        f"v AS ({_V_SQL}),",
+        "msum AS (SELECT sum((id * 7 + 3) % 101 + 1) AS s FROM v),",
+        "nsum AS (SELECT sum((id * 11 + 5) % 89 + 1) AS s FROM v),",
+        "mu AS (SELECT id, ((id * 7 + 3) % 101 + 1) / (SELECT s FROM msum) AS m FROM v),",
+        "nu AS (SELECT id, ((id * 11 + 5) % 89 + 1) / (SELECT s FROM nsum) AS m FROM v),",
+        "u0 AS (SELECT id, 1.0 AS u FROM v),",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        lines += [
+            f"ku{i} AS (SELECT v.id, coalesce(u.u, 0.0) + {w} * coalesce(s.nv, 0.0) AS ku FROM v "
+            f"LEFT JOIN u{p} u ON v.id = u.id LEFT JOIN "
+            f"(SELECT sym.dst AS id, sum(u.u) AS nv FROM sym JOIN u{p} u ON sym.src = u.id GROUP BY sym.dst) s "
+            f"ON v.id = s.id),",
+            f"v{i} AS (SELECT mu.id, mu.m / greatest(ku.ku, 1e-300) AS vv FROM mu JOIN ku{i} ku ON mu.id = ku.id),",
+            f"kv{i} AS (SELECT v.id, coalesce(x.vv, 0.0) + {w} * coalesce(s.nv, 0.0) AS kv FROM v "
+            f"LEFT JOIN v{i} x ON v.id = x.id LEFT JOIN "
+            f"(SELECT sym.dst AS id, sum(x.vv) AS nv FROM sym JOIN v{i} x ON sym.src = x.id GROUP BY sym.dst) s "
+            f"ON v.id = s.id),",
+            f"u{i} AS (SELECT nu.id, nu.m / greatest(kv.kv, 1e-300) AS u FROM nu JOIN kv{i} kv ON nu.id = kv.id),",
+        ]
+    return "\n".join(lines) + f"""
+SELECT v{k}.id, round(v{k}.vv, 9) AS v, round(u{k}.u, 9) AS u
+FROM v{k} JOIN u{k} ON v{k}.id = u{k}.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -492,6 +631,48 @@ def q_rel_minplus_join(spark, sf_dir):
 def q_rel_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_rel_interp_metrics(spark, sf_dir):
+    """Interpolation error metrics: Frobenius norm + mean cosine
+    similarity between two derived 2-d fields (reference
+    calculate_interpolation_metrics, mesh_utils.py:110-123)."""
+    c = _t(spark, sf_dir, "customer")
+    a1 = F.col("c_acctbal")
+    a2 = (F.col("c_custkey") % 997).cast("double")
+    b1 = a1 * 1.01 + 5.0
+    b2 = a2 * 0.99 - 3.0
+    dot = a1 * b1 + a2 * b2
+    na = F.sqrt(a1 * a1 + a2 * a2)
+    nb = F.sqrt(b1 * b1 + b2 * b2)
+    return c.agg(
+        F.round(F.sqrt(F.sum(F.pow(a1 - b1, 2) + F.pow(a2 - b2, 2))), 4).alias("frobenius"),
+        F.round(F.avg(F.when((na > 0) & (nb > 0), dot / (na * nb))), 6).alias("mean_cosine"),
+    )
+
+
+def q_rel_percentiles(spark, sf_dir):
+    """Sorted-distribution resampling via interpolated percentiles
+    (reference estimate_target_distribution np.interp,
+    gromov_wasserstein_graphs.py:731-750)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"p{int(q*100)}")
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9)
+        ]
+    )
+
+
+def q_rel_union_except(spark, sf_dir):
+    """Union + difference set ops (reference _merge_trees union,
+    bartal_trees.py:82-104; frontier subtraction frt_trees.py:98)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("k"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("k"))
+    return n.exceptAll(
+        c.distinct().unionByName(s.distinct()).distinct()
+    ).select(F.col("k").alias("nation_without_partners"))
 
 
 # ---------------------------------------------------------------------------
@@ -772,6 +953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_interp_ratio": q_graph_interp_ratio,
         "graph_rw2": q_graph_rw2,
         "graph_heat2": q_graph_heat2,
+        "graph_epsilon_nn": q_graph_epsilon_nn,
+        "graph_subgraph": q_graph_subgraph,
+        "graph_dsd": q_graph_dsd,
+        "graph_sinkhorn3": q_graph_sinkhorn3,
         # relational operators
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
@@ -788,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_date_filter": q_rel_date_filter,
         "rel_minplus_join": q_rel_minplus_join,
         "rel_distinct": q_rel_distinct,
+        "rel_interp_metrics": q_rel_interp_metrics,
+        "rel_percentiles": q_rel_percentiles,
+        "rel_union_except": q_rel_union_except,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
@@ -818,6 +1006,10 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_pagerank_3iter": _pr3_oracle_sql(),
         "graph_rw2": _RW2_ORACLE_SQL,
         "graph_heat2": _HEAT2_ORACLE_SQL,
+        "graph_epsilon_nn": _EPS_NN_SQL,
+        "graph_subgraph": _SUBGRAPH_SQL,
+        "graph_dsd": _dsd_oracle_sql(),
+        "graph_sinkhorn3": _sinkhorn3_oracle_sql(),
         "graph_components": _CC_ORACLE_SQL,
         "graph_triangle_count": _TRI_SQL_BASE + "\nSELECT count(*) AS triangles FROM tri",
         "graph_triangles_per_vertex": _TRI_SQL_BASE
@@ -920,6 +1112,35 @@ FROM supplier CROSS JOIN (SELECT * FROM part WHERE p_size <= 5) p
 GROUP BY 1, 2
 """,
         "rel_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "rel_interp_metrics": """
+WITH f AS (SELECT c_acctbal AS a1, (c_custkey % 997)::DOUBLE AS a2,
+                  c_acctbal * 1.01 + 5.0 AS b1,
+                  (c_custkey % 997)::DOUBLE * 0.99 - 3.0 AS b2
+           FROM customer)
+SELECT round(sqrt(sum(pow(a1 - b1, 2) + pow(a2 - b2, 2))), 4) AS frobenius,
+  round(avg(CASE WHEN sqrt(a1*a1 + a2*a2) > 0 AND sqrt(b1*b1 + b2*b2) > 0
+    THEN (a1*b1 + a2*b2) / (sqrt(a1*a1 + a2*a2) * sqrt(b1*b1 + b2*b2)) END), 6)
+    AS mean_cosine
+FROM f
+""",
+        "rel_percentiles": """
+SELECT round(quantile_cont(o_totalprice, 0.1), 4) AS p10,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+""",
+        "rel_union_except": """
+SELECT k AS nation_without_partners FROM (
+  SELECT n_nationkey::BIGINT AS k FROM nation
+  EXCEPT ALL
+  SELECT k FROM (
+    SELECT DISTINCT c_nationkey::BIGINT AS k FROM customer
+    UNION
+    SELECT DISTINCT s_nationkey::BIGINT AS k FROM supplier) u
+)
+""",
         # text / dedup / similarity / events
         "text_features": _text_features_sql(),
         "dedup_exact": _dedup_exact_sql(),

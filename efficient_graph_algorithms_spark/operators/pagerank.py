@@ -113,57 +113,66 @@ def pagerank(
         spark, checkpoint_dir, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
     )
     start_iter = 0
-    ranks = pvec.select("id", F.col("p").alias("rank"))
+    # single fused per-vertex state: (id, p, dangling, rank) — ONE
+    # vertex-side join per iteration instead of separate pvec/ranks joins
+    state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
     if resume and checkpoint_dir:
         latest = ckpt.latest_iteration()
         if latest is not None:
-            ranks = ckpt.load_iteration(latest)
+            saved = ckpt.load_iteration(latest)
+            state = pvec.join(saved, "id").select("id", "p", "dangling", "rank")
             start_iter = latest
+    state = state.localCheckpoint(eager=True)
 
     # dangling mass of the CURRENT rank vector (one-off; subsequent
     # values ride along with the per-iteration delta aggregate)
     dm = float(
-        pvec.join(ranks, "id")
-        .agg(F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))))
-        .collect()[0][0]
+        state.agg(
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
+        ).collect()[0][0]
         or 0.0
     )
 
-    do_broadcast = n <= broadcast_vertex_threshold
+    do_broadcast = 0 < broadcast_vertex_threshold >= n
     info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": [],
                             "rank_join": "broadcast" if do_broadcast else "shuffle"}
     converged = False
     for it in range(start_iter + 1, max_iter + 1):
-        rank_side = F.broadcast(ranks) if do_broadcast else ranks
+        ranks_t = state.select("id", "rank")
+        rank_side = F.broadcast(ranks_t) if do_broadcast else ranks_t
         contrib = (
             linked.join(rank_side, linked["src"] == rank_side["id"])
             .groupBy(linked["dst"].alias("id"))
             .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
         )
-        new = (
-            pvec.join(contrib, "id", "left")
-            .join(ranks.withColumnRenamed("rank", "rank_old"), "id")
+        new_state = (
+            state.join(contrib, "id", "left")
             .select(
                 "id",
+                "p",
+                "dangling",
                 (
                     F.lit(1.0 - alpha) * F.col("p")
                     + F.lit(alpha)
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm) * F.col("p"))
                 ).alias("rank"),
-                "rank_old",
-                "dangling",
+                F.col("rank").alias("rank_old"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # job 1: contrib shuffle + state update
         )
-        agg = new.agg(
+        agg = new_state.agg(  # job 2: scalar agg on the checkpointed blocks
             F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
             F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
         ).collect()[0]
         delta, dm = float(agg["delta"]), float(agg["dm"] or 0.0)
-        ranks = ckpt.save_iteration(
-            new.select("id", "rank"), it, {"delta": delta, "dangling_mass": dm}
-        )
-        new.unpersist()
+        if checkpoint_dir:
+            ckpt.save_iteration(
+                new_state.select("id", "rank"), it,
+                {"delta": delta, "dangling_mass": dm},
+            )
+        else:
+            ckpt.save_iteration_metrics_only(it, {"delta": delta, "dangling_mass": dm})
+        state = new_state.select("id", "p", "dangling", "rank")
         info["iterations"] = it
         info["deltas"].append(delta)
         if delta < tol:
@@ -172,7 +181,7 @@ def pagerank(
     info["converged"] = converged
     pvec.unpersist()
     linked.unpersist()
-    return ranks, info
+    return state.select("id", "rank"), info
 
 
 def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:

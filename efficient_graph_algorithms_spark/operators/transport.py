@@ -1,0 +1,232 @@
+"""Diffusion embeddings and entropic-OT operators.
+
+- ``diffusion_state_distance``: DSD embeddings + pairwise L1 for a
+  seed subset — the reference's ``diffusion_state_distance``
+  (``reference src/ega/algorithms/graph_kernels.py:84-97``: accumulate
+  c ← cP + I, then pairwise cityblock). Never materializes (N,N):
+  each seed's row of Σ_j P^j is a k-step random-walk accumulation run
+  for ALL seeds at once as one (id, seed)-keyed field — SURVEY §2.9's
+  "k SpMV rounds + pairwise distance on a sampled vertex subset".
+
+- ``sinkhorn_distance``: entropic regularized transport distance
+  between two vertex distributions via alternating kernel-matvec
+  scalings — the loop skeleton of the reference's
+  ``convolutional_distance.py:12-89`` / ``sinkhorn_knopp_iteration``
+  (``reference src/ega/algorithms/gromov_wasserstein_graphs.py:108-166``):
+  every inner step is one gather-scatter (the engine's core primitive)
+  plus element-wise column arithmetic, with the 1e-300 clamp guard
+  (``reference src/ega/algorithms/convolutional_barycenter.py:66``).
+  Kernel here: K = I + w·A over the symmetric graph (one-hop heat
+  approximation); the reference's pluggable-integrator pattern means
+  any ``integrate``-shaped callable can replace it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPS_CLAMP = 1e-300
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def diffusion_state_distance(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise DSD among `seeds`: (a, b, dsd) with a < b.
+
+    dsd(a,b) = || Σ_{j=0..k} (row_a(P^j) - row_b(P^j)) ||_1 over the
+    directed out-normalized walk P (dangling rows stay absorbed).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    p = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("d")).alias("w")
+    ).persist()
+
+    seed_rows = [(int(s), int(s), 1.0) for s in seeds]
+    x = spark.createDataFrame(seed_rows, "seed long, id long, value double")
+    acc = x  # j = 0 term
+    for _ in range(k):
+        x = (
+            p.join(x, p["src"] == x["id"])
+            .groupBy(F.col("seed"), p["dst"].alias("id"))
+            .agg(F.sum(F.col("w") * F.col("value")).alias("value"))
+            .localCheckpoint(eager=False)
+        )
+        acc = (
+            acc.join(x.withColumnRenamed("value", "xv"), ["seed", "id"], "full")
+            .select(
+                "seed",
+                "id",
+                (F.coalesce(F.col("value"), F.lit(0.0)) + F.coalesce(F.col("xv"), F.lit(0.0))).alias("value"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    acc = acc.persist()
+    # L1 over the union of supports without materializing it per pair:
+    # L1(a,b) = Σ_∩|va-vb| + (T_a - Σ_∩|va|) + (T_b - Σ_∩|vb|)
+    totals = acc.groupBy("seed").agg(F.sum(F.abs("value")).alias("tot"))
+    a = acc.select(F.col("seed").alias("a"), "id", F.col("value").alias("va"))
+    b = acc.select(F.col("seed").alias("b"), "id", F.col("value").alias("vb"))
+    inner = (
+        a.join(b, "id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.abs(F.col("va") - F.col("vb"))).alias("i_abs"),
+            F.sum(F.abs("va")).alias("o_a"),
+            F.sum(F.abs("vb")).alias("o_b"),
+        )
+    )
+    # zero-overlap seed pairs (disconnected) still get a row
+    ss = sorted(int(s) for s in seeds)
+    all_pairs = spark.createDataFrame(
+        [(x, y) for i, x in enumerate(ss) for y in ss[i + 1 :]], "a long, b long"
+    )
+    inner = all_pairs.join(inner, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("i_abs", F.lit(0.0)).alias("i_abs"),
+        F.coalesce("o_a", F.lit(0.0)).alias("o_a"),
+        F.coalesce("o_b", F.lit(0.0)).alias("o_b"),
+    )
+    out = (
+        inner.join(totals.select(F.col("seed").alias("a"), F.col("tot").alias("t_a")), "a")
+        .join(totals.select(F.col("seed").alias("b"), F.col("tot").alias("t_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("i_abs") + (F.col("t_a") - F.col("o_a")) + (F.col("t_b") - F.col("o_b"))
+            ).alias("dsd"),
+        )
+    )
+    p.unpersist()
+    return out
+
+
+def sinkhorn_distance(
+    spark: SparkSession,
+    edges: DataFrame,
+    mu: DataFrame,
+    nu: DataFrame,
+    gamma: float = 1.0,
+    kernel_weight: float = 0.5,
+    n_iter: int = 20,
+    tol: float = 1e-6,
+    return_potentials: bool = False,
+) -> tuple[float, dict[str, Any]] | tuple[float, dict[str, Any], DataFrame]:
+    """Entropic OT distance between vertex distributions mu(id, m) and
+    nu(id, m) (each sums to 1) with symmetric kernel K = I + w·A.
+
+    Alternating scalings  v ← mu / (K u),  u ← nu / (K v)  until the
+    L1 change of v falls below tol (reference's relative-error stop,
+    ``gromov_wasserstein_graphs.py:159-162``); distance =
+    γ · Σ [ mu·log(max(v,ε)) + nu·log(max(u,ε)) ].
+    """
+    sym = _sym(edges).persist()
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .unionByName(mu.select("id"))
+        .unionByName(nu.select("id"))
+        .distinct()
+        .persist()
+    )
+
+    def kmul(x: DataFrame) -> DataFrame:
+        """(K x)(i) = x(i) + w · Σ_{j~i} x(j)."""
+        nbr = (
+            sym.join(x, sym["src"] == x["id"])
+            .groupBy(sym["dst"].alias("id"))
+            .agg(F.sum("value").alias("nv"))
+        )
+        return (
+            x.join(nbr, "id", "full")
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("value"), F.lit(0.0))
+                    + F.lit(kernel_weight) * F.coalesce(F.col("nv"), F.lit(0.0))
+                ).alias("value"),
+            )
+        )
+
+    mu_v = verts.join(mu, "id", "left").select(
+        "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("mu")
+    )
+    nu_v = verts.join(nu, "id", "left").select(
+        "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("nu")
+    ).persist()
+    state = mu_v.select("id", "mu", F.lit(1.0).alias("u")).persist()
+    info: dict[str, Any] = {"iterations": 0, "deltas": []}
+    v_prev = None
+    v = None
+    for it in range(1, n_iter + 1):
+        ku = kmul(state.select("id", F.col("u").alias("value")))
+        v = (
+            state.join(ku.withColumnRenamed("value", "ku"), "id")
+            .select(
+                "id", "mu",
+                (F.col("mu") / F.greatest(F.col("ku"), F.lit(EPS_CLAMP))).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        kv = kmul(v.select("id", F.col("v").alias("value")))
+        u_new = (
+            nu_v.join(kv.withColumnRenamed("value", "kv"), "id")
+            .select(
+                "id",
+                (F.col("nu") / F.greatest(F.col("kv"), F.lit(EPS_CLAMP))).alias("u"),
+            )
+        )
+        state = (
+            mu_v.join(u_new, "id", "left")
+            .select("id", "mu", F.coalesce(F.col("u"), F.lit(1.0)).alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        info["iterations"] = it
+        if v_prev is not None:
+            delta = (
+                v.join(v_prev.withColumnRenamed("v", "v0"), "id")
+                .agg(F.sum(F.abs(F.col("v") - F.col("v0"))))
+                .collect()[0][0]
+            )
+            info["deltas"].append(float(delta))
+            if delta < tol:
+                break
+        v_prev = v
+    # distance = γ Σ [mu log v + nu log u]
+    mu_term = (
+        v.where(F.col("mu") > 0)
+        .agg(F.sum(F.col("mu") * F.log(F.greatest(F.col("v"), F.lit(EPS_CLAMP)))))
+        .collect()[0][0]
+        or 0.0
+    )
+    nu_term = (
+        nu_v.join(state.select("id", "u"), "id")
+        .where(F.col("nu") > 0)
+        .agg(F.sum(F.col("nu") * F.log(F.greatest(F.col("u"), F.lit(EPS_CLAMP)))))
+        .collect()[0][0]
+        or 0.0
+    )
+    dist = gamma * (float(mu_term) + float(nu_term))
+    for df in (sym, verts, nu_v):
+        df.unpersist()
+    if return_potentials:
+        pots = v.select("id", "v").join(state.select("id", "u"), "id")
+        return dist, info, pots
+    return dist, info

@@ -202,3 +202,61 @@ def heat_kernel_diffusion(edges, n: int, field: np.ndarray, t: float = 0.5, k: i
         term = deg * term - a_term
         acc = acc + ((-t) ** j / math.factorial(j)) * term
     return acc
+
+
+def diffusion_state_distance(edges, n: int, seeds: list[int], k: int = 3) -> dict[tuple[int, int], float]:
+    """Pairwise DSD among seeds: L1 between rows of Σ_{j=0..k} P^j
+    (reference diffusion_state_distance, graph_kernels.py:84-97)."""
+    src, dst = _edge_arrays(edges)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+    rows = {}
+    for s in seeds:
+        x = np.zeros(n)
+        x[s] = 1.0
+        acc = x.copy()
+        for _ in range(k):
+            x = np.bincount(dst, weights=x[src] * inv[src], minlength=n)
+            acc += x
+        rows[s] = acc
+    out = {}
+    ss = sorted(seeds)
+    for i, a in enumerate(ss):
+        for b in ss[i + 1 :]:
+            out[(a, b)] = float(np.abs(rows[a] - rows[b]).sum())
+    return out
+
+
+def sinkhorn_distance(
+    edges, n: int, mu: np.ndarray, nu: np.ndarray,
+    gamma: float = 1.0, kernel_weight: float = 0.5,
+    n_iter: int = 20, tol: float = 1e-6,
+) -> tuple[float, int]:
+    """Entropic OT with K = I + w·A_sym; mirrors operators.transport
+    semantics (reference loop skeleton: convolutional_distance.py:12-89,
+    sinkhorn_knopp_iteration gromov_wasserstein_graphs.py:108-166)."""
+    src, dst = _edge_arrays(edges)
+    und = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    und |= {(b, a) for a, b in und}
+    s = np.array([a for a, _ in und], dtype=np.int64)
+    d = np.array([b for _, b in und], dtype=np.int64)
+
+    def kmul(x):
+        nbr = np.bincount(d, weights=x[s], minlength=n)
+        return x + kernel_weight * nbr
+
+    eps = 1e-300
+    u = np.ones(n)
+    v_prev = None
+    v = None
+    iters = 0
+    for iters in range(1, n_iter + 1):
+        v = mu / np.maximum(kmul(u), eps)
+        u = nu / np.maximum(kmul(v), eps)
+        if v_prev is not None:
+            if float(np.abs(v - v_prev).sum()) < tol:
+                break
+        v_prev = v
+    mu_term = float((mu[mu > 0] * np.log(np.maximum(v[mu > 0], eps))).sum())
+    nu_term = float((nu[nu > 0] * np.log(np.maximum(u[nu > 0], eps))).sum())
+    return gamma * (mu_term + nu_term), iters

@@ -77,6 +77,16 @@ class CheckpointManager:
         out = df.localCheckpoint(eager=True)
         return out
 
+    def save_iteration_metrics_only(self, iteration: int, metrics: dict[str, Any]) -> None:
+        """Memory-only loops: record the metrics row without a durable
+        state snapshot (lineage is cut by the caller's localCheckpoint)."""
+        wall_ms = (time.time() - self._t0) * 1000.0
+        self._t0 = time.time()
+        if self.path:
+            row = {"iteration": iteration, **metrics, "wall_ms": round(wall_ms, 3)}
+            with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+
     # -- resume --------------------------------------------------------
     def latest_iteration(self) -> int | None:
         if not self.path:
