@@ -433,6 +433,7 @@ def _sinkhorn3_oracle_sql(w: float = 0.5, k: int = 3) -> str:
             f"ON v.id = s.id),",
             f"u{i} AS (SELECT nu.id, nu.m / greatest(kv.kv, 1e-300) AS u FROM nu JOIN kv{i} kv ON nu.id = kv.id),",
         ]
+    lines[-1] = lines[-1].rstrip(",")
     return "\n".join(lines) + f"""
 SELECT v{k}.id, round(v{k}.vv, 9) AS v, round(u{k}.u, 9) AS u
 FROM v{k} JOIN u{k} ON v{k}.id = u{k}.id
@@ -667,8 +668,16 @@ def q_rel_percentiles(spark, sf_dir):
 def q_rel_union_except(spark, sf_dir):
     """Union + difference set ops (reference _merge_trees union,
     bartal_trees.py:82-104; frontier subtraction frt_trees.py:98)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("k"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9800)
+        .select(F.col("c_nationkey").cast("long").alias("k"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9800)
+        .select(F.col("s_nationkey").cast("long").alias("k"))
+    )
     n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("k"))
     return n.exceptAll(
         c.distinct().unionByName(s.distinct()).distinct()
@@ -1136,9 +1145,9 @@ SELECT k AS nation_without_partners FROM (
   SELECT n_nationkey::BIGINT AS k FROM nation
   EXCEPT ALL
   SELECT k FROM (
-    SELECT DISTINCT c_nationkey::BIGINT AS k FROM customer
+    SELECT DISTINCT c_nationkey::BIGINT AS k FROM customer WHERE c_acctbal > 9800
     UNION
-    SELECT DISTINCT s_nationkey::BIGINT AS k FROM supplier) u
+    SELECT DISTINCT s_nationkey::BIGINT AS k FROM supplier WHERE s_acctbal > 9800) u
 )
 """,
         # text / dedup / similarity / events

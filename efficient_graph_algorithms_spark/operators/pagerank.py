@@ -79,6 +79,9 @@ def pagerank(
     (the rank-side exchange is |V|-sized, tiny next to |E|); AQE still
     auto-broadcasts when it has stats that justify it.
     """
+    import time as _time
+
+    t_setup0 = _time.time()
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     verts = (vertices or vertex_table(edges)).select("id")
@@ -135,9 +138,13 @@ def pagerank(
 
     do_broadcast = 0 < broadcast_vertex_threshold >= n
     info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": [],
-                            "rank_join": "broadcast" if do_broadcast else "shuffle"}
+                            "rank_join": "broadcast" if do_broadcast else "shuffle",
+                            "setup_sec": round(_time.time() - t_setup0, 3),
+                            "iter_secs": []}
     converged = False
+    t_loop0 = _time.time()
     for it in range(start_iter + 1, max_iter + 1):
+        t_it0 = _time.time()
         ranks_t = state.select("id", "rank")
         rank_side = F.broadcast(ranks_t) if do_broadcast else ranks_t
         contrib = (
@@ -173,12 +180,24 @@ def pagerank(
         else:
             ckpt.save_iteration_metrics_only(it, {"delta": delta, "dangling_mass": dm})
         state = new_state.select("id", "p", "dangling", "rank")
+        # release superseded localCheckpoint blocks: drop the Python
+        # refs (py4j), collect them so the JVM sees the RDDs as dead,
+        # then nudge the JVM so ContextCleaner unpersists them. Without
+        # this, blocks accumulate and iteration time drifts upward
+        # (observed at 100M edges: 19s/iter → 80s/iter by iteration 12).
+        del ranks_t, rank_side, contrib, new_state
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         info["iterations"] = it
         info["deltas"].append(delta)
+        info["iter_secs"].append(round(_time.time() - t_it0, 3))
         if delta < tol:
             converged = True
             break
     info["converged"] = converged
+    info["loop_sec"] = round(_time.time() - t_loop0, 3)
     pvec.unpersist()
     linked.unpersist()
     return state.select("id", "rank"), info

@@ -42,6 +42,9 @@ def get_spark(
         # iterative gather-scatter: hash join beats sort-merge (nothing
         # should re-sort the edge table every iteration)
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # iterative loops produce short-lived checkpoint RDDs; clean them
+        # promptly instead of the 30min default
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
