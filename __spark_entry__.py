@@ -9,9 +9,11 @@ Graph queries run on a deterministic edge table derived from
 ``lineitem`` (src = l_orderkey % V, dst = l_partkey % V) so Spark and
 DuckDB construct byte-identical graphs with zero RNG.
 
-Iterative-to-convergence queries (full PageRank, LPA) are not
-SQL-expressible — they ship without an oracle entry (rows-only check)
-and are instead verified exactly in tests/ against the NumPy oracle.
+The only query without an oracle entry is full-convergence PageRank
+(data-dependent iteration count is not SQL-expressible) — it gets a
+rows-only check here and exact verification in tests/ against the
+NumPy oracle. Fixed-round iterative queries (3-step PageRank/PPR,
+5-round LPA, 3-round greedy matching) unroll into CTE chains.
 """
 
 from __future__ import annotations
@@ -28,6 +30,8 @@ from pyspark.sql import functions as F
 GRAPH_V = 2000  # vertex-id space of the derived graph
 PR_ALPHA = 0.85
 PR_SQL_ITERS = 3
+LPA_SQL_ITERS = 5
+MATCH_SQL_ROUNDS = 3
 MINHASH_K = 16
 LSH_BANDS = 4
 SIMHASH_BITS = 60
@@ -216,8 +220,114 @@ def q_graph_lpa(spark, sf_dir):
     from efficient_graph_algorithms_spark.operators.lpa import label_propagation
 
     e = _graph_edges(spark, sf_dir)
-    labels, _ = label_propagation(spark, e, vertices=_vertices(e), max_iter=5)
+    labels, _ = label_propagation(spark, e, vertices=_vertices(e), max_iter=LPA_SQL_ITERS)
     return labels.select("id", "label")
+
+
+def _lpa_oracle_sql() -> str:
+    """LPA_SQL_ITERS unrolled synchronous LPA rounds (vote-count argmax,
+    min-label tie-break) — the exact semantics of operators.lpa. The
+    engine may stop earlier when a round changes nothing; extra unrolled
+    rounds are then fixpoint no-ops, so the results coincide."""
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),",
+        f"v AS ({_V_SQL}),",
+        "l0 AS (SELECT id, id AS label FROM v),",
+    ]
+    for i in range(1, LPA_SQL_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"vt{i} AS (SELECT s.dst AS id, l.label, count(*) AS cnt "
+            f"FROM sym s JOIN l{p} l ON s.src = l.id GROUP BY s.dst, l.label),",
+            f"wn{i} AS (SELECT id, label FROM (SELECT id, label, row_number() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn FROM vt{i}) WHERE rn = 1),",
+            f"l{i} AS (SELECT l.id, coalesce(w.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN wn{i} w ON l.id = w.id),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT id, label FROM l{LPA_SQL_ITERS}"
+
+
+def q_graph_ppr_3iter(spark, sf_dir):
+    """Personalized PageRank (reference random_walk_with_restart_kernel,
+    ``reference src/ega/algorithms/graph_kernels.py:72-79``): the real
+    operator, pinned to PR_SQL_ITERS synchronous steps so the unrolled
+    SQL oracle reproduces it exactly. Seeds: ids divisible by 50."""
+    from efficient_graph_algorithms_spark.operators.pagerank import pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    v = _vertices(e)
+    pers = v.where(F.col("id") % 50 == 0).select("id", F.lit(1.0).alias("p"))
+    ranks, _ = pagerank(
+        spark, e, vertices=v, personalization=pers, max_iter=PR_SQL_ITERS, tol=0.0
+    )
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _ppr3_oracle_sql() -> str:
+    """Unrolled PPR: p_v = 1/|seeds| on seeds else 0; r0 = p;
+    r_{t+1} = (1-a)*p + a*(P^T r_t + dm_t * p)."""
+    a = PR_ALPHA
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "ns AS (SELECT count(*)::DOUBLE AS ns FROM v WHERE id % 50 = 0),",
+        "pv AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1.0/(SELECT ns FROM ns) ELSE 0.0 END AS p FROM v),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT id, p AS r FROM pv),",
+    ]
+    for i in range(1, PR_SQL_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"dm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN r{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"r{i} AS (SELECT pv.id, {1.0 - a}*pv.p "
+            f"+ {a}*(coalesce(c.c, 0.0) + (SELECT m FROM dm{i})*pv.p) AS r "
+            f"FROM pv LEFT JOIN c{i} c ON pv.id = c.id),",
+        ]
+    lines.append(f"fin AS (SELECT id, round(r, 9) AS rank FROM r{PR_SQL_ITERS})")
+    return "\n".join(lines) + "\nSELECT id, rank FROM fin"
+
+
+def q_graph_matching(spark, sf_dir):
+    """Greedy one-to-one matching (reference's sequential greedy
+    assignment, ``reference src/ega/algorithms/
+    gromov_wasserstein_graphs.py:753-802``) over deterministic scores,
+    pinned to MATCH_SQL_ROUNDS locally-dominant-pair rounds so the
+    unrolled SQL oracle coincides."""
+    from efficient_graph_algorithms_spark.operators.graph_build import greedy_matching
+
+    e = _graph_edges(spark, sf_dir)
+    scores = e.select(
+        "src", "dst",
+        (((F.col("src") * 31 + F.col("dst") * 17) % 1009) / F.lit(1009.0)).alias("score"),
+    )
+    m = greedy_matching(scores, max_rounds=MATCH_SQL_ROUNDS)
+    return m.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def _matching_oracle_sql() -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "rem0 AS (SELECT src, dst, ((src*31 + dst*17) % 1009) / 1009.0 AS score FROM e),",
+    ]
+    for i in range(1, MATCH_SQL_ROUNDS + 1):
+        p = i - 1
+        lines += [
+            f"wn{i} AS (SELECT src, dst, score FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC, src ASC) AS rs, "
+            "row_number() OVER (PARTITION BY dst ORDER BY score DESC, src ASC, dst ASC) AS rd "
+            f"FROM rem{p}) WHERE rs = 1 AND rd = 1),",
+            f"rem{i} AS (SELECT r.* FROM rem{p} r "
+            f"WHERE r.src NOT IN (SELECT src FROM wn{i}) "
+            f"AND r.dst NOT IN (SELECT dst FROM wn{i})),",
+        ]
+    u = " UNION ALL ".join(f"SELECT * FROM wn{i}" for i in range(1, MATCH_SQL_ROUNDS + 1))
+    lines.append(f"m AS ({u})")
+    return "\n".join(lines) + "\nSELECT src, dst, round(score, 6) AS score FROM m"
 
 
 def q_graph_interp_ratio(spark, sf_dir):
@@ -959,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_count": q_graph_triangle_count,
         "graph_triangles_per_vertex": q_graph_triangles_per_vertex,
         "graph_lpa": q_graph_lpa,
+        "graph_ppr_3iter": q_graph_ppr_3iter,
+        "graph_matching": q_graph_matching,
         "graph_interp_ratio": q_graph_interp_ratio,
         "graph_rw2": q_graph_rw2,
         "graph_heat2": q_graph_heat2,
@@ -1013,6 +1125,9 @@ SELECT e.dst AS id, round(sum(f.value), 6) AS integrated
 FROM e JOIN f ON e.src = f.id GROUP BY e.dst
 """,
         "graph_pagerank_3iter": _pr3_oracle_sql(),
+        "graph_lpa": _lpa_oracle_sql(),
+        "graph_ppr_3iter": _ppr3_oracle_sql(),
+        "graph_matching": _matching_oracle_sql(),
         "graph_rw2": _RW2_ORACLE_SQL,
         "graph_heat2": _HEAT2_ORACLE_SQL,
         "graph_epsilon_nn": _EPS_NN_SQL,
@@ -1168,6 +1283,12 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value,
        max(ts) AS last_ts
 FROM events GROUP BY user_id
 """,
-        # graph_pagerank_full, graph_lpa, multimodal_features:
-        # iterative / stubbed-decode — rows-only checks by design.
+        "multimodal_features": """
+SELECT doc_id AS media_id, 'image' AS kind,
+  octet_length(encode(text))::BIGINT AS n_bytes,
+  CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+  CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height
+FROM documents
+""",
+        # graph_pagerank_full: iterative-to-convergence — rows-only by design.
     }

@@ -23,6 +23,7 @@ matches the union-find oracle exactly.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +75,7 @@ def connected_components(
     labels.count()
 
     info: dict[str, Any] = {"rounds": start_iter}
+    converged = False
     for it in range(start_iter + 1, max_iter + 1):
         # hash-to-min: candidate = min over neighbors' components
         nbr_min = (
@@ -120,7 +122,15 @@ def connected_components(
         stepped.unpersist()
         info["rounds"] = it
         if changed == 0:
+            converged = True
             break
+    info["converged"] = converged
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} before fixpoint — "
+            "labels are NOT final (rerun with resume=True to continue)",
+            stacklevel=2,
+        )
     sym.unpersist()
     verts.unpersist()
     return labels, info

@@ -66,26 +66,32 @@ def greedy_matching(
 ) -> DataFrame:
     """scores(src, dst, score) → (src, dst, score) one-to-one matching.
 
-    Greedy by descending score with (src, dst) tie-break — each round
-    takes the best remaining pair per src that doesn't collide on dst;
-    collisions resolve to the globally better pair and losers retry
-    next round. Equivalent to the reference's sequential greedy scan
-    because every selection round is a deterministic argmax.
+    Greedy by descending score with (src, dst) tie-break. Each round
+    matches every *locally dominant* pair: a pair that is simultaneously
+    the best remaining pair for BOTH its src and its dst (rank-1 under
+    the src window AND the dst window, each computed over ALL remaining
+    pairs). Losers retry next round against the shrunken pool. For a
+    total score order this is provably equal to the sequential greedy
+    scan: the globally best remaining pair is always locally dominant,
+    and a locally dominant pair can never be displaced by any later
+    selection.
     """
     remaining = scores
     matched = None
     for _ in range(max_rounds):
         if remaining.isEmpty():
             break
-        w_src = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-        best_per_src = remaining.withColumn("rn", F.row_number().over(w_src)).where(
-            F.col("rn") == 1
-        ).drop("rn")
-        w_dst = Window.partitionBy("dst").orderBy(F.desc("score"), F.asc("src"))
+        w_src = Window.partitionBy("src").orderBy(
+            F.desc("score"), F.asc("dst"), F.asc("src")
+        )
+        w_dst = Window.partitionBy("dst").orderBy(
+            F.desc("score"), F.asc("src"), F.asc("dst")
+        )
         winners = (
-            best_per_src.withColumn("rn", F.row_number().over(w_dst))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            remaining.withColumn("rn_src", F.row_number().over(w_src))
+            .withColumn("rn_dst", F.row_number().over(w_dst))
+            .where((F.col("rn_src") == 1) & (F.col("rn_dst") == 1))
+            .drop("rn_src", "rn_dst")
             .localCheckpoint(eager=True)
         )
         matched = winners if matched is None else matched.unionByName(winners)

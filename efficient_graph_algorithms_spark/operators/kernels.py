@@ -78,15 +78,25 @@ def heat_kernel_diffusion(
     L = D - A. Each Taylor term needs one SpMV (A·term) plus the
     degree-scaled diagonal — all expressed as joins/aggregates.
     Returns (id, value) ≈ Σ_{j=0..k} (-t)^j/j! L^j x.
+
+    weight_col: name of an edge weight column — L becomes the weighted
+    Laplacian (D = diag of weighted degree, A = weighted adjacency);
+    parallel (src, dst) duplicates keep the max weight. None → w = 1.
     """
+    w_expr = F.col(weight_col) if weight_col else F.lit(1.0)
+    directed = edges.select("src", "dst", w_expr.cast("double").alias("w"))
     sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
         .persist()
     )
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("deg"))
 
     term = field.select("id", F.col("value").alias("tv"))
     acc = field.select("id", F.col("value").alias("value"))
@@ -95,7 +105,7 @@ def heat_kernel_diffusion(
         a_term = (
             sym.join(term, sym["src"] == term["id"])
             .groupBy(sym["dst"].alias("id"))
-            .agg(F.sum("tv").alias("av"))
+            .agg(F.sum(F.col("w") * F.col("tv")).alias("av"))
         )
         term = (
             acc.select("id")

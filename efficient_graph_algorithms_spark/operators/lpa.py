@@ -70,6 +70,7 @@ def label_propagation(
 
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
     info: dict[str, Any] = {"rounds": start_iter}
+    converged = False
     for it in range(start_iter + 1, max_iter + 1):
         votes = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -101,7 +102,14 @@ def label_propagation(
         info["rounds"] = it
         if changed == 0:
             info["rounds"] = it - 1
+            converged = True
             break
+    info["converged"] = converged
+    if not converged:
+        # unlike CC, LPA has no fixpoint guarantee (labels can
+        # oscillate under synchronous update) — max_iter is a legitimate
+        # stopping rule, so record the fact without warning
+        info["stopped_at_max_iter"] = True
     sym.unpersist()
     verts.unpersist()
     return labels, info

@@ -20,16 +20,39 @@ Physical plan per iteration (designed for 10^12-edge scale):
   (with map-side partial combine). The rank vector is orders of
   magnitude smaller than the edge table and broadcasts while it fits;
   AQE demotes to shuffle join when it doesn't.
-- L1 delta and NEXT iteration's dangling mass come from a single
-  scalar aggregate per iteration (one driver↔cluster scalar transfer).
-- per-iteration checkpoint cuts lineage (flat iteration time) and
-  makes the loop resumable.
+- the per-vertex state round-trips through a durable parquet snapshot
+  every iteration (user checkpoint_dir, or an ephemeral tmpfs dir).
+  This is the lineage cut (the state plan references itself twice per
+  step, so an uncut plan grows exponentially), the resume point, AND
+  deterministic memory hygiene: superseded snapshots are deleted
+  explicitly and the one-iteration cache is explicitly unpersisted, so
+  nothing accumulates in executor block managers and no GC nudging is
+  ever needed. On a cluster the snapshot dir is the Iceberg checkpoint
+  table.
+- snapshots are written in a CANONICAL physical layout — fixed-count
+  hash repartition by id, rows sorted by id within each partition —
+  so the bytes of iteration k are a pure function of the logical state,
+  independent of how Spark happened to pack the previous snapshot's
+  files into read splits (that packing sorts by size and tie-breaks on
+  the random UUID in the filename: a genuine cross-run nondeterminism,
+  observed as last-ulp rank drift before this layout existed).
+- L1 delta and NEXT iteration's dangling mass (dm feeds the rank
+  update, so its bits matter) are computed as per-partition partial
+  sums over the canonically-ordered cached state, merged on the driver
+  in partition-id order — a fully canonical float summation order.
+  Result: resume from any iteration reproduces the full run
+  BIT-IDENTICALLY in local mode (allclose on a real cluster, where
+  remote shuffle fetch order randomizes per-key merge order).
 
-Two jobs per iteration total: (materialize new ranks) + (scalar agg).
+Two jobs per iteration: (update + canonical snapshot write) +
+(per-partition partial agg over the cached state).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,9 +60,43 @@ from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.plans.checkpoint import CheckpointManager
 
+
+def _ephemeral_state_dir() -> str:
+    """Fast scratch for state snapshots when the caller didn't ask for a
+    durable checkpoint dir: tmpfs when available (memory-speed IO, the
+    single-box analogue of a hot object store), else the system tmp."""
+    base = os.environ.get("SPARK_GRAFT_STATE_DIR")
+    if base is None:
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    return tempfile.mkdtemp(prefix="ega_state_", dir=base)
+
 DEFAULT_ALPHA = 0.85
 DEFAULT_TOL = 1e-6
 DEFAULT_MAX_ITER = 200
+
+
+def _canonical(df: DataFrame, sp: int) -> DataFrame:
+    """Fixed-count hash layout with in-partition id order: the physical
+    form of a state table becomes a pure function of its logical content
+    (partition count pinned so AQE byte-size estimates can't flip it)."""
+    return df.repartition(sp, "id").sortWithinPartitions("id")
+
+
+def _det_sums(df: DataFrame, exprs: dict[str, Any]) -> dict[str, float]:
+    """Order-canonical distributed float sums: partial-sum per partition
+    (rows consumed in the canonical in-partition order), merge partials
+    on the driver sorted by partition id. `df` must be canonical. At
+    most `sp` scalar rows hit the driver — fine at any vertex scale."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(*[F.sum(e).alias(k) for k, e in exprs.items()])
+        .collect()
+    )
+    out = {k: 0.0 for k in exprs}
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        for k in exprs:
+            out[k] += float(r[k] or 0.0)
+    return out
 
 
 def vertex_table(edges: DataFrame) -> DataFrame:
@@ -112,10 +169,13 @@ def pagerank(
     )
     linked.count()
 
+    ephemeral = checkpoint_dir is None
+    state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
     ckpt = CheckpointManager(
-        spark, checkpoint_dir, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
+        spark, state_root, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
     )
     start_iter = 0
+    dm: float | None = None
     # single fused per-vertex state: (id, p, dangling, rank) — ONE
     # vertex-side join per iteration instead of separate pvec/ranks joins
     state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
@@ -123,18 +183,24 @@ def pagerank(
         latest = ckpt.latest_iteration()
         if latest is not None:
             saved = ckpt.load_iteration(latest)
-            state = pvec.join(saved, "id").select("id", "p", "dangling", "rank")
+            if "p" in saved.columns:  # full fused snapshot
+                state = saved.select("id", "p", "dangling", "rank")
+            else:  # (id, rank)-only snapshot from an older layout
+                state = pvec.join(saved, "id").select("id", "p", "dangling", "rank")
             start_iter = latest
-    state = state.localCheckpoint(eager=True)
+            # reuse the recorded dangling mass so the resumed run is
+            # bit-identical (a fresh agg would sum in a different order)
+            for row in ckpt.metrics():
+                if row.get("iteration") == latest and "dangling_mass" in row:
+                    dm = float(row["dangling_mass"])
 
-    # dangling mass of the CURRENT rank vector (one-off; subsequent
-    # values ride along with the per-iteration delta aggregate)
-    dm = float(
-        state.agg(
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)))
-        ).collect()[0][0]
-        or 0.0
-    )
+    if dm is None:
+        # dangling mass of the CURRENT rank vector (one-off; subsequent
+        # values ride along each iteration's partial-sum job)
+        dm = _det_sums(
+            _canonical(state, sp),
+            {"dm": F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))},
+        )["dm"]
 
     do_broadcast = 0 < broadcast_vertex_threshold >= n
     info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": [],
@@ -143,18 +209,27 @@ def pagerank(
                             "iter_secs": []}
     converged = False
     t_loop0 = _time.time()
-    for it in range(start_iter + 1, max_iter + 1):
-        t_it0 = _time.time()
-        ranks_t = state.select("id", "rank")
-        rank_side = F.broadcast(ranks_t) if do_broadcast else ranks_t
-        contrib = (
-            linked.join(rank_side, linked["src"] == rank_side["id"])
-            .groupBy(linked["dst"].alias("id"))
-            .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
-        )
-        new_state = (
-            state.join(contrib, "id", "left")
-            .select(
+    try:
+        for it in range(start_iter + 1, max_iter + 1):
+            t_it0 = _time.time()
+            ranks_t = state.select("id", "rank")
+            # the rank vector must be the hash-join BUILD side (broadcast
+            # or shuffle-hash): then per-dst partial sums consume rows in
+            # the invariant cached edge-partition order, never in the
+            # snapshot's file-read order. Without the hint, tiny test
+            # graphs get linked broadcast instead (BuildLeft) and the
+            # rank FILE SCAN becomes the streamed side — per-dst sum
+            # order then depends on which random-UUID filename sorted
+            # first, i.e. nondeterministic bits across runs (observed).
+            rank_side = (
+                F.broadcast(ranks_t) if do_broadcast else ranks_t.hint("shuffle_hash")
+            )
+            contrib = (
+                linked.join(rank_side, linked["src"] == rank_side["id"])
+                .groupBy(linked["dst"].alias("id"))
+                .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
+            )
+            new_state = state.join(contrib, "id", "left").select(
                 "id",
                 "p",
                 "dangling",
@@ -165,42 +240,47 @@ def pagerank(
                 ).alias("rank"),
                 F.col("rank").alias("rank_old"),
             )
-            .localCheckpoint(eager=True)  # job 1: contrib shuffle + state update
-        )
-        agg = new_state.agg(  # job 2: scalar agg on the checkpointed blocks
-            F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
-        ).collect()[0]
-        delta, dm = float(agg["delta"]), float(agg["dm"] or 0.0)
-        if checkpoint_dir:
-            ckpt.save_iteration(
-                new_state.select("id", "rank"), it,
-                {"delta": delta, "dangling_mass": dm},
+            canon = _canonical(new_state, sp).persist()
+            # job 1: contrib shuffle + state update + canonical snapshot
+            # write (populates the one-iteration cache as a side effect);
+            # the read-back is the lineage cut for the next iteration
+            full_state = ckpt.write_state(canon, it)
+            # job 2: canonical-order partial sums over the cached state —
+            # delta and dm (dm feeds the next iteration's ranks, so its
+            # bits matter) are reproducible run-to-run and across resume
+            sums = _det_sums(
+                canon,
+                {
+                    "delta": F.abs(F.col("rank") - F.col("rank_old")),
+                    "dm": F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)),
+                },
             )
-        else:
-            ckpt.save_iteration_metrics_only(it, {"delta": delta, "dangling_mass": dm})
-        state = new_state.select("id", "p", "dangling", "rank")
-        # release superseded localCheckpoint blocks: drop the Python
-        # refs (py4j), collect them so the JVM sees the RDDs as dead,
-        # then nudge the JVM so ContextCleaner unpersists them. Without
-        # this, blocks accumulate and iteration time drifts upward
-        # (observed at 100M edges: 19s/iter → 80s/iter by iteration 12).
-        del ranks_t, rank_side, contrib, new_state
-        import gc as _gc
-
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        info["iterations"] = it
-        info["deltas"].append(delta)
-        info["iter_secs"].append(round(_time.time() - t_it0, 3))
-        if delta < tol:
-            converged = True
-            break
-    info["converged"] = converged
-    info["loop_sec"] = round(_time.time() - t_loop0, 3)
-    pvec.unpersist()
-    linked.unpersist()
-    return state.select("id", "rank"), info
+            canon.unpersist(blocking=False)  # snapshot now owns the bytes
+            state = full_state.select("id", "p", "dangling", "rank")
+            delta, dm = sums["delta"], sums["dm"]
+            ckpt.log_metrics(it, {"delta": delta, "dangling_mass": dm})
+            if ephemeral:
+                # deterministic cleanup of the superseded snapshot — no
+                # block-manager accumulation, no GC dependence
+                ckpt.delete_iteration(it - 1)
+            info["iterations"] = it
+            info["deltas"].append(delta)
+            info["iter_secs"].append(round(_time.time() - t_it0, 3))
+            if delta < tol:
+                converged = True
+                break
+        info["converged"] = converged
+        info["loop_sec"] = round(_time.time() - t_loop0, 3)
+        # hand the caller a plan that no longer depends on the ephemeral dir
+        ranks_out = state.select("id", "rank")
+        if ephemeral:
+            ranks_out = ranks_out.localCheckpoint(eager=True)
+        return ranks_out, info
+    finally:
+        pvec.unpersist()
+        linked.unpersist()
+        if ephemeral:
+            shutil.rmtree(state_root, ignore_errors=True)
 
 
 def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:

@@ -183,22 +183,32 @@ def k_step_random_walk(edges, n: int, field: np.ndarray, k: int = 2) -> np.ndarr
     return x
 
 
-def heat_kernel_diffusion(edges, n: int, field: np.ndarray, t: float = 0.5, k: int = 4) -> np.ndarray:
+def heat_kernel_diffusion(
+    edges, n: int, field: np.ndarray, t: float = 0.5, k: int = 4, weights=None
+) -> np.ndarray:
     """Truncated-Taylor exp(-tL)·x on the simple undirected graph
-    (reference heat_kernel semantics, graph_kernels.py:101-105)."""
+    (reference heat_kernel semantics, graph_kernels.py:101-105).
+    weights: per-input-edge weight array → weighted Laplacian
+    (symmetrized by max over parallel/reversed duplicates)."""
     import math
 
     src, dst = _edge_arrays(edges)
-    und = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
-    und |= {(b, a) for a, b in und}
+    wv = np.ones(len(src)) if weights is None else np.asarray(weights, dtype=np.float64)
+    und: dict[tuple[int, int], float] = {}
+    for a, b, w in zip(src.tolist(), dst.tolist(), wv.tolist()):
+        if a == b:
+            continue
+        for key in ((a, b), (b, a)):
+            und[key] = max(und.get(key, 0.0), w)
     s = np.array([a for a, _ in und], dtype=np.int64)
     d = np.array([b for _, b in und], dtype=np.int64)
-    deg = np.bincount(s, minlength=n).astype(np.float64)
+    w = np.array(list(und.values()), dtype=np.float64)
+    deg = np.bincount(s, weights=w, minlength=n)
     x = np.asarray(field, dtype=np.float64)
     term = x.copy()
     acc = x.copy()
     for j in range(1, k + 1):
-        a_term = np.bincount(d, weights=term[s], minlength=n)
+        a_term = np.bincount(d, weights=w * term[s], minlength=n)
         term = deg * term - a_term
         acc = acc + ((-t) ** j / math.factorial(j)) * term
     return acc

@@ -45,34 +45,64 @@ class CheckpointManager:
             if not os.path.exists(meta):
                 with open(meta, "w") as f:
                     json.dump({"algorithm": algorithm, "params": params}, f)
+            else:
+                # resuming into an existing dir with a different algorithm
+                # or params would silently continue from incompatible state
+                with open(meta) as f:
+                    prev = json.load(f)
+                if prev.get("algorithm") != algorithm or prev.get("params") != params:
+                    raise ValueError(
+                        f"checkpoint dir {path} holds state for "
+                        f"{prev.get('algorithm')}{prev.get('params')}, "
+                        f"refusing to continue as {algorithm}{params}"
+                    )
         self._t0 = time.time()
 
     # -- write ---------------------------------------------------------
+    def write_state(self, df: DataFrame, iteration: int) -> DataFrame:
+        """Durably persist `iteration`'s state table and return the
+        read-back DataFrame — the per-iteration lineage cut (the state
+        plan references itself twice per step, so an uncut plan grows
+        exponentially). Requires a path."""
+        assert self.path is not None
+        state_dir = os.path.join(self.path, "state", f"iter={iteration}")
+        tmp = state_dir + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)  # atomic publish (Iceberg snapshot analogue)
+        return self.spark.read.parquet(state_dir)
+
+    def log_metrics(self, iteration: int, metrics: dict[str, Any]) -> None:
+        """Append the per-iteration metrics row (+ per-partition parquet
+        lineage when the iteration's state snapshot exists on disk)."""
+        wall_ms = (time.time() - self._t0) * 1000.0
+        self._t0 = time.time()
+        if not self.path:
+            return
+        row: dict[str, Any] = {"iteration": iteration, **metrics, "wall_ms": round(wall_ms, 3)}
+        state_dir = os.path.join(self.path, "state", f"iter={iteration}")
+        if os.path.isdir(state_dir):
+            lineage = sorted(fn for fn in os.listdir(state_dir) if fn.endswith(".parquet"))
+            row["n_partitions"] = len(lineage)
+            row["input_files"] = lineage
+        with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def delete_iteration(self, iteration: int) -> None:
+        """Drop a superseded state snapshot (ephemeral/rolling mode)."""
+        if not self.path:
+            return
+        state_dir = os.path.join(self.path, "state", f"iter={iteration}")
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+
     def save_iteration(self, df: DataFrame, iteration: int, metrics: dict[str, Any]) -> DataFrame:
         """Persist state for `iteration`; return a lineage-cut DataFrame
         (read back from storage when durable, localCheckpoint otherwise)."""
-        wall_ms = (time.time() - self._t0) * 1000.0
-        self._t0 = time.time()
         if self.path:
-            state_dir = os.path.join(self.path, "state", f"iter={iteration}")
-            tmp = state_dir + "._tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(state_dir):
-                shutil.rmtree(state_dir)
-            os.rename(tmp, state_dir)  # atomic publish (Iceberg snapshot analogue)
-            out = self.spark.read.parquet(state_dir)
-            lineage = sorted(
-                fn for fn in os.listdir(state_dir) if fn.endswith(".parquet")
-            )
-            row = {
-                "iteration": iteration,
-                **metrics,
-                "wall_ms": round(wall_ms, 3),
-                "n_partitions": out.rdd.getNumPartitions(),
-                "input_files": lineage,
-            }
-            with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(row) + "\n")
+            out = self.write_state(df, iteration)
+            self.log_metrics(iteration, metrics)
             return out
         out = df.localCheckpoint(eager=True)
         return out

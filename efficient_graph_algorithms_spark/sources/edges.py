@@ -137,31 +137,31 @@ def out_degrees(edges: DataFrame) -> DataFrame:
 def adjacency_blocks(edges: DataFrame, salt_threshold: int = SALT_THRESHOLD) -> DataFrame:
     """Salted CSR-style adjacency: (src, salt, dsts array<long>, out_deg).
 
-    Hub srcs (out_deg > salt_threshold) are split across multiple salt
-    rows with |dsts| <= salt_threshold each; out_deg is the TOTAL degree
-    so rank/out_deg contributions stay correct under salting.
+    Two-pass, degree-driven salting: pass 1 computes out-degrees; pass 2
+    splits each src over ``n_salts = ceil(2·out_deg / salt_threshold)``
+    hash buckets, so expected block size is salt_threshold/2 regardless
+    of degree — a 10^8-out-degree hub domain gets ~50k salt rows, never
+    one giant array. (A fixed 64-way salt capped hubs at 64 rows, which
+    blows the |dsts| ≤ salt_threshold bound past out_deg ≈ 64·threshold.)
+    The per-block bound is probabilistic (uniform hash concentration),
+    which is what matters for executor memory; out_deg stays the TOTAL
+    degree so rank/out_deg contributions remain correct under salting.
+    Non-hubs (out_deg ≤ salt_threshold) keep a single salt-0 row.
     """
-    salted = edges.withColumn(
-        "salt", (F.xxhash64("dst") % F.lit(64) + F.lit(64)) % F.lit(64)
-    ).withColumn(
-        "salt",
-        F.when(F.col("salt") < 0, F.col("salt") + 64).otherwise(F.col("salt")),
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_salts = F.ceil(F.lit(2.0) * F.col("out_deg") / F.lit(salt_threshold)).cast("long")
+    salted = (
+        edges.join(deg, "src")
+        .withColumn("n_salts", F.greatest(n_salts, F.lit(1)))
+        .withColumn("salt", F.pmod(F.xxhash64("dst"), F.col("n_salts")).cast("int"))
+        .withColumn(
+            "salt",
+            F.when(F.col("out_deg") <= salt_threshold, F.lit(0)).otherwise(F.col("salt")),
+        )
     )
-    grouped = salted.groupBy("src", "salt").agg(
-        F.array_sort(F.collect_list("dst")).alias("dsts"),
-        F.count("*").alias("cnt"),
-    )
-    w = Window.partitionBy("src")
-    out = grouped.withColumn("out_deg", F.sum("cnt").over(w))
-    # collapse small srcs back to one row (salt 0) to avoid tiny arrays
-    small = (
-        out.where(F.col("out_deg") <= salt_threshold)
-        .groupBy("src", "out_deg")
-        .agg(F.array_sort(F.flatten(F.collect_list("dsts"))).alias("dsts"))
-        .select("src", F.lit(0).alias("salt"), "dsts", "out_deg")
-    )
-    big = out.where(F.col("out_deg") > salt_threshold).select("src", "salt", "dsts", "out_deg")
-    return small.unionByName(big)
+    return salted.groupBy("src", "salt", "out_deg").agg(
+        F.array_sort(F.collect_list("dst")).alias("dsts")
+    ).select("src", "salt", "dsts", "out_deg")
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:

@@ -77,3 +77,23 @@ def test_heat_kernel_mass_behavior(spark):
     assert np.allclose(got, exp, atol=1e-9)
     assert abs(got.sum() - 1.0) < 1e-6  # exp(-tL) preserves mass on L's kernel
     assert got.var() < f.var()
+
+
+def test_heat_kernel_weighted(spark):
+    """weight_col engages the weighted Laplacian (was silently ignored)."""
+    n = 50
+    edges = er_graph(n, 0.08, seed=24)
+    w = uniform01(9, np.arange(len(edges), dtype=np.uint64)) + 0.5
+    f = _field(n, seed=6)
+    exp = oracle.heat_kernel_diffusion(edges, n, f, t=0.3, k=4, weights=w)
+    edf = spark.createDataFrame(
+        [(int(a), int(b), float(x)) for (a, b), x in zip(edges, w)],
+        "src long, dst long, wt double",
+    )
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(f)], "id long, value double"
+    )
+    got = _collect(heat_kernel_diffusion(edf, fdf, t=0.3, k=4, weight_col="wt"), n)
+    assert np.allclose(got, exp, atol=1e-9)
+    exp_u = oracle.heat_kernel_diffusion(edges, n, f, t=0.3, k=4)
+    assert not np.allclose(got, exp_u, atol=1e-6)  # weights actually matter
