@@ -330,6 +330,221 @@ def _matching_oracle_sql() -> str:
     return "\n".join(lines) + "\nSELECT src, dst, round(score, 6) AS score FROM m"
 
 
+KNN_K = 5
+KNN_EXACT_N = 150  # small-N exact slice for the full-pairs oracle
+KNN_TABLES = 4
+KNN_PLANES = 6
+EMB_DIM = 64
+
+
+def _knn_rank_sql(scored_cte: str, k: int) -> str:
+    """scored_cte must yield sc(a, b, cos) with a < b. Appends the
+    shared both-directions → per-vertex top-k → symmetrize tail."""
+    return f"""{scored_cte},
+bidir AS (SELECT a, b, cos FROM sc UNION ALL SELECT b AS a, a AS b, cos FROM sc),
+topk AS (SELECT a AS src, b AS dst, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rn FROM bidir)
+  WHERE rn <= {k}),
+sym AS (SELECT src, dst, cos FROM topk UNION ALL SELECT dst AS src, src AS dst, cos FROM topk)
+SELECT src, dst, max(cos) AS cos FROM sym GROUP BY src, dst"""
+
+
+def q_graph_knn(spark, sf_dir):
+    """Symmetrized k-NN graph, exact small-N slice (reference
+    ``scripts/experiments/vertex_normal_prediction.py:250-251``) —
+    full-pairs DuckDB oracle; the scale path is q_graph_knn_lsh."""
+    from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < KNN_EXACT_N)
+    return knn_graph(emb, k=KNN_K, method="exact")
+
+
+def _knn_exact_oracle_sql() -> str:
+    return _knn_rank_sql(
+        f"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KNN_EXACT_N}),
+sc AS (SELECT x.vec_id AS a, y.vec_id AS b, round({_COS_EXPR}, 4) AS cos
+       FROM v x JOIN v y ON x.vec_id < y.vec_id)""",
+        KNN_K,
+    )
+
+
+def q_graph_knn_lsh(spark, sf_dir):
+    """k-NN graph via multi-table RP-LSH candidates — the 100 TB path
+    (bucket equi-joins only). The oracle mirrors the algorithm (same
+    deterministic hyperplanes as exact SQL literals); exactness vs
+    brute force is covered by q_graph_knn and the pytest recall test."""
+    from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, k=KNN_K, method="lsh", n_tables=KNN_TABLES, n_planes=KNN_PLANES, dim=EMB_DIM
+    )
+
+
+def _knn_lsh_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.operators.ann import unit_projections
+
+    table_ctes = []
+    for t in range(KNN_TABLES):
+        planes = unit_projections(KNN_PLANES, EMB_DIM, 42, stream0=1000 + t * KNN_PLANES)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p!r}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_ctes.append(
+            f"bt{t} AS (SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM embeddings)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM bt{t}" for t in range(KNN_TABLES))
+    head = f"""WITH {', '.join(table_ctes)},
+bk AS ({union}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM bk x
+         JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+sc AS (SELECT c.a, c.b, round({_COS_EXPR}, 4) AS cos FROM cand c
+       JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b)"""
+    return _knn_rank_sql(head, KNN_K)
+
+
+TREE_N = 2000  # binary-heap tree: parent(i) = (i-1)//2, depth <= 10
+TREE_A = -0.7
+TREE_DEPTH = 10  # floor(log2(TREE_N)) for TREE_N = 2000
+
+
+def _tree_w_and_f():
+    """Deterministic edge weights from a 5-value set + PYTHON-evaluated
+    exp kernel literals, so Spark and DuckDB multiply identical doubles
+    (java Math.exp vs libm exp can differ in the last ulp)."""
+    import math
+
+    ws = [(1 + r) / 4.0 for r in range(5)]  # exact quarters
+    fw = {w: math.exp(TREE_A * w) for w in ws}
+    f2w = {w: math.exp(TREE_A * 2.0 * w) for w in ws}
+    return ws, fw, f2w
+
+
+def q_graph_tree_gfi(spark, sf_dir):
+    """Tree-GFI 2-pass DP (reference trees.py:93-125) on a fixed
+    binary-heap tree: out[i] = Σ_j exp(a·dist_T(i,j))·field[j],
+    exact via bottom-up/top-down message passing by level."""
+    from efficient_graph_algorithms_spark.operators.trees import (
+        tree_depths,
+        tree_gfi_matvec,
+    )
+
+    _, fw, f2w = _tree_w_and_f()
+
+    def f_fun(x):
+        expr = F.lit(None).cast("double")
+        for w, v in fw.items():
+            expr = F.when(x == F.lit(w), F.lit(v)).otherwise(expr)
+        for w, v in f2w.items():
+            expr = F.when(x == F.lit(2.0 * w), F.lit(v)).otherwise(expr)
+        return expr
+
+    ids = spark.range(1, TREE_N).select(F.col("id"))
+    tree = ids.select(
+        "id",
+        ((F.col("id") - 1) / 2).cast("long").alias("parent"),
+        ((1 + F.col("id") % 5) / F.lit(4.0)).alias("w"),
+    )
+    field = spark.range(TREE_N).select(
+        "id", (((F.col("id") * 37 + 11) % 97) / F.lit(97.0)).alias("value")
+    )
+    twd = tree_depths(tree, root=0, max_depth=TREE_DEPTH + 1)
+    out = tree_gfi_matvec(twd, field, f_fun=f_fun, root=0)
+    return out.select("id", F.round("value", 6).alias("value"))
+
+
+def _tree_gfi_oracle_sql() -> str:
+    ws, fw, f2w = _tree_w_and_f()
+    fw_case = "CASE id % 5 " + " ".join(
+        f"WHEN {r} THEN {fw[(1 + r) / 4.0]!r}" for r in range(5)
+    ) + " END"
+    f2w_case = "CASE id % 5 " + " ".join(
+        f"WHEN {r} THEN {f2w[(1 + r) / 4.0]!r}" for r in range(5)
+    ) + " END"
+    depth_case = "CASE " + " ".join(
+        f"WHEN id + 1 >= {1 << d} THEN {d}" for d in range(TREE_DEPTH, 0, -1)
+    ) + " ELSE 0 END"
+    lines = [
+        f"WITH t AS (SELECT range AS id, (range - 1) // 2 AS parent, "
+        f"{fw_case} AS fw, 1.0 - {f2w_case} AS omf, {depth_case} AS depth "
+        f"FROM range(1, {TREE_N})),",
+        f"p{TREE_DEPTH + 1} AS MATERIALIZED (SELECT range AS id, "
+        f"((range * 37 + 11) % 97) / 97.0 AS partial FROM range(0, {TREE_N})),",
+    ]
+    for lvl in range(TREE_DEPTH, 0, -1):
+        lines.append(
+            f"p{lvl} AS MATERIALIZED (SELECT p.id, p.partial + coalesce(m.up, 0.0) AS partial "
+            f"FROM p{lvl + 1} p LEFT JOIN ("
+            f"SELECT t.parent AS id, sum(t.fw * c.partial) AS up FROM t "
+            f"JOIN p{lvl + 1} c ON t.id = c.id WHERE t.depth = {lvl} "
+            f"GROUP BY t.parent) m ON p.id = m.id),"
+        )
+    lines.append("s0 AS MATERIALIZED (SELECT id, partial AS value FROM p1 WHERE id = 0),")
+    for lvl in range(1, TREE_DEPTH + 1):
+        lines.append(
+            f"s{lvl} AS MATERIALIZED (SELECT id, value FROM s{lvl - 1} UNION ALL "
+            f"SELECT t.id, t.fw * sp.value + t.omf * p.partial AS value "
+            f"FROM t JOIN s{lvl - 1} sp ON t.parent = sp.id AND t.depth = {lvl} "
+            f"JOIN p1 p ON p.id = t.id),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT id, round(value, 6) AS value FROM s{TREE_DEPTH}"
+
+
+PROJ_STEPS = 2
+PROJ_SAMPLES = 3
+
+
+def q_graph_kernel_projection(spark, sf_dir):
+    """Kernel-score projection with RDM_SEED z-score correction
+    (reference get_projection, graph_kernels.py:387-519): 2-step
+    random-walk scores from seeds (id%40==0), z-scored against 3
+    alternative seed sets — all samples in one batched gather-scatter."""
+    from efficient_graph_algorithms_spark.operators.projection import kernel_projection
+
+    e = _graph_edges(spark, sf_dir)
+    v = _vertices(e)
+    sets = None
+    for s in range(PROJ_SAMPLES + 1):
+        part = v.where(F.col("id") % 40 == s).select("id", F.lit(s).alias("sample"))
+        sets = part if sets is None else sets.unionByName(part)
+    out = kernel_projection(e, sets, steps=PROJ_STEPS, correction="rdm_seed")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+def _kernel_projection_oracle_sql() -> str:
+    r = PROJ_SAMPLES
+    seed_parts = " UNION ALL ".join(
+        f"SELECT id, {s} AS sample, 1.0 AS value FROM v WHERE id % 40 = {s}"
+        for s in range(r + 1)
+    )
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        f"x0 AS ({seed_parts}),",
+    ]
+    for st in range(1, PROJ_STEPS + 1):
+        lines.append(
+            f"x{st} AS MATERIALIZED (SELECT e.dst AS id, s.sample, sum(s.value / deg.d) AS value "
+            f"FROM e JOIN deg ON e.src = deg.src JOIN x{st - 1} s ON e.src = s.id "
+            f"GROUP BY e.dst, s.sample),"
+        )
+    lines += [
+        f"main AS (SELECT id, value AS score FROM x{PROJ_STEPS} WHERE sample = 0),",
+        f"st AS (SELECT id, sum(value) / {r} AS mu, "
+        f"sqrt(greatest(sum(value * value) / {r} - (sum(value) / {r})^2, 0.0)) AS sd "
+        f"FROM x{PROJ_STEPS} WHERE sample >= 1 GROUP BY id),",
+        "z AS (SELECT coalesce(m.id, st.id) AS id, "
+        "(coalesce(m.score, 0.0) - coalesce(st.mu, 0.0)) / "
+        "(CASE WHEN coalesce(st.sd, 0.0) > 0 THEN st.sd ELSE 1.0 END) AS score "
+        "FROM main m FULL OUTER JOIN st ON m.id = st.id)",
+    ]
+    return "\n".join(lines) + "\nSELECT id, round(score, 6) AS score FROM z"
+
+
 def q_graph_interp_ratio(spark, sf_dir):
     """Masked-SpMV kernel interpolation (reference Interpolator):
     known = ids divisible by 3; estimate unknown vertices as
@@ -888,6 +1103,48 @@ def q_sim_cosine_pairs(spark, sf_dir):
     return cosine_pairs(emb, threshold=COS_THRESHOLD)
 
 
+LSH_PAIR_PLANES = 6
+LSH_PAIR_THRESHOLD = 0.25
+
+
+def q_sim_cosine_pairs_lsh(spark, sf_dir):
+    """The LSH-bucketed near-dup path (scale path for cosine pairs):
+    candidates only from same-bucket agreement, then exact cosine.
+    Oracle mirrors the algorithm with the same hyperplane literals;
+    recall vs exact on planted duplicates is asserted in
+    tests/test_similarity_multimodal.py."""
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(
+        emb, threshold=LSH_PAIR_THRESHOLD, n_planes=LSH_PAIR_PLANES, dim=EMB_DIM
+    )
+
+
+def _sim_pairs_lsh_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.functions.hashing import uniform01
+    import numpy as np
+
+    planes = [
+        [1.0 if u >= 0.5 else -1.0
+         for u in uniform01(42, np.arange(EMB_DIM, dtype=np.uint64), stream=100 + i)]
+        for i in range(LSH_PAIR_PLANES)
+    ]
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p!r}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH bk AS (SELECT vec_id, {bits} AS bucket FROM embeddings),
+cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM bk x
+         JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.a, c.b, round({_COS_EXPR}, 4) AS cos FROM cand c
+JOIN embeddings x ON x.vec_id = c.a JOIN embeddings y ON y.vec_id = c.b
+WHERE round({_COS_EXPR}, 4) >= {LSH_PAIR_THRESHOLD}
+"""
+
+
 def q_stream_windowed_counts(spark, sf_dir):
     from efficient_graph_algorithms_spark.streaming.events import windowed_event_counts
 
@@ -1071,6 +1328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "graph_ppr_3iter": q_graph_ppr_3iter,
         "graph_matching": q_graph_matching,
+        "graph_tree_gfi": q_graph_tree_gfi,
+        "graph_kernel_projection": q_graph_kernel_projection,
         "graph_interp_ratio": q_graph_interp_ratio,
         "graph_rw2": q_graph_rw2,
         "graph_heat2": q_graph_heat2,
@@ -1105,6 +1364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_cosine_pairs": q_sim_cosine_pairs,
+        "sim_cosine_pairs_lsh": q_sim_cosine_pairs_lsh,
+        "graph_knn": q_graph_knn,
+        "graph_knn_lsh": q_graph_knn_lsh,
         "stream_windowed_counts": q_stream_windowed_counts,
         "events_user_activity": q_events_user_activity,
         "multimodal_features": q_multimodal_features,
@@ -1128,6 +1390,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_lpa": _lpa_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
+        "graph_tree_gfi": _tree_gfi_oracle_sql(),
+        "graph_kernel_projection": _kernel_projection_oracle_sql(),
         "graph_rw2": _RW2_ORACLE_SQL,
         "graph_heat2": _HEAT2_ORACLE_SQL,
         "graph_epsilon_nn": _EPS_NN_SQL,
@@ -1273,6 +1537,9 @@ SELECT k AS nation_without_partners FROM (
         "dedup_simhash": _dedup_simhash_sql(),
         "sim_cosine_topk": _sim_topk_sql(),
         "sim_cosine_pairs": _sim_pairs_sql(),
+        "sim_cosine_pairs_lsh": _sim_pairs_lsh_oracle_sql(),
+        "graph_knn": _knn_exact_oracle_sql(),
+        "graph_knn_lsh": _knn_lsh_oracle_sql(),
         "stream_windowed_counts": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -1,0 +1,234 @@
+"""Approximate-nearest-neighbor layer: grid candidates, multi-table
+RP-LSH, k-NN graph construction.
+
+Three candidate-generation strategies, each a bucketed equi-join (the
+plan NEVER contains CartesianProduct / BroadcastNestedLoop — asserted
+in tests/test_plans.py):
+
+- ``grid_candidate_pairs`` — EXACT radius candidates. Project each
+  vector onto P deterministic unit directions; within-eps pairs differ
+  by ≤ eps in every projection (Cauchy–Schwarz), so probing the 3^P
+  neighboring cells of width eps has recall exactly 1. This turns
+  ε-NN and threshold-cosine pairs into equi-joins with NO loss of
+  exactness — pruning power grows as eps shrinks relative to the data
+  spread (strong for near-dup thresholds ≥0.9, weak for loose ones).
+- ``multi_table_buckets`` — L independent RP-LSH tables (recall-
+  controlled: a pair at angle θ collides somewhere with prob
+  1-(1-(1-θ/π)^planes)^L; raise L for recall, planes for precision).
+- ``ann_topk`` — multi-probe query-side expansion (flip each signature
+  bit once → n_planes+1 probes/table) so queries reach adjacent
+  buckets without growing the corpus index.
+
+``knn_graph`` composes them: candidates → exact cosine → per-vertex
+top-k window → symmetrize. Reference parity: the symmetrized k-NN
+build of ``reference scripts/experiments/vertex_normal_prediction.py:
+250-251`` (exact small-N) generalized with the LSH scale path.
+
+At 100 TB: the corpus is bucketed once (one shuffle by bucket key),
+candidate joins are per-bucket equi-joins (skew-capped via
+``bucket_cap``), and scoring stays in JVM higher-order functions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.hashing import uniform01
+from efficient_graph_algorithms_spark.operators.similarity import (
+    ROUND_DP,
+    _dot,
+    cosine,
+)
+
+
+def unit_projections(n: int, dim: int, seed: int = 42, stream0: int = 500) -> list[list[float]]:
+    """n deterministic unit-norm Rademacher directions (±1/sqrt(dim))."""
+    s = 1.0 / math.sqrt(dim)
+    return [
+        [s if u >= 0.5 else -s for u in uniform01(seed, np.arange(dim, dtype=np.uint64), stream=stream0 + i)]
+        for i in range(n)
+    ]
+
+
+def _cell(vec: Column, plane: list[float], eps: float) -> Column:
+    return F.floor(_dot(vec, F.array(*[F.lit(x) for x in plane])) / F.lit(eps)).cast("long")
+
+
+def grid_candidate_pairs(
+    points: DataFrame,
+    eps: float,
+    n_proj: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """EXACT candidate superset for pairs within Euclidean eps:
+    (a, va, b, vb) directed (both orders, a != b). One side probes the
+    3^n_proj neighboring grid cells; the other keeps its own cell —
+    every within-eps pair meets in exactly one probe, so no dedup pass
+    is needed and recall is exactly 1."""
+    planes = unit_projections(n_proj, dim, seed)
+    base = points.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cells = [ _cell(F.col("_v"), p, eps) for p in planes ]
+
+    probe_offsets = [[]]
+    for _ in range(n_proj):
+        probe_offsets = [po + [d] for po in probe_offsets for d in (-1, 0, 1)]
+    probes = F.array(*[
+        F.struct(*[(cells[j] + F.lit(off[j])).alias(f"c{j}") for j in range(n_proj)])
+        for off in probe_offsets
+    ])
+    a = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("va"),
+        F.explode(probes).alias("_cell"),
+    ).select("a", "va", *[F.col(f"_cell.c{j}").alias(f"c{j}") for j in range(n_proj)])
+    b = base.select(
+        F.col("_id").alias("b"), F.col("_v").alias("vb"),
+        *[cells[j].alias(f"c{j}") for j in range(n_proj)],
+    )
+    return a.join(b, [f"c{j}" for j in range(n_proj)]).where(
+        F.col("a") != F.col("b")
+    ).select("a", "va", "b", "vb")
+
+
+def multi_table_buckets(
+    vectors: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket) — one signature per LSH table. Recall is
+    controlled by n_tables (union of collisions across tables)."""
+    out = None
+    v = F.col(vec_col)
+    for t in range(n_tables):
+        planes = unit_projections(n_planes, dim, seed, stream0=1000 + t * n_planes)
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            d = _dot(v, F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        part = vectors.select(
+            F.col(id_col).alias("vec_id"), F.lit(t).alias("table"), bucket.alias("bucket")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def knn_graph(
+    points: DataFrame,
+    k: int = 5,
+    method: str = "lsh",
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Symmetrized k-NN graph by cosine: (src, dst, cos), both
+    directions of every selected edge, deduplicated.
+
+    method="lsh": candidates = union of same-bucket pairs over
+    n_tables independent RP-LSH tables (recall < 1 by design — the
+    scale path; buckets larger than bucket_cap are dropped with the
+    same skew-cap rationale as dedup's hot-shingle cap).
+    method="exact": full pairwise scoring — the small-N oracle path
+    (still an equi-join shape? no — an explicit theta join; use only
+    at test scale, reference parity vertex_normal_prediction.py:250).
+    """
+    v = points.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if method == "exact":
+        a = v.select(F.col("_id").alias("a"), F.col("_v").alias("va"))
+        b = v.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
+        cand = a.join(b, F.col("a") < F.col("b"))
+    elif method == "lsh":
+        bk = multi_table_buckets(points, n_tables, n_planes, dim, seed, id_col, vec_col)
+        sizes = bk.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
+        bk = bk.join(sizes.where(F.col("_n") <= bucket_cap), ["table", "bucket"], "left_semi")
+        withv = bk.join(v, bk["vec_id"] == v["_id"]).select("vec_id", "table", "bucket", "_v")
+        a = withv.select(F.col("vec_id").alias("a"), F.col("_v").alias("va"), "table", "bucket")
+        b = withv.select(F.col("vec_id").alias("b"), F.col("_v").alias("vb"), "table", "bucket")
+        cand = (
+            a.join(b, ["table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "va", "b", "vb")
+            .distinct()  # same pair may collide in several tables
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    scored = cand.select(
+        "a", "b", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DP).alias("cos")
+    )
+    both = scored.unionByName(
+        scored.select(F.col("b").alias("a"), F.col("a").alias("b"), "cos")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    topk = (
+        both.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), "cos")
+    )
+    # symmetrize: keep edge (u,v) if u picked v OR v picked u
+    return topk.unionByName(
+        topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
+    ).groupBy("src", "dst").agg(F.max("cos").alias("cos"))
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: multi-table RP-LSH with query-side multi-probe
+    (each query also probes the n_planes buckets at Hamming distance 1,
+    per table). Returns (qid, vec_id, cos, rn). Brute-force baseline:
+    ``similarity.cosine_topk``."""
+    corpus = multi_table_buckets(vectors, n_tables, n_planes, dim, seed, id_col, vec_col)
+    qb = multi_table_buckets(queries, n_tables, n_planes, dim, seed, qid_col, vec_col)
+    qb = qb.withColumnRenamed("vec_id", "qid")
+    if multiprobe:
+        flips = F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)]))
+        qb = qb.select(
+            "qid", "table",
+            F.explode(flips).alias("_flip"),
+            F.col("bucket"),
+        ).select(
+            "qid", "table",
+            F.expr("bucket").bitwiseXOR(F.col("_flip")).alias("bucket"),
+        )
+    cand = (
+        qb.join(corpus, ["table", "bucket"])
+        .select("qid", "vec_id")
+        .where(F.col("qid") != F.col("vec_id"))
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qv"))
+    scored = (
+        cand.join(v, "vec_id")
+        .join(q, "qid")
+        .select("qid", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), ROUND_DP).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos", "rn")
+    )

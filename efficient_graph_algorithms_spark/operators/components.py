@@ -63,7 +63,15 @@ def connected_components(
     )
     sym.count()
 
-    ckpt = CheckpointManager(spark, checkpoint_dir, "connected_components", {})
+    # memory-only runs still need a REAL state medium: the pointer-jump
+    # is a self-join, and a localCheckpoint barrier lets Catalyst's
+    # multiplied size estimate double per round (plans/lineage.py) —
+    # ephemeral tmpfs parquet resets stats to actual file sizes
+    from efficient_graph_algorithms_spark.operators.pagerank import _ephemeral_state_dir
+
+    ephemeral = checkpoint_dir is None
+    state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
+    ckpt = CheckpointManager(spark, state_root, "connected_components", {})
     labels = verts.select("id", F.col("id").alias("component"))
     start_iter = 0
     if resume and checkpoint_dir:
@@ -120,6 +128,8 @@ def connected_components(
         )
         jumped.unpersist()
         stepped.unpersist()
+        if ephemeral:
+            ckpt.delete_iteration(it - 1)  # deterministic cleanup
         info["rounds"] = it
         if changed == 0:
             converged = True
@@ -133,4 +143,10 @@ def connected_components(
         )
     sym.unpersist()
     verts.unpersist()
+    if ephemeral:
+        # pin the result in block-manager memory, then drop the scratch dir
+        labels = labels.localCheckpoint(eager=True)
+        import shutil as _shutil
+
+        _shutil.rmtree(state_root, ignore_errors=True)
     return labels, info

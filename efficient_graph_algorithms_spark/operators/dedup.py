@@ -170,28 +170,36 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(docs: DataFrame, bits: int = 60,
                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — per-bit majority vote over token hashes.
-    bit b of simhash = 1 iff  Σ_tokens (2·bit_b(h(token)) − 1) > 0."""
+    bit b of simhash = 1 iff  Σ_tokens (2·bit_b(h(token)) − 1) > 0.
+
+    The per-bit vote fold runs as vectorized NumPy popcount arithmetic
+    inside an Arrow batch (``mapInPandas``): one shuffle of (id, h)
+    token hashes, zero row inflation. (A first version exploded 60
+    bit-rows per token — 60× the shuffle input for the same votes;
+    killed for the 100 TB path.)"""
+    import numpy as np
+    import pandas as pd
+
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).where(F.col("tok") != "")
     h = toks.select("id", _shingle_hash60(F.col("tok")).alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        h.select("id", "h", bit)
-        .select(
-            "id", "bit",
-            (F.expr("shiftright(h, CAST(bit AS INT))").bitwiseAND(F.lit(1)) * 2 - 1).alias("v"),
-        )
-        .groupBy("id", "bit")
-        .agg(F.sum("v").alias("s"))
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    grouped = h.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def fold(batches):
+        for b in batches:
+            ids, fps = [], []
+            for i, hs in zip(b["id"], b["hs"]):
+                arr = np.asarray(hs, dtype=np.uint64)
+                ones = ((arr[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                votes = 2 * ones.astype(np.int64) - len(arr)
+                fp = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                ids.append(i)
+                fps.append(fp)
+            yield pd.DataFrame({"id": ids, "simhash": fps})
+
+    return grouped.mapInPandas(fold, "id long, simhash long")
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,

@@ -29,13 +29,25 @@ from pyspark.sql import functions as F
 
 
 def epsilon_nn_graph(
-    points: DataFrame, eps: float, id_col: str = "id", vec_col: str = "vec"
+    points: DataFrame,
+    eps: float,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    method: str = "grid",
+    dim: int | None = None,
+    n_proj: int = 2,
 ) -> DataFrame:
     """points(id, vec array<double>) → edges (src, dst, weight) with
     weight = Euclidean distance, for all pairs with 0 < dist <= eps.
-    Symmetric (both directions), no self-loops."""
-    a = points.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
-    b = points.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    Symmetric (both directions), no self-loops.
+
+    method="grid" (default): candidates from eps-width grid cells over
+    n_proj unit projections with full ±1 probing — an equi-join plan
+    (no CartesianProduct) whose candidate set provably contains every
+    within-eps pair, so results are EXACT and identical to brute force
+    (operators/ann.py). dim = vector length (inferred when None).
+    method="brute": the all-pairs theta join (reference-shaped small-N
+    path, kept for plan comparison)."""
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
@@ -43,11 +55,21 @@ def epsilon_nn_graph(
             lambda acc, v: acc + v,
         )
     )
-    return (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select("src", "dst", dist.alias("weight"))
-        .where(F.col("weight") <= eps)
-    )
+    if method == "grid":
+        from efficient_graph_algorithms_spark.operators.ann import grid_candidate_pairs
+
+        if dim is None:
+            dim = len(points.select(vec_col).first()[0])
+        cand = grid_candidate_pairs(
+            points, eps, n_proj=n_proj, dim=dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col("a").alias("src"), "va", F.col("b").alias("dst"), "vb")
+    elif method == "brute":
+        a = points.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+        b = points.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, F.col("src") != F.col("dst"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return cand.select("src", "dst", dist.alias("weight")).where(F.col("weight") <= eps)
 
 
 def induced_subgraph(edges: DataFrame, vertex_subset: DataFrame) -> DataFrame:

@@ -165,6 +165,10 @@ def pagerank(
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("inv_deg"))
         .repartition(sp, "src")
+        # (A src-sorted cache was tried for probe locality: ~8 s/iter
+        # SLOWER at local[2] on 100M edges, neutral at local[8] — the
+        # per-partition rank hash map is already L2-resident, so the
+        # sort buys nothing and perturbs the columnar cache layout.)
         .persist()
     )
     linked.count()
@@ -209,6 +213,9 @@ def pagerank(
                             "iter_secs": []}
     converged = False
     t_loop0 = _time.time()
+    # (measured: disabling AQE in the loop LOSES ~2-4 s/iteration at
+    # 100M edges/local[8] — its exchange coalescing on the vertex-side
+    # shuffles outweighs the serial replan cost. Keep it on.)
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t_it0 = _time.time()
@@ -244,10 +251,15 @@ def pagerank(
             # job 1: contrib shuffle + state update + canonical snapshot
             # write (populates the one-iteration cache as a side effect);
             # the read-back is the lineage cut for the next iteration
-            full_state = ckpt.write_state(canon, it)
+            t_w0 = _time.time()
+            full_state = ckpt.write_state(
+                canon, it, compression="none" if ephemeral else None
+            )
+            t_write = _time.time() - t_w0
             # job 2: canonical-order partial sums over the cached state —
             # delta and dm (dm feeds the next iteration's ranks, so its
             # bits matter) are reproducible run-to-run and across resume
+            t_a0 = _time.time()
             sums = _det_sums(
                 canon,
                 {
@@ -255,6 +267,9 @@ def pagerank(
                     "dm": F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0)),
                 },
             )
+            t_agg = _time.time() - t_a0
+            info.setdefault("write_secs", []).append(round(t_write, 3))
+            info.setdefault("agg_secs", []).append(round(t_agg, 3))
             canon.unpersist(blocking=False)  # snapshot now owns the bytes
             state = full_state.select("id", "p", "dangling", "rank")
             delta, dm = sums["delta"], sums["dm"]

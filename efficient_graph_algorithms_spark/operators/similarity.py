@@ -79,9 +79,42 @@ def cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "grid",
+    dim: int | None = None,
 ) -> DataFrame:
-    """(a, b, cos) for all pairs a<b with cosine >= threshold — exact
-    (full pairwise; the small-N oracle path)."""
+    """(a, b, cos) for all pairs a<b with cosine >= threshold — EXACT
+    under both methods.
+
+    method="grid" (default): normalize to the unit sphere, where
+    cos(u,v) >= t  ⇔  ||u-v|| <= sqrt(2-2t); candidates come from the
+    exact eps-grid equi-join (operators/ann.py) — no CartesianProduct
+    in the plan, zero recall loss. Pruning strength grows with the
+    threshold (near-dup thresholds >= 0.9 prune hard).
+    method="brute": the all-pairs theta join (plan-comparison path)."""
+    if method == "grid":
+        from efficient_graph_algorithms_spark.operators.ann import grid_candidate_pairs
+
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
+        eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+        unit = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_raw"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+            ).alias("_unit"),
+        )
+        cand = grid_candidate_pairs(
+            unit, eps, n_proj=2, dim=dim, id_col="_id", vec_col="_unit"
+        ).where(F.col("a") < F.col("b"))
+        ids = unit.select("_id", "_raw")
+        scored = (
+            cand.select("a", "b")
+            .join(ids.select(F.col("_id").alias("a"), F.col("_raw").alias("ra")), "a")
+            .join(ids.select(F.col("_id").alias("b"), F.col("_raw").alias("rb")), "b")
+            .select("a", "b", F.round(cosine(F.col("ra"), F.col("rb")), ROUND_DP).alias("cos"))
+        )
+        return scored.where(F.col("cos") >= threshold)
     a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -172,6 +172,13 @@ def sinkhorn_distance(
         "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("nu")
     ).persist()
     state = mu_v.select("id", "mu", F.lit(1.0).alias("u")).persist()
+    # per-iteration barrier = parquet state cut: each scaling references
+    # the previous state twice (through K·u and the update join), so a
+    # localCheckpoint chain doubles Catalyst's carried size estimate per
+    # iteration (plans/lineage.py)
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    cut = StateCutter(spark, "sinkhorn")
     info: dict[str, Any] = {"iterations": 0, "deltas": []}
     v_prev = None
     v = None
@@ -183,8 +190,8 @@ def sinkhorn_distance(
                 "id", "mu",
                 (F.col("mu") / F.greatest(F.col("ku"), F.lit(EPS_CLAMP))).alias("v"),
             )
-            .localCheckpoint(eager=True)
         )
+        v = cut(v)
         kv = kmul(v.select("id", F.col("v").alias("value")))
         u_new = (
             nu_v.join(kv.withColumnRenamed("value", "kv"), "id")
@@ -193,10 +200,9 @@ def sinkhorn_distance(
                 (F.col("nu") / F.greatest(F.col("kv"), F.lit(EPS_CLAMP))).alias("u"),
             )
         )
-        state = (
+        state = cut(
             mu_v.join(u_new, "id", "left")
             .select("id", "mu", F.coalesce(F.col("u"), F.lit(1.0)).alias("u"))
-            .localCheckpoint(eager=True)
         )
         info["iterations"] = it
         if v_prev is not None:
@@ -227,6 +233,10 @@ def sinkhorn_distance(
     for df in (sym, verts, nu_v):
         df.unpersist()
     if return_potentials:
-        pots = v.select("id", "v").join(state.select("id", "u"), "id")
+        # pin before the cutter's backing files are removed
+        pots = v.select("id", "v").join(state.select("id", "u"), "id") \
+            .localCheckpoint(eager=True)
+        cut.close()
         return dist, info, pots
+    cut.close()
     return dist, info

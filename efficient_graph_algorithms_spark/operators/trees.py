@@ -1,0 +1,323 @@
+"""Tree-based graph-field integration + distributed MST.
+
+Semantics from the reference's tree integrators
+(``reference src/ega/algorithms/trees.py:93-125`` — bottom-up/top-down
+dynamic programming; ``reference src/ega/algorithms/
+spanning_trees.py:98-124`` — MST construction; exercised by
+``reference scripts/experiments/test_spanning_trees.py:70-76``):
+
+    out[i] = Σ_j f(dist_T(i, j)) · field[j]     with f(x) = exp(a·x)
+
+computed EXACTLY in two level-synchronous passes over a rooted tree:
+
+    bottom-up    partial[v] = field[v] + Σ_{c child of v} f(w_vc)·partial[c]
+    top-down     sums[root] = partial[root]
+                 sums[c]    = f(w)·sums[parent] + (1 − f(2w))·partial[c]
+
+The Spark realization is message passing by tree level: each level is
+one (join → groupBy-sum) for the up pass and one join for the down
+pass, so the round count equals the tree depth — the right shape for
+the low-depth trees these integrators use (Bartal/FRT trees are
+O(log n) deep; MSTs of web graphs are hub-shallow). Every message
+exchange is hash-partitioned by vertex id; nothing is collected to the
+driver.
+
+MST: distributed Borůvka — each round every component picks its
+lexicographically-minimal (w, src, dst) outgoing edge (a valid
+deterministic tie-break), the selected edges merge components via the
+existing hash-to-min machinery, O(log V) rounds of halving. This is
+the Spark-native replacement for the reference's sequential
+Kruskal + disjoint-set scan, which cannot stream 10^12 edges through
+one sorted loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.f_fun import FFun, exp_kernel
+
+
+def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000) -> DataFrame:
+    """tree(id, parent, w) rows for every non-root vertex → adds depth
+    (root = 0) by level-synchronous propagation from the root."""
+    known = tree.sparkSession.createDataFrame([(root, 0)], "id long, depth int")
+    frontier = known
+    out = known
+    for d in range(1, max_depth + 1):
+        frontier = (
+            tree.join(frontier.select(F.col("id").alias("parent")), "parent")
+            .select("id", F.lit(d).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier).coalesce(16)
+    return tree.join(out, "id").select("id", "parent", "w", "depth")
+
+
+def tree_gfi_matvec(
+    tree_with_depth: DataFrame,
+    field: DataFrame,
+    a: float = -1.0,
+    f_fun: FFun | None = None,
+    root: int | None = None,
+) -> DataFrame:
+    """Exact Σ_j f(dist_T(i,j))·field[j] for every vertex i.
+
+    tree_with_depth: (id, parent, w, depth) for every non-root vertex
+    (from ``tree_depths``). field: (id, value) covering ALL vertices
+    including the root. f_fun defaults to exp(a·x) — the kernel family
+    under which the 2-pass DP is exact (reference trees.py:93-125).
+    Returns (id, value).
+    """
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    f = f_fun or exp_kernel(a)
+    # static per-edge kernel values, computed once
+    edges = tree_with_depth.select(
+        "id", "parent", "depth",
+        f(F.col("w")).alias("fw"),
+        (F.lit(1.0) - f(F.lit(2.0) * F.col("w"))).alias("one_minus_f2w"),
+    ).persist()
+    max_depth = edges.agg(F.max("depth")).collect()[0][0]
+    if max_depth is None:  # single-vertex tree
+        edges.unpersist()
+        return field.select("id", "value")
+
+    cut = StateCutter(tree_with_depth.sparkSession, "treegfi")
+    # ---- bottom-up: partial[v] = field[v] + Σ_children f(w)·partial[c]
+    # per-level barrier = parquet state cut: each level references the
+    # previous one TWICE (msgs + directly), so both the lineage and the
+    # carried size estimate double per level otherwise (plans/lineage.py)
+    partial = field.select("id", F.col("value").alias("partial"))
+    for lvl in range(max_depth, 0, -1):
+        msgs = (
+            edges.where(F.col("depth") == lvl)
+            .join(partial, "id")
+            .groupBy(F.col("parent").alias("id"))
+            .agg(F.sum(F.col("fw") * F.col("partial")).alias("up"))
+        )
+        partial = cut(
+            partial.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
+            )
+        )
+    # materialize the up-pass result before its backing cut files can be
+    # rotated away by the down-pass cuts (separate cutter => never deleted
+    # until the function exits)
+    partial.count()
+
+    # ---- top-down: sums[c] = f(w)·sums[parent] + (1-f(2w))·partial[c]
+    if root is None:
+        root_row = (
+            field.select("id")
+            .join(tree_with_depth.select("id"), "id", "left_anti")
+            .collect()
+        )
+        root = root_row[0]["id"]
+    down = StateCutter(tree_with_depth.sparkSession, "treegfi_down")
+    sums = partial.where(F.col("id") == root).select("id", F.col("partial").alias("value"))
+    for lvl in range(1, max_depth + 1):
+        child = (
+            edges.where(F.col("depth") == lvl)
+            .join(sums.select(F.col("id").alias("parent"), F.col("value").alias("ps")), "parent")
+            .join(partial, "id")
+            .select(
+                "id",
+                (F.col("fw") * F.col("ps") + F.col("one_minus_f2w") * F.col("partial")).alias("value"),
+            )
+        )
+        # parquet cut per level: sums appears in child AND in the union,
+        # so both the partition count (when the edge side broadcasts, the
+        # join inherits the streamed union's partitioning — observed 63k
+        # tasks at depth 13 on a 30-path) and the carried size estimate
+        # double per level without a real barrier (plans/lineage.py)
+        sums = down(sums.unionByName(child))
+    sums = sums.localCheckpoint(eager=True)  # outlives the cutters
+    edges.unpersist()
+    partial.unpersist()
+    cut.close()
+    down.close()
+    return sums
+
+
+def boruvka_mst(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 40,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Distributed Borůvka MST (forest when disconnected).
+
+    edges: (src, dst, w) undirected input (either or both directions).
+    Returns (mst_edges(src, dst, w) with src<dst, info). Deterministic:
+    min outgoing edge per component by (w, src, dst); consistent
+    lexicographic tie-breaking yields a valid (and unique-per-rule) MST
+    even with duplicate weights — same result as the reference's sorted
+    Kruskal scan with the same tie-break (spanning_trees.py:98-124).
+    """
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    cut = StateCutter(spark, "boruvka")
+    labels = cut(
+        und.select(F.col("src").alias("id"))
+        .unionByName(und.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
+    mst = None
+    info: dict[str, Any] = {"rounds": 0, "converged": False}
+    try:
+        for rnd in range(1, max_rounds + 1):
+            la = labels.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
+            lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
+            cross = (
+                und.join(la, "src")
+                .join(lb, "dst")
+                .where(F.col("ca") != F.col("cb"))
+                .select("src", "dst", "w", "ca", "cb")
+                .localCheckpoint(eager=True)  # bounded: labels file-backed
+            )
+            if cross.isEmpty():
+                info["converged"] = True
+                break
+            # min outgoing edge per component (both endpoints' components vote)
+            votes = cross.select(F.col("ca").alias("comp"), "w", "src", "dst").unionByName(
+                cross.select(F.col("cb").alias("comp"), "w", "src", "dst")
+            )
+            picked = (
+                votes.groupBy("comp")
+                .agg(F.min(F.struct("w", "src", "dst")).alias("m"))
+                .select(F.col("m.src").alias("src"), F.col("m.dst").alias("dst"), F.col("m.w").alias("w"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # accumulated forest: parquet cut per round — the union chain
+            # re-references each round's picked edges
+            mst = picked if mst is None else cut(mst.unionByName(picked).distinct())
+            # contract: merge components connected by the picked edges via
+            # hash-to-min + pointer jumping on the (small) component graph
+            pe = picked.join(la, "src").join(lb, "dst").select("ca", "cb")
+            comp_labels = _component_fixpoint(pe)
+            labels = cut(
+                labels.join(comp_labels, labels["comp"] == comp_labels["c_id"], "left")
+                .select("id", F.coalesce(F.col("c_new"), F.col("comp")).alias("comp"))
+            )
+            info["rounds"] = rnd
+        if mst is None:
+            mst = und.limit(0)
+        return mst.localCheckpoint(eager=True), info
+    finally:
+        und.unpersist()
+        cut.close()
+
+
+def _component_fixpoint(
+    pairs: DataFrame, max_iter: int = 40, cut: "StateCutter | None" = None
+) -> DataFrame:
+    """Hash-to-min + pointer jumping over pairs(ca, cb) → (c_id, c_new)
+    mapping every touched component id to its merged representative.
+
+    The per-iteration barrier is a parquet state cut, NOT localCheckpoint:
+    the jump is a self-join, whose carried size estimate doubles per
+    iteration through a localCheckpoint (see plans/lineage.py)."""
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    own = cut is None
+    cut = cut or StateCutter(pairs.sparkSession, "fixpoint")
+    sym = cut(
+        pairs.select(F.col("ca").alias("a"), F.col("cb").alias("b")).unionByName(
+            pairs.select(F.col("cb").alias("a"), F.col("ca").alias("b"))
+        ).distinct()
+    )
+    lab = sym.select(F.col("a").alias("c_id")).distinct().select(
+        "c_id", F.col("c_id").alias("c_new")
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(lab, sym["a"] == lab["c_id"])
+                .groupBy(sym["b"].alias("c_id"))
+                .agg(F.min("c_new").alias("nbr"))
+            )
+            stepped = (
+                lab.join(nbr_min, "c_id", "left")
+                .select(
+                    "c_id",
+                    F.least(F.col("c_new"), F.coalesce(F.col("nbr"), F.col("c_new"))).alias("c_new"),
+                    F.col("c_new").alias("old"),
+                )
+                .localCheckpoint(eager=True)  # bounded: lab is file-backed
+            )
+            jumped = cut(
+                stepped.alias("s")
+                .join(
+                    stepped.select(F.col("c_id").alias("p_id"), F.col("c_new").alias("p_new")).alias("p"),
+                    F.col("s.c_new") == F.col("p.p_id"),
+                    "left",
+                )
+                .select(
+                    F.col("s.c_id").alias("c_id"),
+                    F.coalesce(F.col("p.p_new"), F.col("s.c_new")).alias("c_new"),
+                    F.col("s.old").alias("old"),
+                )
+            )
+            changed = jumped.where(F.col("c_new") != F.col("old")).isEmpty()
+            lab = jumped.select("c_id", "c_new")
+            if changed:
+                break
+        # the caller consumes lab lazily after the cutter dir is gone —
+        # pin the final mapping in block-manager memory
+        return lab.localCheckpoint(eager=True)
+    finally:
+        if own:
+            cut.close()
+
+
+def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int) -> DataFrame:
+    """Orient an MST (forest component containing root) into parent
+    pointers away from the root: (id, parent, w, depth)."""
+    sym = mst.select("src", "dst", "w").unionByName(
+        mst.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    known = spark.createDataFrame([(root, 0)], "id long, depth int")
+    frontier = known
+    rows = None
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            sym.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"), F.col("src").alias("parent"), "w",
+                    F.lit(depth).alias("depth"))
+        )
+        if rows is not None:
+            nxt = nxt.join(rows.select("id"), "id", "left_anti")
+        nxt = nxt.join(known.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        rows = (
+            nxt if rows is None
+            else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=False)
+        )
+        frontier = nxt
+        known = known.unionByName(nxt.select("id", "depth")).coalesce(16)
+    if rows is None:
+        return spark.createDataFrame([], "id long, parent long, w double, depth int")
+    return rows

@@ -270,3 +270,197 @@ def sinkhorn_distance(
     mu_term = float((mu[mu > 0] * np.log(np.maximum(v[mu > 0], eps))).sum())
     nu_term = float((nu[nu > 0] * np.log(np.maximum(u[nu > 0], eps))).sum())
     return gamma * (mu_term + nu_term), iters
+
+
+def tree_gfi_matvec(
+    parents: dict[int, tuple[int, float]], n: int, field: np.ndarray, a: float = -1.0
+) -> np.ndarray:
+    """2-pass tree DP oracle — the reference's exact semantics
+    (trees.py:93-125): out[i] = Σ_j exp(a·dist_T(i,j))·field[j].
+    parents: child -> (parent, w) for every non-root vertex."""
+    import math
+
+    children: dict[int, list[tuple[int, float]]] = {}
+    roots = set(range(n)) - set(parents)
+    for c, (p, w) in parents.items():
+        children.setdefault(p, []).append((c, w))
+    # levels by BFS from the roots
+    levels = [sorted(roots)]
+    while levels[-1]:
+        nxt = [c for v in levels[-1] for c, _ in children.get(v, [])]
+        levels.append(sorted(nxt))
+    levels = levels[:-1]
+
+    f = lambda x: math.exp(a * x)  # noqa: E731
+    partial = np.asarray(field, dtype=np.float64).copy()
+    for level in reversed(levels):
+        for v in level:
+            for c, w in children.get(v, []):
+                partial[v] += f(w) * partial[c]
+    sums = np.zeros(n)
+    for r in roots:
+        sums[r] = partial[r]
+    for level in levels:
+        for v in level:
+            for c, w in children.get(v, []):
+                sums[c] = f(w) * sums[v] + (1.0 - f(2.0 * w)) * partial[c]
+    return sums
+
+
+def kruskal_mst(edges_w: list[tuple[int, int, float]], n: int) -> set[tuple[int, int, float]]:
+    """Sequential Kruskal with (w, src, dst) lexicographic tie-break —
+    the reference's construction (spanning_trees.py:98-124) under the
+    deterministic edge ordering boruvka_mst uses."""
+    canon = {}
+    for a, b, w in edges_w:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        canon[k] = min(canon.get(k, float("inf")), w)
+    items = sorted(((w, s, d) for (s, d), w in canon.items()))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, s, d in items:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            out.add((s, d, w))
+    return out
+
+
+def gromov_wasserstein_discrepancy(
+    cost_s: np.ndarray,
+    cost_t: np.ndarray,
+    p_s: np.ndarray,
+    p_t: np.ndarray,
+    beta: float = 0.1,
+    outer_iter: int = 20,
+    inner_iter: int = 50,
+    sk_bound: float = 1e-3,
+    iter_bound: float = 1e-3,
+    feature_cost: np.ndarray | None = None,
+    alpha: float = 1.0,
+    trans0: np.ndarray | None = None,
+) -> tuple[np.ndarray, float, int]:
+    """Dense mirror of the reference's L2/proximal GW loop
+    (gromov_wasserstein_graphs.py:108-166, 169-214, 258-321, 324-595).
+    Returns (trans, d_gw, outer_iterations)."""
+    ps = p_s.reshape(-1, 1)
+    pt = p_t.reshape(-1, 1)
+    n_s = ps.shape[0]
+    f1 = (cost_s**2) @ ps  # (n_s, 1)
+    f2 = ((cost_t**2) @ pt).T  # (1, n_t)
+    trans = (ps @ pt.T) if trans0 is None else trans0.copy()
+    a = np.ones((n_s, 1)) / n_s
+    outer_used = 0
+    m = 0.0 if feature_cost is None else (1.0 - alpha) * feature_cost
+    for outer in range(1, outer_iter + 1):
+        cost = alpha * (f1 + f2 - 2.0 * (cost_s @ trans @ cost_t.T)) + m
+        kernel = np.exp(-cost / beta) * trans
+        rel = np.inf
+        i = 0
+        b = None
+        while rel > sk_bound and i < inner_iter:
+            b = pt / (kernel.T @ a)
+            a_new = ps / (kernel @ b)
+            rel = float(np.abs(a_new - a).sum()) / float(np.abs(a).sum())
+            a = a_new
+            i += 1
+        new_trans = (a @ b.T) * kernel
+        rel_outer = float(np.abs(new_trans - trans).sum()) / float(np.abs(trans).sum())
+        trans = new_trans
+        outer_used = outer
+        if rel_outer <= iter_bound:
+            break
+    cost = alpha * (f1 + f2 - 2.0 * (cost_s @ trans @ cost_t.T)) + m
+    d_gw = float((cost * trans).sum())
+    return trans, d_gw, outer_used
+
+
+def kernel_projection(
+    edges,
+    n: int,
+    seed_sets: dict[int, list[int]],
+    steps: int = 2,
+    correction: str | None = None,
+    norm: bool = False,
+) -> np.ndarray:
+    """Reference get_projection semantics (graph_kernels.py:387-519):
+    k-step random-walk kernel scores from one-hot seeds + correction.
+    seed_sets[0] is THE seed set; samples >= 1 feed rdm_seed's z-score
+    ((x - mean)/population-std over dense per-sample projections)."""
+    src, dst = _edge_arrays(edges)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+
+    def proj(seeds):
+        x = np.zeros(n)
+        x[list(seeds)] = 1.0
+        for _ in range(steps):
+            x = np.bincount(dst, weights=x[src] * inv[src], minlength=n)
+        return x
+
+    score = proj(seed_sets[0])
+    if correction is None:
+        out = score
+    elif correction == "seedset_size":
+        out = score / len(seed_sets[0])
+    elif correction == "degree":
+        und = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        und |= {(b, a) for a, b in und}
+        d = np.bincount(np.array([a for a, _ in und], dtype=np.int64), minlength=n)
+        out = score / np.maximum(d, 1)
+    elif correction == "rdm_seed":
+        samples = np.stack([proj(seed_sets[s]) for s in sorted(seed_sets) if s >= 1])
+        mu = samples.mean(axis=0)
+        sd = samples.std(axis=0)
+        out = (score - mu) / np.where(sd > 0, sd, 1.0)
+    else:
+        raise ValueError(correction)
+    if norm and out.sum() != 0:
+        out = out / out.sum()
+    return out
+
+
+def gromov_wasserstein_barycenter(
+    costs: dict,
+    p_s: dict,
+    p_center: np.ndarray,
+    weights: dict | None = None,
+    max_iter: int = 4,
+    cost_bound: float = 1e-3,
+    **gw_kwargs,
+) -> tuple[np.ndarray, dict, list]:
+    """Dense mirror of the reference barycenter loop
+    (gromov_wasserstein_graphs.py:598-715, L2 loss)."""
+    ids = list(costs.keys())
+    w = weights or {k: 1.0 / len(ids) for k in ids}
+    pc = p_center.reshape(-1, 1)
+    bary = np.diag(pc[:, 0])
+    transports = {k: p_s[k].reshape(-1, 1) @ pc.T for k in ids}
+    denom = pc @ pc.T
+    rounds = []
+    bary_abs = float(np.abs(bary).sum())
+    for _ in range(max_iter):
+        d_gw = {}
+        for k in ids:
+            transports[k], d_gw[k], _ = gromov_wasserstein_discrepancy(
+                costs[k], bary, p_s[k], pc[:, 0], trans0=transports[k], **gw_kwargs
+            )
+        rounds.append(d_gw)
+        new_bary = sum(
+            w[k] * (transports[k].T @ (costs[k] @ transports[k])) for k in ids
+        ) / denom
+        rel = float(np.abs(new_bary - bary).sum()) / bary_abs if bary_abs > 0 else 0.0
+        bary = new_bary
+        bary_abs = float(np.abs(bary).sum())
+        if rel <= cost_bound:
+            break
+    return bary, transports, rounds

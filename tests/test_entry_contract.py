@@ -51,12 +51,9 @@ def test_every_query_has_callable():
     assert len(qs) >= 30
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # iterative/stub queries are the only ones allowed to omit oracles
-    assert set(qs) - set(oracles) == {
-        "graph_pagerank_full",
-        "graph_lpa",
-        "multimodal_features",
-    }
+    # full-convergence PageRank is the only query allowed to omit an
+    # oracle (iterative to a data-dependent depth — not SQL-unrollable)
+    assert set(qs) - set(oracles) == {"graph_pagerank_full"}
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)

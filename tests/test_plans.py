@@ -78,3 +78,75 @@ def test_pagerank_linked_is_single_wide_shuffle(spark):
     )
     plan = _plan(contrib)
     assert "partial_sum" in plan  # map-side combine on the wide agg
+
+
+def test_epsilon_nn_default_no_cartesian(spark):
+    """The shipped ε-NN path must be the grid equi-join, not a
+    cartesian theta join (which only survives behind method='brute')."""
+    from efficient_graph_algorithms_spark.operators.graph_build import epsilon_nn_graph
+
+    pts = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 0.0, 0.0]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    plan = _plan(epsilon_nn_graph(pts, eps=1.5, dim=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_cosine_pairs_default_no_cartesian(spark):
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.1, float(i % 4) + 0.1]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(cosine_pairs(vecs, threshold=0.95, dim=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_knn_lsh_no_cartesian(spark):
+    from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 13 + j) % 9) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(knn_graph(vecs, k=3, method="lsh", dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_state_cutter_bounds_stats(spark):
+    """Iterated self-joins barriered by StateCutter keep Catalyst's size
+    estimate bounded and real. Through localCheckpoint, Spark 4 carries
+    the source plan's ESTIMATED stats onto the checkpoint, and join
+    estimates multiply — the estimate's digit count doubles per
+    iteration until the driver spends minutes in BigInt multiplication
+    (observed on the Borůvka fixpoint; see plans/lineage.py)."""
+    import contextlib
+    import io
+    import re
+
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("v"))
+    with StateCutter(spark, "statstest") as cut:
+        state = cut(df)
+        for _ in range(8):
+            nxt = (
+                state.alias("a")
+                .join(state.select("id", F.col("v").alias("v2")).alias("b"), "id")
+                .select("id", ((F.col("v") + F.col("v2")) % 7).alias("v"))
+            )
+            state = cut(nxt)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            state.alias("x").join(state.select("id").alias("y"), "id").explain("cost")
+        sizes = re.findall(r"sizeInBytes=([\d.]+) (\S+)", buf.getvalue())
+        assert sizes, buf.getvalue()
+        # bounded: every estimate in the plan stays in human units, no
+        # astronomically-multiplied carried stats
+        assert all(unit.rstrip(",)") in ("B", "KiB", "MiB") for _, unit in sizes), sizes
+        assert state.count() == 100

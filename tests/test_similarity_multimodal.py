@@ -154,3 +154,77 @@ def test_streaming_matches_batch(spark, tmp_path):
         ]
 
     assert norm(got) == norm(batch)
+
+
+def test_epsilon_nn_grid_equals_brute(spark):
+    """Grid candidates are an exact superset: grid path == brute path."""
+    from efficient_graph_algorithms_spark.operators.graph_build import epsilon_nn_graph
+
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(0, 3, size=6)]) for i in range(120)],
+        "id long, vec array<double>",
+    )
+    pts = pts.persist()
+    grid = {(r["src"], r["dst"]): round(r["weight"], 9)
+            for r in epsilon_nn_graph(pts, eps=1.2, dim=6).collect()}
+    brute = {(r["src"], r["dst"]): round(r["weight"], 9)
+             for r in epsilon_nn_graph(pts, eps=1.2, method="brute").collect()}
+    pts.unpersist()
+    assert grid == brute and len(brute) > 0
+
+
+def test_cosine_pairs_grid_equals_brute(spark):
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(40, 16))
+    # plant near-duplicates: rows 40..49 are noisy copies of rows 0..9
+    dups = base[:10] + rng.normal(scale=0.05, size=(10, 16))
+    allv = np.vstack([base, dups]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(allv)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    grid = {(r["a"], r["b"]): r["cos"] for r in cosine_pairs(df, threshold=0.9, dim=16).collect()}
+    brute = {(r["a"], r["b"]): r["cos"] for r in cosine_pairs(df, threshold=0.9, method="brute").collect()}
+    df.unpersist()
+    assert grid == brute
+    # the planted duplicates are found
+    assert all((i, i + 40) in grid for i in range(10))
+
+
+def test_knn_graph_exact_and_lsh_recall(spark):
+    """exact method == NumPy full-pairs top-k symmetrized; LSH method
+    recovers planted duplicate edges (recall on the pairs that matter)."""
+    from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(60, 16))
+    dups = base[:15] + rng.normal(scale=0.03, size=(15, 16))
+    allv = np.vstack([base, dups]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(allv)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    k = 3
+    got = {(r["src"], r["dst"]) for r in knn_graph(df, k=k, method="exact").collect()}
+    # NumPy oracle: cosine, round 4, top-k per row over full pairs, symmetrize
+    v = allv.astype(np.float64)
+    nrm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = np.round(nrm @ nrm.T, 4)
+    np.fill_diagonal(cos, -np.inf)
+    exp = set()
+    n = len(v)
+    for i in range(n):
+        order = sorted(range(n), key=lambda j: (-cos[i, j], j))[:k]
+        for j in order:
+            exp.add((i, j)); exp.add((j, i))
+    assert got == exp
+    # LSH path: every planted-dup edge (cos ~ 0.999, guaranteed top-1) found
+    lsh = {(r["src"], r["dst"]) for r in
+           knn_graph(df, k=k, method="lsh", n_tables=6, n_planes=6, dim=16).collect()}
+    planted = {(i, i + 60) for i in range(15)} | {(i + 60, i) for i in range(15)}
+    found = len(planted & lsh) / len(planted)
+    assert found >= 0.9
+    df.unpersist()

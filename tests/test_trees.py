@@ -1,0 +1,130 @@
+"""Tree-GFI 2-pass DP + Borůvka MST vs NumPy oracles
+(reference semantics: trees.py:93-125, spanning_trees.py:98-124,
+test protocol of scripts/experiments/test_spanning_trees.py:70-76)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from efficient_graph_algorithms_spark.operators.trees import (
+    boruvka_mst,
+    mst_as_rooted_tree,
+    tree_depths,
+    tree_gfi_matvec,
+)
+from efficient_graph_algorithms_spark.oracle import numpy_oracle as oracle
+from tests.test_graph_algorithms import er_graph
+
+
+def random_tree(n: int, seed: int) -> dict[int, tuple[int, float]]:
+    """Random rooted tree: parent(i) uniform in [0, i), weight in (0.1, 1.1)."""
+    rng = np.random.default_rng(seed)
+    return {
+        i: (int(rng.integers(0, i)), float(rng.uniform(0.1, 1.1)))
+        for i in range(1, n)
+    }
+
+
+def _matvec_case(spark, n, seed, a):
+    parents = random_tree(n, seed)
+    rng = np.random.default_rng(seed + 1)
+    field = rng.uniform(-1, 1, size=n)
+    exp = oracle.tree_gfi_matvec(parents, n, field, a=a)
+
+    tree = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+    )
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    twd = tree_depths(tree, root=0)
+    got_df = tree_gfi_matvec(twd, fdf, a=a).toPandas().set_index("id")["value"]
+    got = np.zeros(n)
+    got[got_df.index] = got_df.to_numpy()
+    assert np.allclose(got, exp, atol=1e-6), np.abs(got - exp).max()
+
+
+def test_tree_gfi_matvec_random_trees(spark):
+    for seed, a in ((31, -0.8), (32, -1.5), (33, -0.3)):
+        _matvec_case(spark, 60, seed, a)
+
+
+def test_tree_gfi_matvec_path_and_star(spark):
+    # path graph: parent(i) = i-1; star: parent(i) = 0
+    n = 30
+    field = np.linspace(-1, 1, n)
+    for parents in (
+        {i: (i - 1, 0.5) for i in range(1, n)},
+        {i: (0, 0.25 + 0.01 * i) for i in range(1, n)},
+    ):
+        exp = oracle.tree_gfi_matvec(parents, n, field, a=-1.0)
+        tree = spark.createDataFrame(
+            [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+        )
+        fdf = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+        )
+        got_df = tree_gfi_matvec(tree_depths(tree, root=0), fdf, a=-1.0).toPandas()
+        got = np.zeros(n)
+        got[got_df["id"]] = got_df["value"]
+        assert np.allclose(got, exp, atol=1e-6)
+
+
+def test_boruvka_mst_matches_kruskal(spark):
+    n = 80
+    edges = er_graph(n, 0.08, seed=41)
+    rng = np.random.default_rng(42)
+    w = rng.uniform(0.1, 5.0, size=len(edges))
+    ew = [(int(a), int(b), float(x)) for (a, b), x in zip(edges, w)]
+    exp = oracle.kruskal_mst(ew, n)
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    mst, info = boruvka_mst(spark, df)
+    got = {(r["src"], r["dst"], round(r["w"], 9)) for r in mst.collect()}
+    assert got == {(s, d, round(x, 9)) for s, d, x in exp}
+    assert info["converged"]
+
+
+def test_boruvka_mst_duplicate_weights(spark):
+    """Lexicographic tie-break keeps Borůvka == Kruskal with ties."""
+    n = 40
+    edges = er_graph(n, 0.12, seed=43)
+    w = [0.5 + (i % 3) * 0.25 for i in range(len(edges))]  # many duplicates
+    ew = [(int(a), int(b), float(x)) for (a, b), x in zip(edges, w)]
+    exp = oracle.kruskal_mst(ew, n)
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    mst, _ = boruvka_mst(spark, df)
+    got = {(r["src"], r["dst"], round(r["w"], 9)) for r in mst.collect()}
+    assert got == {(s, d, round(x, 9)) for s, d, x in exp}
+
+
+def test_mst_tree_gfi_end_to_end(spark):
+    """The reference's num_trees=1 spanning-tree integrator: MST →
+    rooted tree → exact exp-kernel matvec (spanning_trees.py:80-96)."""
+    n = 50
+    edges = er_graph(n, 0.1, seed=44)
+    rng = np.random.default_rng(45)
+    w = rng.uniform(0.2, 2.0, size=len(edges))
+    ew = [(int(a), int(b), float(x)) for (a, b), x in zip(edges, w)]
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    mst, _ = boruvka_mst(spark, df)
+    rooted = mst_as_rooted_tree(spark, mst, root=0)
+
+    rows = rooted.collect()
+    assert len(rows) > 0
+    parents = {r["id"]: (r["parent"], r["w"]) for r in rows}
+    covered = sorted({r["id"] for r in rows} | {0})
+    # restrict to the component of the root
+    remap = {v: i for i, v in enumerate(covered)}
+    m = len(covered)
+    parents_c = {remap[c]: (remap[p], w) for c, (p, w) in parents.items()}
+    field = np.linspace(0.5, 1.5, m)
+    exp = oracle.tree_gfi_matvec(parents_c, m, field, a=-1.0)
+
+    fdf = spark.createDataFrame(
+        [(v, float(field[remap[v]])) for v in covered], "id long, value double"
+    )
+    got_df = tree_gfi_matvec(rooted, fdf, a=-1.0, root=0).toPandas()
+    got = np.zeros(m)
+    for _, r in got_df.iterrows():
+        got[remap[int(r["id"])]] = r["value"]
+    assert np.allclose(got, exp, atol=1e-6)
