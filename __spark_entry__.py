@@ -405,6 +405,157 @@ sc AS (SELECT c.a, c.b, round({_COS_EXPR}, 4) AS cos FROM cand c
     return _knn_rank_sql(head, KNN_K)
 
 
+FRT_N = 40
+FRT_SEED = 7
+
+
+def _frt_fixture_edges() -> list[tuple[int, int, float]]:
+    """Deterministic connected graph: ring + stride-7 chords with DYADIC
+    (quarter-unit) weights — every shortest-path sum is then exactly
+    representable, so Spark and DuckDB agree bit-for-bit on distances
+    regardless of relaxation order."""
+    agg: dict[tuple[int, int], float] = {}
+    for i in range(FRT_N):
+        for a, b, w in (
+            (i, (i + 1) % FRT_N, (1 + (i % 5)) / 4.0),
+            *(((i, (i + 7) % FRT_N, (1 + ((i * 3 + 1) % 5)) / 4.0),) if i % 3 == 0 else ()),
+        ):
+            k = (min(a, b), max(a, b))
+            agg[k] = min(agg.get(k, float("inf")), w)
+    return [(a, b, w) for (a, b), w in sorted(agg.items())]
+
+
+def _frt_constants() -> dict:
+    """Python-side Dijkstra on the fixture: ecc/δ/radii as literals shared
+    by the Spark query and the SQL oracle (keeps log2/ceil out of SQL)."""
+    import heapq
+    import math
+
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit
+    from efficient_graph_algorithms_spark.operators.trees import frt_beta
+
+    ew = _frt_fixture_edges()
+    adj: dict[int, list[tuple[int, float]]] = {v: [] for v in range(FRT_N)}
+    for s, t, w in ew:
+        adj[s].append((t, w))
+        adj[t].append((s, w))
+    dist = [float("inf")] * FRT_N
+    dist[0] = 0.0
+    pq = [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        for v, w in adj[u]:
+            if d + w < dist[v]:
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+    ecc = max(dist)
+    wmin = min(w for _, _, w in ew)
+    beta = frt_beta(FRT_SEED)
+    delta = max(0, math.ceil(math.log2(max(2.0 * ecc, wmin) / wmin)))
+    radii = {i: beta * (2.0**i) * wmin for i in range(delta, -1, -1)}
+    return {
+        "ew": ew,
+        "wmin": wmin,
+        "delta": delta,
+        "radii": radii,
+        "root": -md5_60bit(f"frtroot{FRT_SEED}") - 1,
+    }
+
+
+def q_graph_frt_tree(spark, sf_dir):
+    """One seeded FRT low-stretch tree of the dyadic fixture graph
+    (reference frt_trees.py:47-115) — Pareto-frontier parallel
+    construction; the oracle recomputes the same tree from the direct
+    definition (APSP by min-plus squaring + per-level argmin-π)."""
+    from efficient_graph_algorithms_spark.operators.trees import frt_tree
+
+    edges = spark.createDataFrame(_frt_fixture_edges(), "src long, dst long, w double")
+    tree, _ = frt_tree(spark, edges, seed=FRT_SEED)
+    return tree.select("id", "parent", F.round("w", 6).alias("w"), "depth")
+
+
+def _frt_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.functions.hashing import duckdb_md5_60bit_sql
+
+    c = _frt_constants()
+    delta, radii, root = c["delta"], c["radii"], c["root"]
+    wmin = c["wmin"]
+    vals = ", ".join(f"({a}, {b}, {w!r})" for a, b, w in c["ew"])
+    rmax = radii[delta]
+    # min-plus squaring: K rounds cover 2^K hops
+    import math
+
+    k_rounds = max(1, math.ceil(math.log2(FRT_N)))
+    lines = [
+        f"WITH e(src, dst, w) AS (VALUES {vals}),",
+        "sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),",
+        "d0 AS (SELECT src AS a, dst AS b, min(w) AS d FROM sym GROUP BY src, dst"
+        f" UNION ALL SELECT range, range, 0.0 FROM range({FRT_N})),",
+    ]
+    for r in range(1, k_rounds + 1):
+        lines.append(
+            f"d{r} AS MATERIALIZED (SELECT a, b, min(d) AS d FROM ("
+            f"SELECT a, b, d FROM d{r - 1} UNION ALL "
+            f"SELECT x.a, y.b, x.d + y.d AS d FROM d{r - 1} x JOIN d{r - 1} y ON x.b = y.a "
+            f"WHERE x.d + y.d <= {rmax!r}) GROUP BY a, b),"
+        )
+    pri_expr = duckdb_md5_60bit_sql("concat('frt', CAST({s} AS VARCHAR), ':', CAST(range AS VARCHAR))").format(
+        s=FRT_SEED
+    )
+    lines.append(
+        f"pri AS (SELECT range AS id, {pri_expr} AS pri FROM range({FRT_N})),"
+    )
+    apsp = f"d{k_rounds}"
+    for i in range(delta, -1, -1):
+        lines.append(
+            f"c{i} AS MATERIALIZED (SELECT d.b AS v, arg_min(d.a, p.pri) AS c FROM {apsp} d "
+            f"JOIN pri p ON p.id = d.a WHERE d.d <= {radii[i]!r} GROUP BY d.b),"
+        )
+    joins = " ".join(f"JOIN c{i} ON c{i}.v = v0.v" for i in range(delta, -1, -1))
+    cols = ", ".join(f"c{i}.c AS c{i}" for i in range(delta, -1, -1))
+    lines.append(f"asg AS (SELECT v0.v AS id, {cols} FROM c{delta} v0 {joins}),")
+    melt_parts = []
+    for i in range(delta, -1, -1):
+        pathcat = " || '/' || ".join(
+            f"CAST(c{j} AS VARCHAR)" for j in range(delta, i - 1, -1)
+        )
+        ppath = (
+            "'ROOT'"
+            if i == delta
+            else " || '/' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(delta, i, -1))
+        )
+        melt_parts.append(
+            f"SELECT id, {i} AS level, {pathcat} AS path, {ppath} AS ppath, "
+            f"{wmin * (2.0 ** i)!r} AS w, {delta - i + 1} AS depth FROM asg"
+        )
+    lines.append("melted AS (" + " UNION ALL ".join(melt_parts) + "),")
+    node = duckdb_md5_60bit_sql("concat('frtnode', CAST({s} AS VARCHAR), ':', {p})")
+    node_path = "-(" + node.format(s=FRT_SEED, p="path") + ") - 1"
+    node_ppath = (
+        f"CASE WHEN ppath = 'ROOT' THEN {root} ELSE -("
+        + node.format(s=FRT_SEED, p="ppath")
+        + ") - 1 END"
+    )
+    lines += [
+        "sizes AS (SELECT level, path, count(*) AS n_members, min(ppath) AS ppath, "
+        "min(w) AS w, min(depth) AS depth, min(id) AS solo FROM melted GROUP BY level, path),",
+        f"internal AS (SELECT {node_path} AS id, {node_ppath} AS parent, w, depth "
+        "FROM sizes WHERE n_members >= 2),",
+        "single AS (SELECT m.id, max(m.level) AS slevel FROM melted m "
+        "JOIN sizes s ON s.level = m.level AND s.path = m.path "
+        "WHERE s.n_members = 1 GROUP BY m.id),",
+        f"leaves AS (SELECT m.id, {node_ppath} AS parent, m.w AS w, m.depth AS depth "
+        "FROM melted m JOIN single s ON s.id = m.id AND s.slevel = m.level)",
+    ]
+    return (
+        "\n".join(lines)
+        + "\nSELECT id, parent, round(w, 6) AS w, depth FROM internal"
+        + "\nUNION ALL SELECT id, parent, round(w, 6) AS w, depth FROM leaves"
+    )
+
+
 TREE_N = 2000  # binary-heap tree: parent(i) = (i-1)//2, depth <= 10
 TREE_A = -0.7
 TREE_DEPTH = 10  # floor(log2(TREE_N)) for TREE_N = 2000
@@ -1329,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_3iter": q_graph_ppr_3iter,
         "graph_matching": q_graph_matching,
         "graph_tree_gfi": q_graph_tree_gfi,
+        "graph_frt_tree": q_graph_frt_tree,
         "graph_kernel_projection": q_graph_kernel_projection,
         "graph_interp_ratio": q_graph_interp_ratio,
         "graph_rw2": q_graph_rw2,
@@ -1391,6 +1543,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),
+        "graph_frt_tree": _frt_oracle_sql(),
         "graph_kernel_projection": _kernel_projection_oracle_sql(),
         "graph_rw2": _RW2_ORACLE_SQL,
         "graph_heat2": _HEAT2_ORACLE_SQL,

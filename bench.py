@@ -11,6 +11,8 @@ on local[$SPARK_GRAFT_CPUS]:
   q_lpa        5 rounds of synchronous LPA
   q_dedup      MinHash-LSH near-dup pairs over documents
   q_topk_sim   brute-force cosine top-k over embeddings
+  q_knn_lsh    symmetrized k-NN graph via multi-table RP-LSH (scale path)
+  q_tree_gfi   exp-kernel 2-pass tree matvec on a |V|-node heap tree
 
 The headline metric is PageRank edges/sec/iteration (BASELINE.md).
 """
@@ -130,6 +132,39 @@ def main() -> int:
     t0 = time.time()
     meta["topk_rows"] = cosine_topk(emb, q, k=10).count()
     queries["q_topk_sim"] = round(time.time() - t0, 3)
+
+    # -- k-NN graph via multi-table RP-LSH (the similarity scale path) --------
+    from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+    t0 = time.time()
+    meta["knn_edges"] = knn_graph(
+        emb, k=5, method="lsh", n_tables=4, n_planes=8, dim=64
+    ).count()
+    queries["q_knn_lsh"] = round(time.time() - t0, 3)
+    _log("knn done")
+
+    # -- exp-kernel tree matvec at |V| scale (tree-GFI family) ----------------
+    # binary-heap tree over the graph's vertex count: deterministic
+    # depth = floor(log2 n), so the level-synchronous 2-pass DP cost is
+    # predictable (MST construction itself is covered by tests)
+    import math as _math
+
+    from efficient_graph_algorithms_spark.operators.trees import tree_gfi_matvec
+
+    t0 = time.time()
+    n_tree = n_vertices
+    tree_depth = int(_math.floor(_math.log2(max(n_tree, 2))))
+    heap_tree = spark.range(1, n_tree).select(
+        "id",
+        ((F.col("id") - 1) / 2).cast("long").alias("parent"),
+        ((1 + F.col("id") % 5) / F.lit(4.0)).alias("w"),
+        F.floor(F.log2(F.col("id") + 1)).cast("int").alias("depth"),
+    )
+    fld = spark.range(n_tree).select("id", (F.col("id") % 97 / 97.0).alias("value"))
+    meta["tree_gfi_rows"] = tree_gfi_matvec(heap_tree, fld, a=-0.5, root=0).count()
+    meta["tree_depth"] = tree_depth
+    queries["q_tree_gfi"] = round(time.time() - t0, 3)
+    _log("tree gfi done")
 
     total = round(sum(queries.values()), 3)
     print(

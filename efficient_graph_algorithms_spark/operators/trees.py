@@ -33,9 +33,10 @@ one sorted loop.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.functions.f_fun import FFun, exp_kernel
@@ -321,3 +322,287 @@ def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int) -> DataFr
     if rows is None:
         return spark.createDataFrame([], "id long, parent long, w double, depth int")
     return rows
+
+
+# ---------------------------------------------------------------------------
+# FRT low-stretch hierarchical trees (Fakcharoenphol-Rao-Talwar)
+# ---------------------------------------------------------------------------
+
+FRT_CAND_T = "array<struct<pri:bigint,dist:double,cid:bigint>>"
+
+
+def _frt_pri_expr(seed: int, col: str) -> Column:
+    """Portable center priority: md5-60bit of 'frt{seed}:{id}' — the
+    random permutation π (only the order matters), computable
+    identically in Spark SQL, DuckDB SQL, and Python."""
+    from efficient_graph_algorithms_spark.functions.hashing import spark_md5_60bit_sql
+
+    return F.expr(spark_md5_60bit_sql(f"concat('frt{seed}:', CAST({col} AS STRING))"))
+
+
+def frt_beta(seed: int) -> float:
+    """Deterministic β ∈ [0.5, 1) (reference: np.random.uniform(0.5, 1),
+    frt_trees.py:68)."""
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit
+
+    return 0.5 + 0.5 * (md5_60bit(f"frtbeta{seed}") % (1 << 30)) / float(1 << 30)
+
+
+def _pareto_frontier(spark, cands_sorted: Column) -> Column:
+    """Scan a (pri asc, dist asc)-sorted candidate array keeping entries
+    strictly closer than every smaller-priority entry — the per-vertex
+    Pareto frontier of (π-priority, distance). A center can be some
+    level's assignment iff no other center is both earlier in π and at
+    least as close, so the frontier is exactly the set of possible
+    assignments across ALL radii (one propagation serves every level)."""
+    empty = F.expr(f"CAST(array() AS {FRT_CAND_T})")
+    acc0 = F.struct(empty.alias("arr"), F.lit(float("inf")).alias("best"))
+    return F.aggregate(
+        cands_sorted,
+        acc0,
+        lambda acc, x: F.when(
+            x["dist"] < acc["best"],
+            F.struct(F.concat(acc["arr"], F.array(x)).alias("arr"), x["dist"].alias("best")),
+        ).otherwise(acc),
+        lambda acc: acc["arr"],
+    )
+
+
+def frt_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 42,
+    max_hops: int = 100,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Sample one FRT tree of a connected weighted graph (w > 0).
+
+    Semantics mirror the reference's ``FRTTreeGFIntegrator._frt_tree``
+    (``reference src/ega/algorithms/frt_trees.py:47-115``): levels
+    i = δ..0 with radius R_i = β·2^i·w_min; every vertex belongs, at
+    level i, to the FIRST center in π order whose R_i-ball contains it;
+    clusters = vertices sharing the center path; each ≥2-vertex cluster
+    becomes an internal tree node joined to its parent cluster with
+    weight w_min·2^i; a vertex attaches itself at the first level its
+    cluster is singleton. π and β are seeded hashes, so the sample is
+    deterministic and portable (same tree in the NumPy mirror and in a
+    SQL oracle).
+
+    Spark realization (the Blelloch-style parallel FRT): one
+    level-synchronous relaxation computes each vertex's Pareto frontier
+    of (π, dist) candidates under the top radius; every level's
+    assignment is then a pure column lookup into that frontier —
+    O(hop-diameter) rounds total, NOT per level. Internal node ids are
+    negative hashes of the center path (vertex ids must be ≥ 0).
+
+    Returns ((id, parent, w, depth) for every non-root node, info) with
+    info = {root, delta, beta, w_min, hops}.
+    """
+    from efficient_graph_algorithms_spark.functions.hashing import (
+        md5_60bit,
+        spark_md5_60bit_sql,
+    )
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    sym = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+                F.col("w").cast("double").alias("w"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    wmin = float(sym.agg(F.min("w")).collect()[0][0])
+    if wmin <= 0:
+        raise ValueError("FRT requires strictly positive edge weights")
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct().persist()
+    )
+
+    cut = StateCutter(spark, "frt")
+    try:
+        # --- phase A: eccentricity bound from the min-id vertex (min-plus
+        # relaxation to fixpoint) — sets the level count δ
+        v0 = int(verts.agg(F.min("id")).collect()[0][0])
+        d = cut(verts.select("id", F.when(F.col("id") == v0, 0.0).alias("d")))
+        hops = 0
+        for _ in range(max_hops):
+            hops += 1
+            relaxed = (
+                sym.join(d.where(F.col("d").isNotNull()).withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+            )
+            nd = cut(
+                d.join(relaxed, "id", "left").select(
+                    "id", F.least(F.coalesce("d", "nd"), F.coalesce("nd", "d")).alias("d")
+                )
+            )
+            if nd.join(d.withColumnRenamed("d", "d0"), "id").where(
+                ~F.col("d").eqNullSafe(F.col("d0"))
+            ).isEmpty():
+                d = nd
+                break
+            d = nd
+        if not d.where(F.col("d").isNull()).isEmpty():
+            raise ValueError("frt_tree requires a connected graph")
+        ecc = float(d.agg(F.max("d")).collect()[0][0])
+        beta = frt_beta(seed)
+        delta = max(0, math.ceil(math.log2(max(2.0 * ecc, wmin) / wmin)))
+        r_max = beta * (2.0**delta) * wmin
+
+        # --- phase B: Pareto-frontier relaxation under R_max
+        pri = _frt_pri_expr(seed, "id")
+        state = cut(
+            verts.select(
+                "id",
+                F.array(
+                    F.struct(pri.alias("pri"), F.lit(0.0).alias("dist"), F.col("id").alias("cid"))
+                ).cast(FRT_CAND_T).alias("cands"),
+            )
+        )
+        for _ in range(max_hops):
+            flat = state.select("id", F.explode("cands").alias("c")).select(
+                "id", F.col("c.pri").alias("pri"), F.col("c.dist").alias("dist"), F.col("c.cid").alias("cid")
+            )
+            msgs = (
+                sym.join(flat.withColumnRenamed("id", "src"), "src")
+                .select(
+                    F.col("dst").alias("id"), "pri", (F.col("dist") + F.col("w")).alias("dist"), "cid"
+                )
+                .where(F.col("dist") <= F.lit(r_max))
+            )
+            merged = (
+                flat.unionByName(msgs)
+                .groupBy("id", "pri", "cid")
+                .agg(F.min("dist").alias("dist"))
+                .groupBy("id")
+                .agg(F.array_sort(F.collect_list(F.struct("pri", "dist", "cid"))).alias("srt"))
+                .select("id", _pareto_frontier(spark, F.col("srt")).alias("cands"))
+            )
+            new_state = cut(merged)
+            changed = (
+                new_state.join(state.withColumnRenamed("cands", "cands0"), "id")
+                .where(~F.col("cands").eqNullSafe(F.col("cands0")))
+                .isEmpty()
+            )
+            state = new_state
+            if changed:
+                break
+
+        # --- phase C: per-level assignment + cluster-path tree assembly
+        levels = list(range(delta, -1, -1))
+
+        def _center_at(radius: float) -> Column:
+            # NOTE: the lambda must take exactly ONE parameter — a second
+            # parameter makes pyspark pass the ELEMENT INDEX into it
+            return F.filter(F.col("cands"), lambda x: x["dist"] <= F.lit(radius))[0]["cid"]
+
+        asg = state.select(
+            "id",
+            *[_center_at(beta * (2.0**i) * wmin).alias(f"c{i}") for i in levels],
+        )
+        path_cols = []
+        for i in levels:
+            parts = [F.col(f"c{j}").cast("string") for j in range(delta, i - 1, -1)]
+            path_cols.append(F.concat_ws("/", *parts).alias(f"p{i}"))
+        asg = asg.select("id", *path_cols).persist()
+        asg.count()
+
+        # melt to (id, level, path, parent_path); parent at level δ = ROOT
+        melted = None
+        for i in levels:
+            parent = F.col(f"p{i + 1}") if i < delta else F.lit("ROOT")
+            part = asg.select(
+                "id", F.lit(i).alias("level"), F.col(f"p{i}").alias("path"), parent.alias("ppath")
+            )
+            melted = part if melted is None else melted.unionByName(part)
+        sizes = melted.groupBy("level", "path").agg(
+            F.count("*").alias("n_members"), F.min("ppath").alias("ppath")
+        ).persist()
+
+        def node_id(path_col):
+            return -F.expr(
+                spark_md5_60bit_sql(f"concat('frtnode{seed}:', {path_col})")
+            ) - F.lit(1)
+
+        root_id = -md5_60bit(f"frtroot{seed}") - 1
+        parent_node = F.when(F.col("ppath") == "ROOT", F.lit(root_id)).otherwise(
+            node_id("ppath")
+        )
+        internal = sizes.where(F.col("n_members") >= 2).select(
+            node_id("path").alias("id"),
+            parent_node.alias("parent"),
+            (F.lit(wmin) * F.pow(F.lit(2.0), F.col("level"))).alias("w"),
+            (F.lit(delta) - F.col("level") + F.lit(1)).cast("int").alias("depth"),
+        )
+        # leaves: each vertex attaches at its FIRST (highest) singleton level
+        single = (
+            melted.join(sizes.select("level", "path", "n_members"), ["level", "path"])
+            .where(F.col("n_members") == 1)
+            .groupBy("id")
+            .agg(F.max("level").alias("slevel"))
+        )
+        leaves = (
+            melted.join(single, "id")
+            .where(F.col("level") == F.col("slevel"))
+            .select(
+                "id",
+                F.when(F.col("ppath") == "ROOT", F.lit(root_id))
+                .otherwise(node_id("ppath"))
+                .alias("parent"),
+                (F.lit(wmin) * F.pow(F.lit(2.0), F.col("level"))).alias("w"),
+                (F.lit(delta) - F.col("level") + F.lit(1)).cast("int").alias("depth"),
+            )
+        )
+        tree = internal.unionByName(leaves).localCheckpoint(eager=True)
+        sizes.unpersist()
+        asg.unpersist()
+        info = {"root": root_id, "delta": delta, "beta": beta, "w_min": wmin, "hops": hops}
+        return tree, info
+    finally:
+        sym.unpersist()
+        verts.unpersist()
+        cut.close()
+
+
+def frt_gfi_integrate(
+    spark: SparkSession,
+    edges: DataFrame,
+    field: DataFrame,
+    a: float = -1.0,
+    num_trees: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """FRT-tree graph-field integrator: average of exact exp-kernel tree
+    matvecs over ``num_trees`` sampled FRT trees (reference
+    ``frt_trees.py:40-45`` ``integrate_graph_field`` — internal cluster
+    nodes carry zero field and are dropped from the output)."""
+    acc = None
+    for t in range(num_trees):
+        tree, info = frt_tree(spark, edges, seed=seed + 1000 * t)
+        full_field = (
+            tree.select("id")
+            .unionByName(spark.createDataFrame([(info["root"],)], "id long"))
+            .join(field, "id", "left")
+            .select("id", F.coalesce("value", F.lit(0.0)).alias("value"))
+        )
+        out = tree_gfi_matvec(tree, full_field, a=a, root=info["root"]).where(
+            F.col("id") >= 0
+        )
+        acc = out if acc is None else (
+            acc.withColumnRenamed("value", "v0")
+            .join(out, "id")
+            .select("id", (F.col("v0") + F.col("value")).alias("value"))
+            .localCheckpoint(eager=True)
+        )
+    return acc.select("id", (F.col("value") / F.lit(float(num_trees))).alias("value"))

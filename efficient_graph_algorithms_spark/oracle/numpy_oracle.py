@@ -464,3 +464,83 @@ def gromov_wasserstein_barycenter(
         if rel <= cost_bound:
             break
     return bary, transports, rounds
+
+
+def frt_tree(
+    edges_w: list[tuple[int, int, float]], n: int, seed: int = 42
+) -> tuple[set[tuple[int, int, float, int]], int]:
+    """Independent mirror of operators/trees.frt_tree (reference
+    semantics frt_trees.py:47-115) using exact Dijkstra distances and
+    the direct per-level assignment rule: at level i, vertex v belongs
+    to the first center in π order whose R_i-ball contains v. Returns
+    ({(id, parent, w, depth)}, root_id)."""
+    import heapq
+    import math as _math
+
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit
+
+    adj: dict[int, list[tuple[int, float]]] = {v: [] for v in range(n)}
+    for s, t, w in edges_w:
+        if s == t:
+            continue
+        adj[s].append((t, float(w)))
+        adj[t].append((s, float(w)))
+    wmin = min(w for _, _, w in edges_w)
+
+    def dijkstra(s: int) -> list[float]:
+        dist = [float("inf")] * n
+        dist[s] = 0.0
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist[u]:
+                continue
+            for v, w in adj[u]:
+                nd = d + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    dmat = [dijkstra(s) for s in range(n)]
+    ecc = max(dmat[0])
+    assert ecc < float("inf"), "frt oracle requires a connected graph"
+    beta = 0.5 + 0.5 * (md5_60bit(f"frtbeta{seed}") % (1 << 30)) / float(1 << 30)
+    delta = max(0, _math.ceil(_math.log2(max(2.0 * ecc, wmin) / wmin)))
+    pri = {v: md5_60bit(f"frt{seed}:{v}") for v in range(n)}
+
+    centers: dict[int, list[int]] = {}  # v -> [c_delta, ..., c_0]
+    for v in range(n):
+        cs = []
+        for i in range(delta, -1, -1):
+            r = beta * (2.0**i) * wmin
+            cands = [c for c in range(n) if dmat[c][v] <= r]
+            cs.append(min(cands, key=lambda c: pri[c]))
+        centers[v] = cs
+
+    def path(v: int, i: int) -> str:
+        return "/".join(str(c) for c in centers[v][: delta - i + 1])
+
+    root = -md5_60bit(f"frtroot{seed}") - 1
+
+    def node(p: str) -> int:
+        return -md5_60bit(f"frtnode{seed}:{p}") - 1
+
+    rows: set[tuple[int, int, float, int]] = set()
+    attached: set[int] = set()
+    for i in range(delta, -1, -1):
+        groups: dict[str, list[int]] = {}
+        for v in range(n):
+            if v in attached:
+                continue
+            groups.setdefault(path(v, i), []).append(v)
+        w = wmin * (2.0**i)
+        depth = delta - i + 1
+        for p, members in groups.items():
+            parent = root if i == delta else node(p.rsplit("/", 1)[0])
+            if len(members) >= 2:
+                rows.add((node(p), parent, w, depth))
+            else:
+                rows.add((members[0], parent, w, depth))
+                attached.add(members[0])
+    return rows, root

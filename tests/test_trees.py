@@ -128,3 +128,115 @@ def test_mst_tree_gfi_end_to_end(spark):
     for _, r in got_df.iterrows():
         got[remap[int(r["id"])]] = r["value"]
     assert np.allclose(got, exp, atol=1e-6)
+
+
+def _connected_weighted_graph(n: int, p: float, seed: int):
+    """ER graph + ring backbone (guaranteed connected), seeded weights."""
+    rng = np.random.default_rng(seed)
+    edges = {(int(a), int(b)) for a, b in er_graph(n, p, seed=seed)}
+    edges |= {(i, (i + 1) % n) for i in range(n)}
+    ew = sorted((a, b) if a < b else (b, a) for a, b in edges)
+    ew = sorted(set(ew))
+    return [(a, b, float(rng.uniform(0.3, 2.0))) for a, b in ew]
+
+
+def test_frt_tree_matches_oracle(spark):
+    """Spark's Pareto-frontier FRT == the direct-definition NumPy mirror
+    (same seeded π/β, exact Dijkstra) — node-for-node, weight-for-weight."""
+    from efficient_graph_algorithms_spark.operators.trees import frt_tree
+
+    for seed, n, p in ((21, 30, 0.15), (22, 40, 0.1)):
+        ew = _connected_weighted_graph(n, p, seed)
+        exp_rows, exp_root = oracle.frt_tree(ew, n, seed=seed)
+        df = spark.createDataFrame(ew, "src long, dst long, w double")
+        tree, info = frt_tree(spark, df, seed=seed)
+        got = {
+            (r["id"], r["parent"], round(r["w"], 9), r["depth"]) for r in tree.collect()
+        }
+        assert info["root"] == exp_root
+        assert got == {(i, pa, round(w, 9), d) for i, pa, w, d in exp_rows}
+
+
+def test_frt_tree_dominates_graph_metric(spark):
+    """FRT tree distances dominate the graph metric (dist_T >= dist_G)
+    — the defining low-stretch-embedding property."""
+    import heapq
+
+    from efficient_graph_algorithms_spark.operators.trees import frt_tree
+
+    n, seed = 24, 23
+    ew = _connected_weighted_graph(n, 0.15, seed)
+    adj = {v: [] for v in range(n)}
+    for s, t, w in ew:
+        adj[s].append((t, w)); adj[t].append((s, w))
+
+    def dij(s):
+        dist = {v: float("inf") for v in range(n)}
+        dist[s] = 0.0
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist[u]:
+                continue
+            for v, w in adj[u]:
+                if d + w < dist[v]:
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        return dist
+
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    tree, info = frt_tree(spark, df, seed=seed)
+    parent = {r["id"]: (r["parent"], r["w"]) for r in tree.collect()}
+
+    def tdist(u, v):
+        anc_u = {}
+        x, d = u, 0.0
+        while x in parent:
+            anc_u[x] = d
+            p, w = parent[x]
+            d += w
+            x = p
+        anc_u[x] = d
+        x, d = v, 0.0
+        while x not in anc_u:
+            p, w = parent[x]
+            d += w
+            x = p
+        return d + anc_u[x]
+
+    g0 = dij(0)
+    for v in range(1, n):
+        assert tdist(0, v) >= g0[v] - 1e-9, (v, tdist(0, v), g0[v])
+
+
+def test_frt_gfi_integrate_matches_oracle_trees(spark):
+    """num_trees-averaged FRT integrator == NumPy DP on the mirror trees
+    (reference frt_trees.py:40-45)."""
+    from efficient_graph_algorithms_spark.operators.trees import frt_gfi_integrate
+
+    n, seed, a, num_trees = 20, 24, -0.7, 2
+    ew = _connected_weighted_graph(n, 0.2, seed)
+    rng = np.random.default_rng(seed + 1)
+    field = rng.uniform(-1, 1, size=n)
+
+    acc = np.zeros(n)
+    for t in range(num_trees):
+        rows, root = oracle.frt_tree(ew, n, seed=seed + 1000 * t)
+        ids = sorted({i for i, _, _, _ in rows} | {root})
+        remap = {v: k for k, v in enumerate(ids)}
+        parents = {remap[i]: (remap[p], w) for i, p, w, _ in rows}
+        full_field = np.zeros(len(ids))
+        for v in range(n):
+            full_field[remap[v]] = field[v]
+        out = oracle.tree_gfi_matvec(parents, len(ids), full_field, a=a)
+        acc += np.array([out[remap[v]] for v in range(n)])
+    exp = acc / num_trees
+
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    got_df = frt_gfi_integrate(spark, df, fdf, a=a, num_trees=num_trees, seed=seed).toPandas()
+    got = np.zeros(n)
+    got[got_df["id"]] = got_df["value"]
+    assert np.allclose(got, exp, atol=1e-6), np.abs(got - exp).max()
