@@ -916,6 +916,137 @@ FROM v{k} JOIN u{k} ON v{k}.id = u{k}.id
 """
 
 
+def q_graph_wbary2(spark, sf_dir):
+    """2 fixed iterated-Bregman Wasserstein-barycenter iterations over
+    two deterministic vertex distributions (reference
+    convolutional_barycenter.py:13-81, Solomon et al. 2015 Alg. 2);
+    returns the geometric-mean barycenter b."""
+    from efficient_graph_algorithms_spark.operators.transport import (
+        wasserstein_barycenter,
+    )
+
+    e = _graph_edges(spark, sf_dir)
+    v = _vertices(e)
+    musum = float(v.select(F.sum((F.col("id") * 7 + 3) % 101 + 1)).collect()[0][0])
+    nusum = float(v.select(F.sum((F.col("id") * 11 + 5) % 89 + 1)).collect()[0][0])
+    dists = (
+        v.select(F.lit(0).alias("k"), "id",
+                 (((F.col("id") * 7 + 3) % 101 + 1) / F.lit(musum)).alias("m"))
+        .unionByName(
+            v.select(F.lit(1).alias("k"), "id",
+                     (((F.col("id") * 11 + 5) % 89 + 1) / F.lit(nusum)).alias("m"))
+        )
+    )
+    b, _ = wasserstein_barycenter(spark, e, dists, n_iter=2, tol=0.0)
+    return b.select("id", F.round("b", 9).alias("b"))
+
+
+def _wbary2_oracle_sql(w: float = 0.5, iters: int = 2) -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),",
+        f"v AS ({_V_SQL}),",
+        "msum AS (SELECT sum((id * 7 + 3) % 101 + 1) AS s FROM v),",
+        "nsum AS (SELECT sum((id * 11 + 5) % 89 + 1) AS s FROM v),",
+        "p AS (SELECT 0 AS k, id, ((id * 7 + 3) % 101 + 1) / (SELECT s FROM msum) AS p FROM v "
+        "UNION ALL SELECT 1 AS k, id, ((id * 11 + 5) % 89 + 1) / (SELECT s FROM nsum) AS p FROM v),",
+        "v0 AS (SELECT k, id, 1.0 AS vv FROM p),",
+    ]
+    for i in range(1, iters + 1):
+        pr = i - 1
+        lines += [
+            f"kv{i} AS (SELECT a.k, a.id, a.vv + {w} * coalesce(s.nv, 0.0) AS kv "
+            f"FROM v{pr} a LEFT JOIN (SELECT x.k, sym.dst AS id, sum(x.vv) AS nv "
+            f"FROM sym JOIN v{pr} x ON sym.src = x.id GROUP BY x.k, sym.dst) s "
+            f"ON a.k = s.k AND a.id = s.id),",
+            f"w{i} AS (SELECT p.k, p.id, p.p / greatest(kv.kv, 1e-300) AS ww "
+            f"FROM p JOIN kv{i} kv ON p.k = kv.k AND p.id = kv.id),",
+            f"kw{i} AS (SELECT a.k, a.id, a.ww + {w} * coalesce(s.nv, 0.0) AS kw "
+            f"FROM w{i} a LEFT JOIN (SELECT x.k, sym.dst AS id, sum(x.ww) AS nv "
+            f"FROM sym JOIN w{i} x ON sym.src = x.id GROUP BY x.k, sym.dst) s "
+            f"ON a.k = s.k AND a.id = s.id),",
+            f"d{i} AS (SELECT vp.k, vp.id, vp.vv, greatest(vp.vv * kw.kw, 1e-300) AS d "
+            f"FROM v{pr} vp JOIN kw{i} kw ON vp.k = kw.k AND vp.id = kw.id),",
+            f"b{i} AS (SELECT id, exp(sum(0.5 * ln(d))) AS b FROM d{i} GROUP BY id),",
+            f"v{i} AS (SELECT d.k, d.id, d.vv * b.b / d.d AS vv "
+            f"FROM d{i} d JOIN b{i} b ON d.id = b.id),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT id, round(b, 9) AS b FROM b{iters}"
+
+
+def q_graph_gw2(spark, sf_dir):
+    """Gromov–Wasserstein transport, pinned to 2 proximal outer
+    iterations × 3 inner Sinkhorn scalings on a deterministic 6×6
+    fixture so the unrolled SQL oracle reproduces the reference loop
+    (``reference src/ega/algorithms/gromov_wasserstein_graphs.py:
+    511-561``) exactly. Returns the transport plan T."""
+    from efficient_graph_algorithms_spark.operators.gw import (
+        gromov_wasserstein_discrepancy,
+    )
+
+    r = spark.range(6)
+    pairs = (
+        r.select(F.col("id").alias("i"))
+        .crossJoin(r.select(F.col("id").alias("j")))
+        .where(F.col("i") != F.col("j"))
+    )
+    cs = pairs.select("i", "j", (((F.col("i") * 2 + F.col("j") * 3) % 5) / F.lit(4.0)).alias("c"))
+    ct = pairs.select("i", "j", (((F.col("i") * 3 + F.col("j")) % 7) / F.lit(6.0)).alias("c"))
+    ps = r.select(F.col("id").alias("i"), ((F.col("id") + 2) / F.lit(27.0)).alias("p"))
+    pt = r.select(F.col("id").alias("j"), ((F.col("id") + 1) / F.lit(21.0)).alias("p"))
+    trans, _, _ = gromov_wasserstein_discrepancy(
+        spark, cs, ct, ps, pt, beta=0.1,
+        outer_iter=2, inner_iter=3, sk_bound=0.0, iter_bound=0.0,
+    )
+    return trans.select("i", "j", F.round("t", 9).alias("t"))
+
+
+def _gw2_oracle_sql(beta: float = 0.1, outers: int = 2, inners: int = 3) -> str:
+    lines = [
+        "WITH n AS (SELECT * FROM range(6) t(x)),",
+        "cs AS (SELECT a.x AS i, b.x AS j, ((a.x*2 + b.x*3) % 5) / 4.0 AS c FROM n a, n b WHERE a.x <> b.x),",
+        "ct AS (SELECT a.x AS i, b.x AS j, ((a.x*3 + b.x) % 7) / 6.0 AS c FROM n a, n b WHERE a.x <> b.x),",
+        "ps AS (SELECT x AS i, (x + 2) / 27.0 AS p FROM n),",
+        "pt AS (SELECT x AS j, (x + 1) / 21.0 AS p FROM n),",
+        "f1 AS (SELECT cs.i, sum(cs.c * cs.c * ps.p) AS f1v FROM cs JOIN ps ON cs.j = ps.i GROUP BY cs.i),",
+        "f2 AS (SELECT ct.i AS j, sum(ct.c * ct.c * pt.p) AS f2v FROM ct JOIN pt ON ct.j = pt.j GROUP BY ct.i),",
+        "t0 AS (SELECT ps.i, pt.j, ps.p * pt.p AS t FROM ps, pt),",
+        "a0_0 AS (SELECT i, 1.0/6.0 AS a FROM ps),",
+    ]
+    a_prev = "a0_0"
+    for o in range(1, outers + 1):
+        p = o - 1
+        lines += [
+            f"cst{o} AS (SELECT cs.i AS r, t.j AS c2, sum(cs.c * t.t) AS v "
+            f"FROM cs JOIN t{p} t ON cs.j = t.i GROUP BY cs.i, t.j),",
+            f"g{o} AS (SELECT cst.r AS i, ct.i AS j, sum(cst.v * ct.c) AS v "
+            f"FROM cst{o} cst JOIN ct ON cst.c2 = ct.j GROUP BY cst.r, ct.i),",
+            f"cost{o} AS (SELECT t.i, t.j, coalesce(f1.f1v, 0.0) + coalesce(f2.f2v, 0.0) "
+            f"- 2.0 * coalesce(g.v, 0.0) AS v FROM t{p} t "
+            f"LEFT JOIN g{o} g ON t.i = g.i AND t.j = g.j "
+            f"LEFT JOIN f1 ON t.i = f1.i LEFT JOIN f2 ON t.j = f2.j),",
+            f"k{o} AS (SELECT c.i, c.j, exp(-c.v / {beta}) * t.t AS kv "
+            f"FROM cost{o} c JOIN t{p} t ON c.i = t.i AND c.j = t.j),",
+        ]
+        for s in range(1, inners + 1):
+            lines += [
+                f"b{o}_{s} AS (SELECT pt.j, pt.p / s.s AS b FROM pt JOIN "
+                f"(SELECT k.j, sum(k.kv * a.a) AS s FROM k{o} k JOIN {a_prev} a ON k.i = a.i GROUP BY k.j) s "
+                f"ON pt.j = s.j),",
+                f"a{o}_{s} AS (SELECT ps.i, ps.p / s.s AS a FROM ps JOIN "
+                f"(SELECT k.i, sum(k.kv * b.b) AS s FROM k{o} k JOIN b{o}_{s} b ON k.j = b.j GROUP BY k.i) s "
+                f"ON ps.i = s.i),",
+            ]
+            a_prev = f"a{o}_{s}"
+        lines.append(
+            f"t{o} AS (SELECT k.i, k.j, a.a * k.kv * b.b AS t FROM k{o} k "
+            f"JOIN a{o}_{inners} a ON k.i = a.i JOIN b{o}_{inners} b ON k.j = b.j),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT i, j, round(t, 9) AS t FROM t{outers}"
+
+
 # ---------------------------------------------------------------------------
 # relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1489,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_subgraph": q_graph_subgraph,
         "graph_dsd": q_graph_dsd,
         "graph_sinkhorn3": q_graph_sinkhorn3,
+        "graph_wbary2": q_graph_wbary2,
+        "graph_gw2": q_graph_gw2,
         # relational operators
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
@@ -1551,6 +1684,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_subgraph": _SUBGRAPH_SQL,
         "graph_dsd": _dsd_oracle_sql(),
         "graph_sinkhorn3": _sinkhorn3_oracle_sql(),
+        "graph_wbary2": _wbary2_oracle_sql(),
+        "graph_gw2": _gw2_oracle_sql(),
         "graph_components": _CC_ORACLE_SQL,
         "graph_triangle_count": _TRI_SQL_BASE + "\nSELECT count(*) AS triangles FROM tri",
         "graph_triangles_per_vertex": _TRI_SQL_BASE

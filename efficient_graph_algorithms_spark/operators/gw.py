@@ -31,6 +31,7 @@ hash-partitioned on the contraction key.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,6 +76,9 @@ def gromov_wasserstein_discrepancy(
     feature_cost: DataFrame | None = None,
     alpha: float = 1.0,
     trans0: DataFrame | None = None,
+    update_p: bool = False,
+    lr: float = 0.1,
+    p_reg_weight: float = 0.0,
 ) -> tuple[DataFrame, float, dict[str, Any]]:
     """Returns (trans(i, j, t), d_gw, info).
 
@@ -88,6 +92,19 @@ def gromov_wasserstein_discrepancy(
     pure GW rather than the reference's conditional-gradient + exact
     EMD (a sequential network-simplex; the entropic solver is the
     distributed-friendly choice for the identical objective).
+
+    update_p switches on the reference's outer-loop source-distribution
+    softmax update (``update_distribution``, ``reference src/ega/
+    algorithms/gromov_wasserstein_graphs.py:72-105``, applied at
+    563-572): after each outer step, θ ← θ − lr·ĝ with
+    ĝ = normalize(center(p ⊙ (∇ − ⟨p, ∇⟩))), ∇ = β·log(a)
+    [− p_reg_weight·(log p + 1)], then p_s ← softmax(θ). As in the
+    reference, the separable cost term f1 = C_s²p_s is NOT refreshed
+    (stale by design); the updated p_s feeds subsequent inner Sinkhorn
+    scalings. (The reference reuses its ``alpha`` hyperparameter as
+    the regularizer weight; here that knob is ``p_reg_weight`` so it
+    cannot collide with the FGW mixing ``alpha``.) The final p_s is
+    returned in info["p_s"] as a list of (i, p) rows.
     """
     fc = (
         feature_cost.select("i", "j", F.col("m").cast("double").alias("m")).persist()
@@ -131,6 +148,10 @@ def gromov_wasserstein_discrepancy(
             "i", "j", (F.col("p") * F.col("q")).alias("t")
         ))
     a = cut(ps.select("i", F.lit(1.0 / n_s).alias("a")))
+    ps0 = ps  # original persisted handle (ps rebinds under update_p)
+    theta: DataFrame | None = None
+    if update_p:
+        theta = cut(ps.select("i", F.lit(0.0).alias("th")))
 
     info: dict[str, Any] = {"outer_iterations": 0, "inner_iterations": [],
                             "rel_errors": [], "converged": False}
@@ -168,6 +189,8 @@ def gromov_wasserstein_discrepancy(
         info["outer_iterations"] = outer
         info["inner_iterations"].append(inner_used)
         info["rel_errors"].append(rel)
+        if update_p:
+            ps, theta = _update_p_step(ps, a, theta, beta, lr, p_reg_weight, cut)
         if rel <= iter_bound:
             info["converged"] = True
             break
@@ -178,11 +201,57 @@ def gromov_wasserstein_discrepancy(
         .agg(F.sum(F.col("v") * F.col("t")))
         .collect()[0][0]
     )
-    for df in (ps, pt, cs, ct, f1, f2) + ((fc,) if fc is not None else ()):
+    for df in (ps0, pt, cs, ct, f1, f2) + ((fc,) if fc is not None else ()):
         df.unpersist()
     trans = trans.localCheckpoint(eager=True)  # outlives the cutter dir
+    if update_p:
+        info["p_s"] = ps.localCheckpoint(eager=True)
     cut.close()
     return trans, d_gw, info
+
+
+def _update_p_step(
+    ps: DataFrame,
+    a: DataFrame,
+    theta: DataFrame,
+    beta: float,
+    lr: float,
+    weight: float,
+    cut: Any,
+) -> tuple[DataFrame, DataFrame]:
+    """One softmax gradient step on the source distribution (reference
+    ``update_distribution``, gromov_wasserstein_graphs.py:72-105).
+    All vectors stay distributed; only 4 scalar aggregates (⟨p,∇⟩,
+    mean, centered L2 norm, softmax max/Z) hit the driver."""
+    gexpr = F.lit(beta) * F.log(F.col("a"))
+    if weight > 0:
+        gexpr = gexpr - F.lit(weight) * (F.log(F.col("p")) + F.lit(1.0))
+    g = ps.join(a, "i").select("i", "p", gexpr.alias("gp")).persist()
+    dot = float(g.agg(F.sum(F.col("p") * F.col("gp"))).collect()[0][0])
+    gt = g.select("i", (F.col("p") * (F.col("gp") - F.lit(dot))).alias("gt"))
+    row = gt.agg(F.sum("gt").alias("s1"), F.count("*").alias("n")).collect()[0]
+    mean = float(row["s1"]) / int(row["n"])
+    norm = math.sqrt(
+        float(gt.agg(F.sum((F.col("gt") - F.lit(mean)) ** 2)).collect()[0][0])
+    )
+    theta_new = cut(
+        theta.join(gt, "i").select(
+            "i",
+            (
+                F.col("th")
+                - F.lit(lr) * (F.col("gt") - F.lit(mean)) / F.lit(1e-10 + norm)
+            ).alias("th"),
+        )
+    )
+    g.unpersist()
+    mx = float(theta_new.agg(F.max("th")).collect()[0][0])
+    z = float(
+        theta_new.agg(F.sum(F.exp(F.col("th") - F.lit(mx)))).collect()[0][0]
+    )
+    ps_new = cut(
+        theta_new.select("i", (F.exp(F.col("th") - F.lit(mx)) / F.lit(z)).alias("p"))
+    )
+    return ps_new, theta_new
 
 
 def _assemble_cost(

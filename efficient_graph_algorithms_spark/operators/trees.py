@@ -575,6 +575,294 @@ def frt_tree(
         cut.close()
 
 
+def bartal_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 42,
+    max_hops: int = 100,
+    max_levels: int = 64,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Sample one Bartal tree of a connected weighted graph (w > 0) —
+    the reference's recursive low-diameter randomized decomposition
+    (``reference src/ega/algorithms/bartal_trees.py:15-122``):
+
+        bartal(C, D): if |C| = 1 → leaf; else split C into clusters of
+        scale D/2 (each center carves a shortest-path ball of radius
+        R ~ Geom(p)·w_min, p = min(1, 4·log2(n)/((D/2)/w_min))), recurse
+        at D/2, then join the sub-tree ROOTS to the first sub-tree's
+        root with edge weight D. Tree nodes are original vertices (no
+        Steiner nodes); expected distortion O(log² n).
+
+    Two documented divergences from the reference's sequential sampler,
+    both forced by distribution and both deterministic/seeded:
+
+    1. **Parallel LDD** (Miller–Peng–Xu-style) instead of sequential
+       carving: every vertex of an active cluster draws a seeded-hash
+       priority π and geometric radius R; a vertex joins the FIRST
+       center in π order whose R-ball (shortest paths in the cluster's
+       induced subgraph) covers it. The reference carves balls from the
+       not-yet-sampled residual in random order — an inherently
+       sequential chain; the π-order parallel rule is the standard
+       distributed substitution with the same cluster-scale guarantees.
+       Every vertex covers itself (dist 0 < R), so the decomposition is
+       total. "First sub-tree" = the min-π center's cluster.
+    2. **Diameter upper bound** 2·ecc(min-id vertex) + 1e-6 instead of
+       the reference's exact dense-APSP diameter (trees.py:46) — APSP
+       does not distribute; halving from a ≤2× overestimate costs at
+       most one extra level.
+
+    All randomness is the portable seeded md5 hash, so the sample is
+    reproduced exactly by the NumPy mirror (oracle.bartal_tree).
+
+    Returns ((id, parent, w, depth) for every non-root vertex, info)
+    with info = {root, diam, w_min, levels}.
+    """
+    from efficient_graph_algorithms_spark.functions.hashing import (
+        spark_md5_60bit_sql,
+    )
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    sym = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+                F.col("w").cast("double").alias("w"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    wmin = float(sym.agg(F.min("w")).collect()[0][0])
+    if wmin <= 0:
+        raise ValueError("bartal_tree requires strictly positive edge weights")
+    verts = sym.select(F.col("src").alias("id")).distinct().persist()
+    n = verts.count()
+
+    cut = StateCutter(spark, "bartal")
+    try:
+        # --- eccentricity bound from the min-id vertex (as frt_tree) ---
+        v0 = int(verts.agg(F.min("id")).collect()[0][0])
+        d = cut(verts.select("id", F.when(F.col("id") == v0, 0.0).alias("d")))
+        for _ in range(max_hops):
+            relaxed = (
+                sym.join(d.where(F.col("d").isNotNull()).withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min(F.col("d") + F.col("w")).alias("nd"))
+            )
+            nd = cut(
+                d.join(relaxed, "id", "left").select(
+                    "id", F.least(F.coalesce("d", "nd"), F.coalesce("nd", "d")).alias("d")
+                )
+            )
+            done = nd.join(d.withColumnRenamed("d", "d0"), "id").where(
+                ~F.col("d").eqNullSafe(F.col("d0"))
+            ).isEmpty()
+            d = nd
+            if done:
+                break
+        if not d.where(F.col("d").isNull()).isEmpty():
+            raise ValueError("bartal_tree requires a connected graph")
+        ecc = float(d.agg(F.max("d")).collect()[0][0])
+        diam = 2.0 * ecc + 1e-6
+
+        if n == 1:
+            root = v0
+            empty = spark.createDataFrame([], "id long, parent long, w double, depth int")
+            return empty, {"root": root, "diam": diam, "w_min": wmin, "levels": 0}
+
+        # --- top-down level loop: decompose active (≥2-vertex) clusters
+        state = cut(verts.select("id", F.lit("R").alias("ck")))  # cluster key
+        cluster_rows: DataFrame | None = None  # (level, pk, ck, center, pi)
+        singleton_roots: DataFrame | None = None  # (ck, root)
+        cur_diam = diam
+        level = 0
+        while level < max_levels:
+            sizes = state.groupBy("ck").agg(F.count("*").alias("m"))
+            active_keys = sizes.where(F.col("m") >= 2).select("ck")
+            if active_keys.isEmpty():
+                break
+            act = state.join(active_keys, "ck").persist()
+            ldd_diam = cur_diam / 2.0
+            p = min(1.0, (4.0 * math.log2(n)) / (ldd_diam / wmin))
+            # π stays BIGINT: 60-bit hashes above 2^53 would collide as
+            # doubles, and the NumPy mirror compares exact ints
+            pri = F.expr(
+                spark_md5_60bit_sql(f"concat('bartal{seed}:l{level}:', CAST(id AS STRING))")
+            )
+            if p >= 1.0:
+                r_expr = F.lit(wmin)
+            else:
+                u = (
+                    F.expr(
+                        spark_md5_60bit_sql(
+                            f"concat('bartalr{seed}:l{level}:', CAST(id AS STRING))"
+                        )
+                    )
+                    % F.lit(1 << 20)
+                    + F.lit(1)
+                ) / F.lit(float(1 << 20))
+                r_expr = (
+                    F.floor(F.log(u) / F.lit(math.log(1.0 - p))) + F.lit(1)
+                ).cast("double") * F.lit(wmin)
+            # candidates: (id, ck, center, pi, r, dist) — every vertex is
+            # a center for its own ball; propagate while dist < r
+            cand = cut(
+                act.select(
+                    "id", "ck", F.col("id").alias("center"),
+                    pri.alias("pi"), r_expr.alias("r"), F.lit(0.0).alias("dist"),
+                )
+            )
+            member = act.select(F.col("id").alias("dst"), "ck")
+            for _hop in range(max_hops):
+                msgs = (
+                    sym.join(cand.withColumnRenamed("id", "src"), "src")
+                    .select(
+                        F.col("dst"), "ck", "center", "pi", "r",
+                        (F.col("dist") + F.col("w")).alias("dist"),
+                    )
+                    .where(F.col("dist") < F.col("r"))
+                    .join(member, ["dst", "ck"])  # stay inside the cluster
+                    .withColumnRenamed("dst", "id")
+                )
+                merged = (
+                    cand.unionByName(msgs)
+                    .groupBy("id", "ck", "center", "pi", "r")
+                    .agg(F.min("dist").alias("dist"))
+                )
+                new_cand = cut(merged)
+                # fixpoint ⇔ no new candidate row and no dist decreased
+                # (min over a fixed set is order-independent → exact)
+                done = (
+                    new_cand.join(
+                        cand.select("id", "ck", "center", F.col("dist").alias("d0")),
+                        ["id", "ck", "center"],
+                        "left",
+                    )
+                    .where(F.col("d0").isNull() | (F.col("dist") < F.col("d0")))
+                    .isEmpty()
+                )
+                cand = new_cand
+                if done:
+                    break
+            # winner = min-π covering center; child key = pk + '/' + center
+            win = (
+                cand.groupBy("id", "ck")
+                .agg(F.min(F.struct("pi", "center")).alias("w"))
+                .select(
+                    "id", "ck",
+                    F.col("w.center").alias("center"), F.col("w.pi").alias("pi"),
+                )
+            )
+            newrows = win.select(
+                F.lit(level).alias("level"),
+                F.col("ck").alias("pk"),
+                F.concat(F.col("ck"), F.lit("/"), F.col("center").cast("string")).alias("ck2"),
+                "center", "pi", "id",
+            ).persist()
+            clusters = newrows.select(
+                "level", "pk", F.col("ck2").alias("ck"), "center", "pi"
+            ).distinct()
+            cluster_rows = (
+                clusters if cluster_rows is None
+                else cluster_rows.unionByName(clusters)
+            )
+            cluster_rows = cut(cluster_rows)
+            # new singleton clusters bottom out as leaves
+            counts = newrows.groupBy("ck2").agg(F.count("*").alias("m"))
+            singles = (
+                newrows.join(counts.where(F.col("m") == 1), "ck2")
+                .select(F.col("ck2").alias("ck"), F.col("id").alias("root"))
+            )
+            singleton_roots = (
+                singles if singleton_roots is None
+                else singleton_roots.unionByName(singles)
+            )
+            singleton_roots = cut(singleton_roots)
+            state = cut(
+                newrows.join(counts.where(F.col("m") >= 2), "ck2")
+                .select("id", F.col("ck2").alias("ck"))
+            )
+            newrows.unpersist()
+            act.unpersist()
+            cur_diam = ldd_diam
+            level += 1
+
+        # --- bottom-up: cluster roots + merge edges -------------------
+        roots = singleton_roots  # (ck, root)
+        tree_edges: DataFrame | None = None
+        for lvl in range(level - 1, -1, -1):
+            ch = cluster_rows.where(F.col("level") == lvl)  # pk → children
+            chr_ = ch.join(roots, "ck")
+            first = chr_.groupBy("pk").agg(
+                F.min(F.struct("pi", "root")).alias("f")
+            ).select("pk", F.col("f.pi").alias("fpi"), F.col("f.root").alias("proot"))
+            w_lvl = diam / (2.0 ** lvl)
+            edges_lvl = (
+                chr_.join(first, "pk")
+                .where(F.col("pi") != F.col("fpi"))
+                .select(
+                    F.col("root").alias("id"),
+                    F.col("proot").alias("parent"),
+                    F.lit(w_lvl).alias("w"),
+                )
+            )
+            tree_edges = (
+                edges_lvl if tree_edges is None
+                else tree_edges.unionByName(edges_lvl)
+            )
+            tree_edges = cut(tree_edges)
+            roots = cut(
+                roots.unionByName(first.select(F.col("pk").alias("ck"), F.col("proot").alias("root")))
+            )
+        root = int(roots.where(F.col("ck") == "R").collect()[0]["root"])
+        tree = tree_depths(tree_edges, root).localCheckpoint(eager=True)
+        info = {"root": root, "diam": diam, "w_min": wmin, "levels": level}
+        return tree, info
+    finally:
+        sym.unpersist()
+        verts.unpersist()
+        cut.close()
+
+
+def bartal_gfi_integrate(
+    spark: SparkSession,
+    edges: DataFrame,
+    field: DataFrame,
+    a: float = -1.0,
+    num_trees: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Bartal-tree graph-field integrator: average of exact exp-kernel
+    tree matvecs over ``num_trees`` sampled Bartal trees (reference
+    ``bartal_trees.py:15-45`` via ``trees.py integrate_graph_field`` —
+    tree nodes are original vertices, so no field padding is needed)."""
+    acc = None
+    for t in range(num_trees):
+        tree, info = bartal_tree(spark, edges, seed=seed + 1000 * t)
+        full_field = (
+            tree.select("id")
+            .unionByName(spark.createDataFrame([(info["root"],)], "id long"))
+            .join(field, "id", "left")
+            .select("id", F.coalesce("value", F.lit(0.0)).alias("value"))
+        )
+        out = tree_gfi_matvec(tree, full_field, a=a, root=info["root"])
+        acc = out if acc is None else (
+            acc.withColumnRenamed("value", "v0")
+            .join(out, "id")
+            .select("id", (F.col("v0") + F.col("value")).alias("value"))
+            .localCheckpoint(eager=True)
+        )
+    return acc.select("id", (F.col("value") / F.lit(float(num_trees))).alias("value"))
+
+
 def frt_gfi_integrate(
     spark: SparkSession,
     edges: DataFrame,

@@ -25,6 +25,8 @@ reference's style, with the reference's tolerance discipline
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 DEFAULT_ALPHA = 0.85
@@ -272,6 +274,52 @@ def sinkhorn_distance(
     return gamma * (mu_term + nu_term), iters
 
 
+def wasserstein_barycenter(
+    edges, n: int, dists: np.ndarray, alpha: np.ndarray | None = None,
+    area: np.ndarray | None = None, kernel_weight: float = 0.5,
+    n_iter: int = 100, tol: float = 1e-6, normalization: bool = False,
+) -> tuple[np.ndarray, int]:
+    """Iterated-Bregman Wasserstein barycenter with K = I + w·A_sym;
+    vectorized mirror of the reference loop
+    (convolutional_barycenter.py:13-81, Solomon et al. 2015 Alg. 2).
+    dists: (K, n) rows are distributions. Returns (barycenter, iters)."""
+    src, dst = _edge_arrays(edges)
+    und = {(a, b) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    und |= {(b, a) for a, b in und}
+    s = np.array([a for a, _ in und], dtype=np.int64)
+    d_arr = np.array([b for _, b in und], dtype=np.int64)
+
+    def kmul(x):  # x: (K, n) — kernel applied per row
+        out = np.empty_like(x)
+        for i in range(x.shape[0]):
+            out[i] = x[i] + kernel_weight * np.bincount(d_arr, weights=x[i][s], minlength=n)
+        return out
+
+    K = dists.shape[0]
+    alpha = np.full(K, 1.0 / K) if alpha is None else np.asarray(alpha, float) / np.sum(alpha)
+    area = np.ones(n) if area is None else np.asarray(area, float)
+    eps = 1e-300
+    v = np.ones((K, n))
+    b = np.ones(n)
+    it = 0
+    for it in range(1, n_iter + 1):
+        b_old = b
+        kv = kmul(v * area)
+        if normalization:
+            kv = kv / kmul(np.ones_like(v))
+        w = dists / np.maximum(kv, eps)
+        kw = kmul(w * area)
+        if normalization:
+            kw = kw / kmul(np.ones_like(w))
+        d = np.maximum(v * kw, eps)
+        b = np.exp((alpha[:, None] * np.log(d)).sum(axis=0))
+        v = v * b[None, :] / d
+        change = float((area * np.abs(b - b_old)).sum())
+        if it > 2 and change < tol:
+            break
+    return b, it
+
+
 def tree_gfi_matvec(
     parents: dict[int, tuple[int, float]], n: int, field: np.ndarray, a: float = -1.0
 ) -> np.ndarray:
@@ -305,6 +353,94 @@ def tree_gfi_matvec(
             for c, w in children.get(v, []):
                 sums[c] = f(w) * sums[v] + (1.0 - f(2.0 * w)) * partial[c]
     return sums
+
+
+def bartal_tree(
+    edges_w: list[tuple[int, int, float]], n: int, seed: int = 42
+) -> tuple[dict[int, tuple[int, float]], int]:
+    """Sequential mirror of the ENGINE's deterministic parallel-LDD
+    Bartal sampler (operators/trees.py bartal_tree; reference semantics
+    bartal_trees.py:15-122 with the two documented divergences).
+    Returns ({child: (parent, w)}, root)."""
+    import heapq
+
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    canon: dict[tuple[int, int], float] = {}
+    for a, b, w in edges_w:
+        if a == b:
+            continue
+        for s, t in ((a, b), (b, a)):
+            canon[(s, t)] = min(canon.get((s, t), float("inf")), w)
+    for (s, t), w in canon.items():
+        adj.setdefault(s, []).append((t, w))
+    verts = sorted(adj)
+    wmin = min(w for w in canon.values())
+
+    def dijkstra(src: int, members: set[int] | None = None) -> dict[int, float]:
+        dist = {src: 0.0}
+        pq = [(0.0, src)]
+        while pq:
+            dv, v = heapq.heappop(pq)
+            if dv > dist.get(v, float("inf")):
+                continue
+            for u, w in adj.get(v, []):
+                if members is not None and u not in members:
+                    continue
+                nd = dv + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        return dist
+
+    v0 = verts[0]
+    d0 = dijkstra(v0)
+    assert len(d0) == len(verts), "bartal_tree requires a connected graph"
+    diam = 2.0 * max(d0.values()) + 1e-6
+    if len(verts) == 1:
+        return {}, v0
+
+    parent: dict[int, tuple[int, float]] = {}
+
+    def decompose(cluster: list[int], cur_diam: float, level: int) -> int:
+        """Returns the root of the subtree over `cluster`."""
+        if len(cluster) == 1:
+            return cluster[0]
+        ldd_diam = cur_diam / 2.0
+        p = min(1.0, (4.0 * math.log2(len(verts))) / (ldd_diam / wmin))
+        members = set(cluster)
+        pi = {v: md5_60bit(f"bartal{seed}:l{level}:{v}") for v in cluster}
+        if p >= 1.0:
+            rad = {v: wmin for v in cluster}
+        else:
+            rad = {}
+            for v in cluster:
+                u = (md5_60bit(f"bartalr{seed}:l{level}:{v}") % (1 << 20) + 1) / float(1 << 20)
+                rad[v] = (math.floor(math.log(u) / math.log(1.0 - p)) + 1) * wmin
+        # winner per vertex: min-π center whose ball (cluster-induced
+        # shortest paths, dist < R strictly) covers it
+        win: dict[int, tuple[int, int]] = {}  # v -> (pi_c, c)
+        for c in cluster:
+            dist = dijkstra(c, members)
+            for v, dv in dist.items():
+                if dv < rad[c]:
+                    cand = (pi[c], c)
+                    if v not in win or cand < win[v]:
+                        win[v] = cand
+        groups: dict[int, list[int]] = {}
+        for v in cluster:
+            groups.setdefault(win[v][1], []).append(v)
+        subroots = []
+        for c in sorted(groups, key=lambda c: pi[c]):
+            subroots.append((pi[c], decompose(groups[c], ldd_diam, level + 1)))
+        first_root = subroots[0][1]
+        for _, r in subroots[1:]:
+            parent[r] = (first_root, cur_diam)
+        return first_root
+
+    root = decompose(verts, diam, 0)
+    return parent, root
 
 
 def kruskal_mst(edges_w: list[tuple[int, int, float]], n: int) -> set[tuple[int, int, float]]:
@@ -348,17 +484,27 @@ def gromov_wasserstein_discrepancy(
     feature_cost: np.ndarray | None = None,
     alpha: float = 1.0,
     trans0: np.ndarray | None = None,
+    update_p: bool = False,
+    lr: float = 0.1,
+    p_reg_weight: float = 0.0,
+    extras: dict | None = None,
 ) -> tuple[np.ndarray, float, int]:
     """Dense mirror of the reference's L2/proximal GW loop
     (gromov_wasserstein_graphs.py:108-166, 169-214, 258-321, 324-595).
+    update_p mirrors the reference's outer-loop source-distribution
+    softmax update (``update_distribution``, ibid. 72-105, applied at
+    563-572): θ ← θ − lr·normalize(center(softmax_grad(p)·∇p)),
+    p ← softmax(θ); cost_st (f1/f2) stays stale, as in the reference.
+    If ``extras`` is a dict the final p_s lands in extras["p_s"].
     Returns (trans, d_gw, outer_iterations)."""
-    ps = p_s.reshape(-1, 1)
+    ps = p_s.reshape(-1, 1).astype(float).copy()
     pt = p_t.reshape(-1, 1)
     n_s = ps.shape[0]
     f1 = (cost_s**2) @ ps  # (n_s, 1)
     f2 = ((cost_t**2) @ pt).T  # (1, n_t)
     trans = (ps @ pt.T) if trans0 is None else trans0.copy()
     a = np.ones((n_s, 1)) / n_s
+    theta = np.zeros((n_s, 1))
     outer_used = 0
     m = 0.0 if feature_cost is None else (1.0 - alpha) * feature_cost
     for outer in range(1, outer_iter + 1):
@@ -377,8 +523,21 @@ def gromov_wasserstein_discrepancy(
         rel_outer = float(np.abs(new_trans - trans).sum()) / float(np.abs(trans).sum())
         trans = new_trans
         outer_used = outer
+        if update_p:
+            grad_ps = beta * np.log(a)
+            if p_reg_weight > 0:
+                grad_ps = grad_ps - p_reg_weight * (np.log(ps) + 1.0)
+            # softmax_grad(p) @ g  =  p ⊙ (g − ⟨p, g⟩)
+            gt = ps * (grad_ps - float((ps * grad_ps).sum()))
+            gt = gt - gt.mean()
+            gt = gt / (1e-10 + float((gt**2).sum()) ** 0.5)
+            theta = theta - lr * gt
+            e = np.exp(theta - theta.max())  # scipy.special.softmax form
+            ps = e / e.sum()
         if rel_outer <= iter_bound:
             break
+    if extras is not None:
+        extras["p_s"] = ps.ravel()
     cost = alpha * (f1 + f2 - 2.0 * (cost_s @ trans @ cost_t.T)) + m
     d_gw = float((cost * trans).sum())
     return trans, d_gw, outer_used

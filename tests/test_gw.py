@@ -177,3 +177,50 @@ def test_gw_barycenter_matches_oracle(spark):
     assert len(rounds) == len(exp_rounds)
     for k in (0, 1):
         assert abs(rounds[-1][k] - exp_rounds[-1][k]) < 1e-9
+
+
+def test_gw_update_p_matches_oracle_and_changes_fixed_point(spark):
+    """update_p (reference update_distribution,
+    gromov_wasserstein_graphs.py:72-105 applied at 563-572): parity of
+    the transport AND the updated source distribution vs the mirror,
+    on a case where the update measurably moves the fixed point."""
+    from pyspark.sql import functions as F
+
+    n_s, n_t = 10, 10
+    cs = _ring_cost(n_s, noise_seed=5)
+    ct = _ring_cost(n_t, noise_seed=6)
+    # non-uniform source distribution so log(p) regularizer is active
+    p_s = np.arange(1, n_s + 1, dtype=float)
+    p_s = p_s / p_s.sum()
+    p_t = np.full(n_t, 1.0 / n_t)
+
+    extras: dict = {}
+    exp_trans, exp_dgw, exp_outer = oracle.gromov_wasserstein_discrepancy(
+        cs, ct, p_s, p_t, beta=0.2, outer_iter=5, iter_bound=0.0, sk_bound=0.0,
+        inner_iter=5, update_p=True, lr=0.5, p_reg_weight=0.1, extras=extras,
+    )
+    # the update must actually change the result vs update_p=False
+    base_trans, _, _ = oracle.gromov_wasserstein_discrepancy(
+        cs, ct, p_s, p_t, beta=0.2, outer_iter=5, iter_bound=0.0, sk_bound=0.0,
+        inner_iter=5,
+    )
+    assert np.abs(exp_trans - base_trans).sum() > 1e-6
+    assert np.abs(extras["p_s"] - p_s).sum() > 1e-6
+
+    ps_df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(p_s)], "i long, p double"
+    )
+    trans, d_gw, info = gromov_wasserstein_discrepancy(
+        spark, _to_coo(spark, cs), _to_coo(spark, ct), ps_df,
+        _uniform_p(spark, n_t, "j"), beta=0.2, outer_iter=5, iter_bound=0.0,
+        sk_bound=0.0, inner_iter=5, update_p=True, lr=0.5, p_reg_weight=0.1,
+    )
+    got = np.zeros((n_s, n_t))
+    for r in trans.collect():
+        got[r["i"], r["j"]] = r["t"]
+    assert np.allclose(got, exp_trans, atol=1e-9)
+    assert d_gw == pytest.approx(exp_dgw, abs=1e-9)
+    got_ps = np.zeros(n_s)
+    for r in info["p_s"].collect():
+        got_ps[r["i"]] = r["p"]
+    assert np.allclose(got_ps, extras["p_s"], atol=1e-9)

@@ -112,3 +112,83 @@ def test_sinkhorn_self_distance_small(spark):
     d_same, _ = sinkhorn_distance(spark, spark_edges(spark, edges), mu_df, mu_df, n_iter=10)
     exp_d, _ = oracle.sinkhorn_distance(edges, n, mu, mu, n_iter=10)
     assert d_same == pytest.approx(exp_d, abs=1e-9)
+
+
+def _bary_dists(n: int, k: int, seed: int) -> np.ndarray:
+    out = []
+    for i in range(k):
+        m = uniform01(seed + i, np.arange(n, dtype=np.uint64))
+        out.append(m / m.sum())
+    return np.stack(out)
+
+
+def test_wasserstein_barycenter_parity(spark):
+    """Exact-arithmetic parity of the Bregman projection loop vs the
+    vectorized NumPy mirror of reference
+    convolutional_barycenter.py:13-81."""
+    from efficient_graph_algorithms_spark.operators.transport import wasserstein_barycenter
+
+    n, k = 25, 3
+    edges = er_graph(n, 0.18, seed=21)
+    dists = _bary_dists(n, k, seed=31)
+    exp_b, exp_it = oracle.wasserstein_barycenter(edges, n, dists, n_iter=8)
+    ddf = spark.createDataFrame(
+        [(ki, i, float(dists[ki, i])) for ki in range(k) for i in range(n)],
+        "k int, id long, m double",
+    )
+    got, info = wasserstein_barycenter(
+        spark, spark_edges(spark, edges), ddf, n_iter=8
+    )
+    assert info["iterations"] == exp_it
+    gb = {r["id"]: r["b"] for r in got.collect()}
+    for i in range(n):
+        assert gb[i] == pytest.approx(exp_b[i], abs=1e-9)
+
+
+def test_wasserstein_barycenter_weighted_and_identity(spark):
+    """α-weighted barycenter parity; and with K identical inputs the
+    barycenter converges toward that distribution's blurred fixed
+    point (sanity: mass stays normalized under uniform areas)."""
+    from efficient_graph_algorithms_spark.operators.transport import wasserstein_barycenter
+
+    n, k = 20, 2
+    edges = er_graph(n, 0.2, seed=22)
+    dists = _bary_dists(n, k, seed=41)
+    w = {0: 3.0, 1: 1.0}
+    exp_b, exp_it = oracle.wasserstein_barycenter(
+        edges, n, dists, alpha=np.array([3.0, 1.0]), n_iter=6
+    )
+    ddf = spark.createDataFrame(
+        [(ki, i, float(dists[ki, i])) for ki in range(k) for i in range(n)],
+        "k int, id long, m double",
+    )
+    got, info = wasserstein_barycenter(
+        spark, spark_edges(spark, edges), ddf, weights=w, n_iter=6
+    )
+    assert info["iterations"] == exp_it
+    gb = {r["id"]: r["b"] for r in got.collect()}
+    for i in range(n):
+        assert gb[i] == pytest.approx(exp_b[i], abs=1e-9)
+
+
+def test_wasserstein_barycenter_normalized_kernel(spark):
+    """normalization=True (reference's K(x)/K(1) option) parity."""
+    from efficient_graph_algorithms_spark.operators.transport import wasserstein_barycenter
+
+    n, k = 15, 2
+    edges = er_graph(n, 0.25, seed=23)
+    dists = _bary_dists(n, k, seed=51)
+    exp_b, exp_it = oracle.wasserstein_barycenter(
+        edges, n, dists, n_iter=5, normalization=True
+    )
+    ddf = spark.createDataFrame(
+        [(ki, i, float(dists[ki, i])) for ki in range(k) for i in range(n)],
+        "k int, id long, m double",
+    )
+    got, info = wasserstein_barycenter(
+        spark, spark_edges(spark, edges), ddf, n_iter=5, normalization=True
+    )
+    assert info["iterations"] == exp_it
+    gb = {r["id"]: r["b"] for r in got.collect()}
+    for i in range(n):
+        assert gb[i] == pytest.approx(exp_b[i], abs=1e-9)

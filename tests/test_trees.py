@@ -240,3 +240,69 @@ def test_frt_gfi_integrate_matches_oracle_trees(spark):
     got = np.zeros(n)
     got[got_df["id"]] = got_df["value"]
     assert np.allclose(got, exp, atol=1e-6), np.abs(got - exp).max()
+
+
+def test_bartal_tree_matches_oracle(spark):
+    """Spark's level-synchronous parallel-LDD Bartal sampler == the
+    sequential NumPy mirror of the same deterministic algorithm
+    (reference semantics bartal_trees.py:15-122) — child-for-child,
+    weight-for-weight."""
+    from efficient_graph_algorithms_spark.operators.trees import bartal_tree
+
+    for seed, n, p in ((31, 24, 0.18), (32, 32, 0.12)):
+        ew = _connected_weighted_graph(n, p, seed)
+        exp_parent, exp_root = oracle.bartal_tree(ew, n, seed=seed)
+        df = spark.createDataFrame(ew, "src long, dst long, w double")
+        tree, info = bartal_tree(spark, df, seed=seed)
+        assert info["root"] == exp_root
+        got = {(r["id"], r["parent"], round(r["w"], 9)) for r in tree.collect()}
+        exp = {(c, pa, round(w, 9)) for c, (pa, w) in exp_parent.items()}
+        assert got == exp
+        # a valid tree over all n vertices: n-1 parent edges
+        assert len(got) == n - 1
+
+
+def test_bartal_tree_seed_sensitivity_and_no_steiner(spark):
+    """Different seeds give different trees (it IS a sampler); every
+    tree node is an original vertex (reference: Bartal trees add no
+    Steiner nodes, unlike FRT)."""
+    from efficient_graph_algorithms_spark.operators.trees import bartal_tree
+
+    n = 20
+    ew = _connected_weighted_graph(n, 0.2, 33)
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    t1, i1 = bartal_tree(spark, df, seed=1)
+    t2, i2 = bartal_tree(spark, df, seed=2)
+    s1 = {(r["id"], r["parent"]) for r in t1.collect()}
+    s2 = {(r["id"], r["parent"]) for r in t2.collect()}
+    assert s1 != s2
+    ids = {r["id"] for r in t1.collect()} | {i1["root"]}
+    assert ids == set(range(n))
+    # determinism: same seed → identical sample
+    t1b, _ = bartal_tree(spark, df, seed=1)
+    assert {(r["id"], r["parent"]) for r in t1b.collect()} == s1
+
+
+def test_bartal_gfi_integrate_matches_oracle_trees(spark):
+    """bartal_gfi_integrate == average of exact exp-kernel matvecs over
+    the mirror's trees (reference integrate_graph_field, trees.py:40-45)."""
+    from efficient_graph_algorithms_spark.operators.trees import bartal_gfi_integrate
+
+    n, seed, a = 18, 34, -0.7
+    ew = _connected_weighted_graph(n, 0.2, seed)
+    rng = np.random.default_rng(seed)
+    field = rng.uniform(-1, 1, size=n)
+    acc = np.zeros(n)
+    num_trees = 2
+    for t in range(num_trees):
+        par, root = oracle.bartal_tree(ew, n, seed=seed + 1000 * t)
+        acc += oracle.tree_gfi_matvec(par, n, field, a=a)
+    exp = acc / num_trees
+    df = spark.createDataFrame(ew, "src long, dst long, w double")
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    got = bartal_gfi_integrate(spark, df, fdf, a=a, num_trees=num_trees, seed=seed)
+    gm = {r["id"]: r["value"] for r in got.collect()}
+    for i in range(n):
+        assert abs(gm[i] - exp[i]) < 1e-9
