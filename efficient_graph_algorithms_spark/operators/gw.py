@@ -137,7 +137,10 @@ def gromov_wasserstein_discrepancy(
     # re-enters the cost assembly twice per iteration, so a
     # localCheckpoint chain quadruples Catalyst's carried size estimate
     # per outer step (plans/lineage.py)
-    cut = StateCutter(spark, "gw")
+    # up to four interleaved streams per outer step (a, trans, and under
+    # update_p also θ and p_s); each step reads only the previous
+    # generation of each → keep=8 bounds scratch to 8 cut dirs
+    cut = StateCutter(spark, "gw", keep=8)
     # T0 = p_s p_tᵀ (dense), or the caller's warm start (the
     # barycenter loop re-enters with the previous round's transport,
     # reference gromov_wasserstein_barycenter:695-705)

@@ -178,7 +178,9 @@ def sinkhorn_distance(
     # iteration (plans/lineage.py)
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
-    cut = StateCutter(spark, "sinkhorn")
+    # two interleaved streams (v, state), each iteration reads only the
+    # previous generation of each → keep=4 bounds scratch to 4 cut dirs
+    cut = StateCutter(spark, "sinkhorn", keep=4)
     info: dict[str, Any] = {"iterations": 0, "deltas": []}
     v_prev = None
     v = None

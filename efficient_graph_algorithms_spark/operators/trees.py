@@ -56,7 +56,11 @@ def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000) -> DataFrame
         )
         if frontier.isEmpty():
             break
-        out = out.unionByName(frontier).coalesce(16)
+        out = out.unionByName(frontier)
+        if d % 16 == 0:
+            # collapse the accumulator every 16 levels: the union chain
+            # otherwise grows linearly with depth (plan + carried stats)
+            out = out.coalesce(16).localCheckpoint(eager=False)
     return tree.join(out, "id").select("id", "parent", "w", "depth")
 
 
@@ -66,6 +70,7 @@ def tree_gfi_matvec(
     a: float = -1.0,
     f_fun: FFun | None = None,
     root: int | None = None,
+    cut_every: int = 4,
 ) -> DataFrame:
     """Exact Σ_j f(dist_T(i,j))·field[j] for every vertex i.
 
@@ -74,6 +79,15 @@ def tree_gfi_matvec(
     including the root. f_fun defaults to exp(a·x) — the kernel family
     under which the 2-pass DP is exact (reference trees.py:93-125).
     Returns (id, value).
+
+    cut_every: parquet-cut cadence in levels. Each level references the
+    previous one TWICE (msgs + directly), so both the lineage and the
+    carried size estimate double per uncut level (plans/lineage.py);
+    intermediate levels are persist()-ed (no recompute, plan keeps
+    growing) and every ``cut_every``-th level does the real parquet
+    round-trip (stats + lineage reset, caches released). The per-round
+    fixed cost of the cut (~0.3-0.5 s) dominates deep-tree walltime, so
+    batching cuts is the single biggest lever on O(log n) trees.
     """
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
@@ -89,12 +103,24 @@ def tree_gfi_matvec(
         edges.unpersist()
         return field.select("id", "value")
 
-    cut = StateCutter(tree_with_depth.sparkSession, "treegfi")
+    cut = StateCutter(tree_with_depth.sparkSession, "treegfi", keep=2)
     # ---- bottom-up: partial[v] = field[v] + Σ_children f(w)·partial[c]
-    # per-level barrier = parquet state cut: each level references the
-    # previous one TWICE (msgs + directly), so both the lineage and the
-    # carried size estimate double per level otherwise (plans/lineage.py)
     partial = field.select("id", F.col("value").alias("partial"))
+    pending: list[DataFrame] = []
+
+    def _barrier(df: DataFrame, cutter, steps_done: int, last: bool) -> DataFrame:
+        nonlocal pending
+        if last or (steps_done % cut_every == 0):
+            out = cutter(df)
+            for p in pending:
+                p.unpersist(blocking=False)
+            pending = []
+            return out
+        out = df.persist()
+        pending.append(out)
+        return out
+
+    steps = 0
     for lvl in range(max_depth, 0, -1):
         msgs = (
             edges.where(F.col("depth") == lvl)
@@ -102,16 +128,18 @@ def tree_gfi_matvec(
             .groupBy(F.col("parent").alias("id"))
             .agg(F.sum(F.col("fw") * F.col("partial")).alias("up"))
         )
-        partial = cut(
+        steps += 1
+        partial = _barrier(
             partial.join(msgs, "id", "left")
             .select(
                 "id",
                 (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
-            )
+            ),
+            cut, steps, last=(lvl == 1),
         )
-    # materialize the up-pass result before its backing cut files can be
-    # rotated away by the down-pass cuts (separate cutter => never deleted
-    # until the function exits)
+    # the final up-pass state is always a parquet cut (last=True) in a
+    # separate cutter generation stream, so the down-pass reads stay
+    # valid for the whole function
     partial.count()
 
     # ---- top-down: sums[c] = f(w)·sums[parent] + (1-f(2w))·partial[c]
@@ -122,8 +150,9 @@ def tree_gfi_matvec(
             .collect()
         )
         root = root_row[0]["id"]
-    down = StateCutter(tree_with_depth.sparkSession, "treegfi_down")
+    down = StateCutter(tree_with_depth.sparkSession, "treegfi_down", keep=2)
     sums = partial.where(F.col("id") == root).select("id", F.col("partial").alias("value"))
+    steps = 0
     for lvl in range(1, max_depth + 1):
         child = (
             edges.where(F.col("depth") == lvl)
@@ -134,12 +163,13 @@ def tree_gfi_matvec(
                 (F.col("fw") * F.col("ps") + F.col("one_minus_f2w") * F.col("partial")).alias("value"),
             )
         )
-        # parquet cut per level: sums appears in child AND in the union,
-        # so both the partition count (when the edge side broadcasts, the
-        # join inherits the streamed union's partitioning — observed 63k
-        # tasks at depth 13 on a 30-path) and the carried size estimate
-        # double per level without a real barrier (plans/lineage.py)
-        sums = down(sums.unionByName(child))
+        # batched barrier (see up-pass): sums appears in child AND in the
+        # union, so both the partition count (when the edge side
+        # broadcasts, the join inherits the streamed union's partitioning
+        # — observed 63k tasks at depth 13 on a 30-path) and the carried
+        # size estimate double per uncut level (plans/lineage.py)
+        steps += 1
+        sums = _barrier(sums.unionByName(child), down, steps, last=(lvl == max_depth))
     sums = sums.localCheckpoint(eager=True)  # outlives the cutters
     edges.unpersist()
     partial.unpersist()
@@ -318,7 +348,11 @@ def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int) -> DataFr
             else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=False)
         )
         frontier = nxt
-        known = known.unionByName(nxt.select("id", "depth")).coalesce(16)
+        known = known.unionByName(nxt.select("id", "depth"))
+        if depth % 16 == 0:
+            # collapse the accumulator (see tree_depths): bounded plan
+            # depth at arbitrary tree depth
+            known = known.coalesce(16).localCheckpoint(eager=False)
     if rows is None:
         return spark.createDataFrame([], "id long, parent long, w double, depth int")
     return rows
@@ -428,7 +462,9 @@ def frt_tree(
         sym.select(F.col("src").alias("id")).distinct().persist()
     )
 
-    cut = StateCutter(spark, "frt")
+    # phases A/B/C each stream ONE state through the cutter and phase C
+    # reads only the final phase-B generation → keep=2 bounds scratch
+    cut = StateCutter(spark, "frt", keep=2)
     try:
         # --- phase A: eccentricity bound from the min-id vertex (min-plus
         # relaxation to fixpoint) — sets the level count δ
