@@ -113,11 +113,12 @@ def q_graph_pagerank_3iter(spark, sf_dir):
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     r = v.select("id", F.lit(1.0 / n).alias("r"))
     for _ in range(PR_SQL_ITERS):
-        dm = (
+        # dangling mass rides the plan as a broadcast 1-row aggregate —
+        # no per-iteration driver collect (the real operator folds it
+        # into the snapshot job the same way)
+        dm_df = (
             r.join(deg.select(F.col("src").alias("id")), "id", "left_anti")
-            .agg(F.sum("r"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
         )
         contrib = (
             e.join(deg, "src")
@@ -125,14 +126,19 @@ def q_graph_pagerank_3iter(spark, sf_dir):
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
         )
-        r = v.join(contrib, "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - PR_ALPHA) / n)
-                + F.lit(PR_ALPHA)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm) / n))
-            ).alias("r"),
-        ).localCheckpoint(eager=True)
+        r = (
+            v.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - PR_ALPHA) / n)
+                    + F.lit(PR_ALPHA)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
     out = r.select("id", F.round("r", 9).alias("rank"))
     e.unpersist()
     v.unpersist()

@@ -123,15 +123,26 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K, seed: int = 42,
     sh = shingles(docs, id_col, text_col).select(
         "id", _shingle_hash60(F.col("shingle")).alias("h")
     )
-    perms = F.explode(
-        F.array(*[F.struct(F.lit(i).alias("perm"), F.lit(s).alias("pseed")) for i, s in enumerate(seeds)])
-    ).alias("ps")
-    return (
-        sh.select("id", "h", perms)
-        .select("id", F.col("ps.perm").alias("perm"),
-                F.col("h").bitwiseXOR(F.col("ps.pseed")).alias("hp"))
-        .groupBy("id", "perm")
-        .agg(F.min("hp").alias("minhash"))
+    # one WIDE aggregate (k min-columns over the shingle stream, single
+    # hash-map probe per input row) then melt to long form — measured
+    # faster than exploding k structs per shingle (k× the rows entering
+    # the partial aggregate). Identical output rows either way.
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(F.col("h").bitwiseXOR(F.lit(s))).alias(f"m{i}")
+            for i, s in enumerate(seeds)
+        ]
+    )
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash"))
+                for i in range(len(seeds))
+            ]
+        )
+    ).alias("pm")
+    return wide.select("id", melt).select(
+        "id", F.col("pm.perm").alias("perm"), F.col("pm.minhash").alias("minhash")
     )
 
 

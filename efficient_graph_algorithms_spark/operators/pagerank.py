@@ -29,20 +29,21 @@ Physical plan per iteration (designed for 10^12-edge scale):
   nothing accumulates in executor block managers and no GC nudging is
   ever needed. On a cluster the snapshot dir is the Iceberg checkpoint
   table.
-- snapshots are written in a CANONICAL physical layout — fixed-count
-  hash repartition by id, rows sorted by id within each partition —
-  so the bytes of iteration k are a pure function of the logical state,
-  independent of how Spark happened to pack the previous snapshot's
-  files into read splits (that packing sorts by size and tie-breaks on
-  the random UUID in the filename: a genuine cross-run nondeterminism,
-  observed as last-ulp rank drift before this layout existed).
-- L1 delta and NEXT iteration's dangling mass (dm feeds the rank
-  update, so its bits matter) are computed as per-partition partial
-  sums over the canonically-ordered cached state, merged on the driver
-  in partition-id order — a fully canonical float summation order.
-  Result: resume from any iteration reproduces the full run
-  BIT-IDENTICALLY in local mode (allclose on a real cluster, where
-  remote shuffle fetch order randomizes per-key merge order).
+- in deterministic mode, snapshots are written in a CANONICAL physical
+  layout — fixed-count hash repartition by id, rows sorted by id
+  within each partition — so the bytes of iteration k are a pure
+  function of the logical state, independent of how Spark happened to
+  pack the previous snapshot's files into read splits (that packing
+  sorts by size and tie-breaks on the random UUID in the filename: a
+  genuine cross-run nondeterminism, observed as last-ulp rank drift
+  before this layout existed), and the L1 delta and NEXT iteration's
+  dangling mass (dm feeds the rank update, so its bits matter) are
+  per-partition partial sums over the canonically-ordered cached
+  state, merged on the driver in partition-id order — a fully
+  canonical float summation order. Result: resume from any iteration
+  reproduces the full run BIT-IDENTICALLY in local mode (allclose on
+  a real cluster, where remote shuffle fetch order randomizes per-key
+  merge order).
 
 Two execution modes for the loop body:
 

@@ -42,26 +42,47 @@ from pyspark.sql import functions as F
 from efficient_graph_algorithms_spark.functions.f_fun import FFun, exp_kernel
 
 
-def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000) -> DataFrame:
+def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000,
+                cut_every: int = 8) -> DataFrame:
     """tree(id, parent, w) rows for every non-root vertex → adds depth
-    (root = 0) by level-synchronous propagation from the root."""
-    known = tree.sparkSession.createDataFrame([(root, 0)], "id long, depth int")
-    frontier = known
-    out = known
-    for d in range(1, max_depth + 1):
-        frontier = (
-            tree.join(frontier.select(F.col("id").alias("parent")), "parent")
-            .select("id", F.lit(d).alias("depth"))
+    (root = 0) by level-synchronous propagation from the root.
+
+    The frontier join multiplies Catalyst's carried size estimate per
+    level and localCheckpoint PRESERVES it (plans/lineage.py): at depth
+    100 the estimate reaches ~10^1891 bytes and every stats visit runs
+    huge-BigInt math on the driver. The frontier therefore takes a real
+    parquet cut every ``cut_every`` levels (stats reset to file size),
+    the union accumulator every 16; the returned DataFrame is pinned
+    with an eager localCheckpoint so the scratch dir can be removed."""
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    spark = tree.sparkSession
+    known = spark.createDataFrame([(root, 0)], "id long, depth int")
+    cut = StateCutter(spark, "treedepth", keep=3)
+    try:
+        frontier = known
+        out = known
+        for d in range(1, max_depth + 1):
+            frontier = (
+                tree.join(frontier.select(F.col("id").alias("parent")), "parent")
+                .select("id", F.lit(d).alias("depth"))
+            )
+            frontier = (
+                cut(frontier) if d % cut_every == 0
+                else frontier.localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            out = out.unionByName(frontier)
+            if d % 16 == 0:
+                out = cut(out)
+        return (
+            tree.join(out, "id")
+            .select("id", "parent", "w", "depth")
             .localCheckpoint(eager=True)
         )
-        if frontier.isEmpty():
-            break
-        out = out.unionByName(frontier)
-        if d % 16 == 0:
-            # collapse the accumulator every 16 levels: the union chain
-            # otherwise grows linearly with depth (plan + carried stats)
-            out = out.coalesce(16).localCheckpoint(eager=False)
-    return tree.join(out, "id").select("id", "parent", "w", "depth")
+    finally:
+        cut.close()
 
 
 def tree_gfi_matvec(
@@ -70,7 +91,7 @@ def tree_gfi_matvec(
     a: float = -1.0,
     f_fun: FFun | None = None,
     root: int | None = None,
-    cut_every: int = 4,
+    cut_every: int = 8,
 ) -> DataFrame:
     """Exact Σ_j f(dist_T(i,j))·field[j] for every vertex i.
 
@@ -80,14 +101,16 @@ def tree_gfi_matvec(
     under which the 2-pass DP is exact (reference trees.py:93-125).
     Returns (id, value).
 
-    cut_every: parquet-cut cadence in levels. Each level references the
-    previous one TWICE (msgs + directly), so both the lineage and the
-    carried size estimate double per uncut level (plans/lineage.py);
-    intermediate levels are persist()-ed (no recompute, plan keeps
-    growing) and every ``cut_every``-th level does the real parquet
-    round-trip (stats + lineage reset, caches released). The per-round
-    fixed cost of the cut (~0.3-0.5 s) dominates deep-tree walltime, so
-    batching cuts is the single biggest lever on O(log n) trees.
+    cut_every: parquet-cut cadence in levels. Intermediate levels take
+    a coalesce + eager localCheckpoint (real plan cut — each level
+    references the previous TWICE, so an uncut chain duplicates the
+    logical subtree exponentially; the coalesce caps the down-pass
+    union's partition growth that the parquet write used to absorb);
+    every ``cut_every``-th level does the real parquet round-trip,
+    resetting the carried stats estimate (which multiplies per
+    localCheckpoint level, plans/lineage.py) to the true file size.
+    Measured at depth 16 / 126k vertices, local[32] warm: per-level
+    cuts 17-21 s → cut_every=8: 12-15 s.
     """
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
@@ -103,22 +126,25 @@ def tree_gfi_matvec(
         edges.unpersist()
         return field.select("id", "value")
 
-    cut = StateCutter(tree_with_depth.sparkSession, "treegfi", keep=2)
+    spark = tree_with_depth.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cut = StateCutter(spark, "treegfi", keep=2)
     # ---- bottom-up: partial[v] = field[v] + Σ_children f(w)·partial[c]
     partial = field.select("id", F.col("value").alias("partial"))
-    pending: list[DataFrame] = []
 
     def _barrier(df: DataFrame, cutter, steps_done: int, last: bool) -> DataFrame:
-        nonlocal pending
+        # intermediate levels: eager localCheckpoint — a real plan cut
+        # (each level references the previous TWICE, so an uncut chain
+        # duplicates the logical subtree 2^k× and Catalyst planning
+        # dominates) — preceded by a coalesce: the down-pass union grows
+        # partition count per level and localCheckpoint materializes
+        # whatever it is handed (the parquet cut used to cap it as a
+        # side effect; observed 63k tasks at depth 13 without a cap).
+        # Every cut_every-th level does the real parquet round-trip,
+        # resetting the multiplied stats estimate to the true file size.
         if last or (steps_done % cut_every == 0):
-            out = cutter(df)
-            for p in pending:
-                p.unpersist(blocking=False)
-            pending = []
-            return out
-        out = df.persist()
-        pending.append(out)
-        return out
+            return cutter(df)
+        return df.coalesce(sp).localCheckpoint(eager=True)
 
     steps = 0
     for lvl in range(max_depth, 0, -1):
@@ -321,41 +347,50 @@ def _component_fixpoint(
             cut.close()
 
 
-def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int) -> DataFrame:
+def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int,
+                       cut_every: int = 8) -> DataFrame:
     """Orient an MST (forest component containing root) into parent
-    pointers away from the root: (id, parent, w, depth)."""
+    pointers away from the root: (id, parent, w, depth). Frontier and
+    accumulators take real parquet cuts on a cadence — see tree_depths
+    for why localCheckpoint alone melts at depth ≫ 16."""
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
     sym = mst.select("src", "dst", "w").unionByName(
         mst.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     known = spark.createDataFrame([(root, 0)], "id long, depth int")
-    frontier = known
-    rows = None
-    depth = 0
-    while True:
-        depth += 1
-        nxt = (
-            sym.join(frontier.select(F.col("id").alias("src")), "src")
-            .select(F.col("dst").alias("id"), F.col("src").alias("parent"), "w",
-                    F.lit(depth).alias("depth"))
-        )
-        if rows is not None:
-            nxt = nxt.join(rows.select("id"), "id", "left_anti")
-        nxt = nxt.join(known.select("id"), "id", "left_anti").localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        rows = (
-            nxt if rows is None
-            else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=False)
-        )
-        frontier = nxt
-        known = known.unionByName(nxt.select("id", "depth"))
-        if depth % 16 == 0:
-            # collapse the accumulator (see tree_depths): bounded plan
-            # depth at arbitrary tree depth
-            known = known.coalesce(16).localCheckpoint(eager=False)
-    if rows is None:
-        return spark.createDataFrame([], "id long, parent long, w double, depth int")
-    return rows
+    cut = StateCutter(spark, "mstroot", keep=4)
+    try:
+        frontier = known
+        rows = None
+        depth = 0
+        while True:
+            depth += 1
+            nxt = (
+                sym.join(frontier.select(F.col("id").alias("src")), "src")
+                .select(F.col("dst").alias("id"), F.col("src").alias("parent"), "w",
+                        F.lit(depth).alias("depth"))
+            )
+            if rows is not None:
+                nxt = nxt.join(rows.select("id"), "id", "left_anti")
+            nxt = nxt.join(known.select("id"), "id", "left_anti")
+            nxt = cut(nxt) if depth % cut_every == 0 else nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            rows = (
+                nxt if rows is None
+                else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=False)
+            )
+            frontier = nxt
+            known = known.unionByName(nxt.select("id", "depth"))
+            if depth % 16 == 0:
+                rows = cut(rows)
+                known = cut(known)
+        if rows is None:
+            return spark.createDataFrame([], "id long, parent long, w double, depth int")
+        return rows.localCheckpoint(eager=True)
+    finally:
+        cut.close()
 
 
 # ---------------------------------------------------------------------------

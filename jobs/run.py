@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--alpha", type=float, default=0.85)
             p.add_argument("--tol", type=float, default=1e-6)
             p.add_argument("--top", type=int, default=10)
+            # default: deterministic iff --checkpoint given (see operator)
+            p.add_argument("--fast", action="store_true", default=None,
+                           help="one-job-per-iteration loop (observe-fused "
+                                "metrics) even with a durable checkpoint; "
+                                "resume then reproduces allclose, not "
+                                "bit-identical")
         if name in ("lpa", "components"):
             p.add_argument("--max-iter", type=int, default=20)
 
@@ -92,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         ranks, info = pagerank(
             spark, edges, vertices=vertices, alpha=args.alpha, tol=args.tol,
             checkpoint_dir=args.checkpoint, resume=args.resume,
+            deterministic=(None if args.fast is None else not args.fast),
         )
         if args.out:
             ranks.write.mode("overwrite").parquet(args.out)

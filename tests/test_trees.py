@@ -306,3 +306,50 @@ def test_bartal_gfi_integrate_matches_oracle_trees(spark):
     gm = {r["id"]: r["value"] for r in got.collect()}
     for i in range(n):
         assert abs(gm[i] - exp[i]) < 1e-9
+
+
+def test_deep_tree_accumulators_bounded(spark):
+    """tree_depths on a depth-100 path keeps Catalyst's size estimates
+    bounded (the union-chain accumulator collapses every 16 levels) and
+    stays correct; tree_gfi_matvec with batched cuts (cut_every) equals
+    the per-level-cut result exactly."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from efficient_graph_algorithms_spark.operators.trees import tree_gfi_matvec
+
+    n = 101  # path 0-1-2-...-100 → depth 100
+    parents = {i: (i - 1, 0.01 * ((i % 7) + 1)) for i in range(1, n)}
+    tree = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+    )
+    twd = tree_depths(tree, root=0)
+    rows = {r["id"]: r["depth"] for r in twd.collect()}
+    assert rows == {i: i for i in range(1, n)}
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        twd.explain("cost")
+    sizes = re.findall(r"sizeInBytes=([\d.E+]+) (\S+)", buf.getvalue())
+    assert sizes, buf.getvalue()
+    # the carried estimate multiplies per level WITHIN a cut batch, so
+    # it is bounded by the cut cadence (~1e96 at cut_every=8) and
+    # INDEPENDENT of tree depth. Without the parquet cuts it grows with
+    # depth — 1e1891 at depth 100 (float() overflows to inf), BigInt
+    # melt beyond — which is exactly what this asserts against.
+    import math as _math
+
+    for coef, unit in sizes:
+        v = float(coef)
+        assert _math.isfinite(v) and v < 1e150, (coef, unit, sizes)
+
+    field = [(i, float((i % 5) - 2)) for i in range(n)]
+    fdf = spark.createDataFrame(field, "id long, value double")
+    exp = oracle.tree_gfi_matvec(parents, n, [v for _, v in field], a=-0.9)
+    got = tree_gfi_matvec(twd, fdf, a=-0.9, root=0, cut_every=8)
+    gm = {r["id"]: r["value"] for r in got.collect()}
+    for i in range(n):
+        assert abs(gm[i] - exp[i]) < 1e-9
