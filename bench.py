@@ -88,6 +88,15 @@ def main() -> int:
     edges_per_sec_per_iter = n_edges * iters / pr_sec
     meta["pagerank_iterations"] = iters
     meta["pagerank_converged"] = info["converged"]
+    # auxiliary (headline definition unchanged since r1: wall incl. setup):
+    # steady-state per-iteration throughput, robust to host CPU-steal bursts
+    import statistics as _st
+
+    its = info.get("iter_secs") or []
+    if len(its) > 4:
+        steady = _st.median(its[2:])
+        meta["pagerank_steady_eps"] = round(n_edges / steady, 1)
+        meta["pagerank_setup_sec"] = info.get("setup_sec")
 
     # -- Connected components -----------------------------------------------
     from efficient_graph_algorithms_spark.operators.components import connected_components
