@@ -150,3 +150,21 @@ def test_state_cutter_bounds_stats(spark):
         # astronomically-multiplied carried stats
         assert all(unit.rstrip(",)") in ("B", "KiB", "MiB") for _, unit in sizes), sizes
         assert state.count() == 100
+
+
+def test_state_cutter_keep_bounds_scratch(spark):
+    """keep=k rotates superseded cut generations: scratch directory
+    count stays O(keep) over arbitrarily many iterations (round-2
+    verdict: unbounded retention accumulated |V|-row parquet × iters)."""
+    import os
+
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    df = spark.range(50).select("id", (F.col("id") % 5).alias("v"))
+    with StateCutter(spark, "keeptest", keep=2) as cut:
+        state = cut(df)
+        for _ in range(9):
+            state = cut(state.select("id", (F.col("v") + 1).alias("v")))
+            n_dirs = len([d for d in os.listdir(cut.dir) if d.startswith("cut=")])
+            assert n_dirs <= 2, n_dirs
+        assert state.count() == 50
