@@ -1640,10 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_histogram": q_rel_histogram,
         "rel_stats": q_rel_stats,
         "rel_zscore": q_rel_zscore,
-        "rel_scalar_math": q_rel_scalar_math,
-        "rel_date_filter": q_rel_date_filter,
         "rel_minplus_join": q_rel_minplus_join,
-        "rel_distinct": q_rel_distinct,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_percentiles": q_rel_percentiles,
         "rel_union_except": q_rel_union_except,
@@ -1661,6 +1658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "events_user_activity": q_events_user_activity,
         "multimodal_features": q_multimodal_features,
+        # --- rotation (round 4): the driver records at most 50 rows; the three
+        # rel_* queries below were hash-green in rounds 1-3 (CORRECTNESS_r0{1,2,3})
+        # and rotate past position 50 so stream_windowed_counts,
+        # events_user_activity and multimodal_features get driver rows. See
+        # README "Driver-row rotation".
+        "rel_scalar_math": q_rel_scalar_math,
+        "rel_date_filter": q_rel_date_filter,
+        "rel_distinct": q_rel_distinct,
     }
 
 
