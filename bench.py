@@ -3,7 +3,7 @@
 Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS]:
 
-  q_extract    pages → edges build (href-extraction Arrow UDF path) on a
+  q_extract    pages → edges build (JVM regexp href extraction) on a
                synthesized corpus sized to the sf (north-rule edge build)
   q_pagerank   full PageRank to L1 < 1e-6 on the extracted web graph
   q_cc         connected components on the same graph
@@ -15,12 +15,23 @@ on local[$SPARK_GRAFT_CPUS]:
   q_tree_gfi   exp-kernel 2-pass tree matvec on a |V|-node heap tree
 
 The headline metric is PageRank edges/sec/iteration (BASELINE.md).
+
+Noise protocol (since r4): every query is run BENCH_REPS times (default 3)
+and the reported number is the per-query MEDIAN; the individual rep times
+are published in meta["rep_secs"] so nothing is hidden. Rationale: the
+host shows documented CPU-steal bursts (BENCH/BASELINE.md — identical
+runs swing >20% within an hour), so single-shot per-query times made
+round-over-round deltas unreadable. The first rep also absorbs one-time
+JVM/JIT warm-up (measured: the regexp scan's first execution is ~3-5×
+its steady-state cost purely from C2 compilation), which is amortized
+noise at 100 TB, not per-query cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -40,6 +51,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pages corpus sized to sf: sf0.1 → 120k pages (~1M edges)
 N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
 WORK = os.environ.get("BENCH_WORK", "/tmp/ega_bench")
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def main() -> int:
@@ -48,6 +60,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
     meta: dict[str, object] = {}
+    rep_secs: dict[str, list[float]] = {}
+    meta["rep_secs"] = rep_secs
+    meta["reps"] = REPS
+
+    def timed(name: str, fn) -> object:
+        """Run fn REPS times; record median in queries[name], all rep
+        times in meta. Returns the last rep's return value."""
+        out = None
+        secs: list[float] = []
+        for _ in range(REPS):
+            t0 = time.time()
+            out = fn()
+            secs.append(round(time.time() - t0, 3))
+        rep_secs[name] = secs
+        queries[name] = round(statistics.median(secs), 3)
+        _log(f"{name} done median={queries[name]}s reps={secs}")
+        return out
 
     # -- corpus build (timed as q_extract) ---------------------------------
     pages_path = f"{WORK}/pages_{N_PAGES}"
@@ -59,13 +88,13 @@ def main() -> int:
 
     from efficient_graph_algorithms_spark.sources.edges import build_edges
 
-    t0 = time.time()
-    pages = spark.read.parquet(pages_path)
-    url_dict, edges = build_edges(pages)
-    edges.write.mode("overwrite").parquet(f"{graph_path}/edges")
-    url_dict.write.mode("overwrite").parquet(f"{graph_path}/url_dict")
-    queries["q_extract"] = round(time.time() - t0, 3)
-    _log(f"extract done {queries['q_extract']}s")
+    def run_extract():
+        pages = spark.read.parquet(pages_path)
+        url_dict, edges = build_edges(pages)
+        edges.write.mode("overwrite").parquet(f"{graph_path}/edges")
+        url_dict.write.mode("overwrite").parquet(f"{graph_path}/url_dict")
+
+    timed("q_extract", run_extract)
 
     edges = spark.read.parquet(f"{graph_path}/edges").persist()
     n_edges = edges.count()
@@ -78,79 +107,74 @@ def main() -> int:
     # -- PageRank (headline) ------------------------------------------------
     from efficient_graph_algorithms_spark.operators.pagerank import pagerank
 
-    t0 = time.time()
-    ranks, info = pagerank(spark, edges, vertices=vertices, tol=1e-6)
-    ranks.count()
-    pr_sec = time.time() - t0
-    queries["q_pagerank"] = round(pr_sec, 3)
-    _log(f"pagerank done {pr_sec:.1f}s iters={info['iterations']}")
+    pr_infos: list[dict] = []
+
+    def run_pagerank():
+        ranks, info = pagerank(spark, edges, vertices=vertices, tol=1e-6)
+        ranks.count()
+        pr_infos.append(info)
+        return info
+
+    info = timed("q_pagerank", run_pagerank)
+    pr_sec = queries["q_pagerank"]
     iters = info["iterations"]
     edges_per_sec_per_iter = n_edges * iters / pr_sec
     meta["pagerank_iterations"] = iters
     meta["pagerank_converged"] = info["converged"]
     # auxiliary (headline definition unchanged since r1: wall incl. setup):
     # steady-state per-iteration throughput, robust to host CPU-steal bursts
-    import statistics as _st
-
-    its = info.get("iter_secs") or []
-    if len(its) > 4:
-        steady = _st.median(its[2:])
+    # — median over ALL reps' post-warmup iteration times
+    all_iter_secs = [s for i in pr_infos for s in (i.get("iter_secs") or [])[2:]]
+    if all_iter_secs:
+        steady = statistics.median(all_iter_secs)
         meta["pagerank_steady_eps"] = round(n_edges / steady, 1)
         meta["pagerank_setup_sec"] = info.get("setup_sec")
 
     # -- Connected components -----------------------------------------------
     from efficient_graph_algorithms_spark.operators.components import connected_components
 
-    t0 = time.time()
-    labels, cinfo = connected_components(spark, edges, vertices=vertices)
-    labels.count()
-    queries["q_cc"] = round(time.time() - t0, 3)
-    _log(f"cc done {queries['q_cc']}s")
-    meta["cc_rounds"] = cinfo["rounds"]
+    def run_cc():
+        labels, cinfo = connected_components(spark, edges, vertices=vertices)
+        labels.count()
+        return cinfo
+
+    meta["cc_rounds"] = timed("q_cc", run_cc)["rounds"]
 
     # -- Triangles ------------------------------------------------------------
     from efficient_graph_algorithms_spark.operators.triangles import triangle_count
 
-    t0 = time.time()
-    tri = triangle_count(edges).first()["triangles"]
-    queries["q_triangles"] = round(time.time() - t0, 3)
-    _log(f"triangles done {queries['q_triangles']}s")
+    tri = timed("q_triangles", lambda: triangle_count(edges).first()["triangles"])
     meta["triangles"] = int(tri)
 
     # -- LPA (bounded rounds) ---------------------------------------------------
     from efficient_graph_algorithms_spark.operators.lpa import label_propagation
 
-    t0 = time.time()
-    lab, _ = label_propagation(spark, edges, vertices=vertices, max_iter=5)
-    lab.count()
-    queries["q_lpa"] = round(time.time() - t0, 3)
-    _log("lpa done")
+    def run_lpa():
+        lab, _ = label_propagation(spark, edges, vertices=vertices, max_iter=5)
+        lab.count()
+
+    timed("q_lpa", run_lpa)
 
     # -- documents dedup + embeddings topk ----------------------------------------
     from efficient_graph_algorithms_spark.operators.dedup import minhash_lsh_pairs
     from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.time()
-    meta["dedup_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
-    queries["q_dedup"] = round(time.time() - t0, 3)
-    _log("dedup done")
+    meta["dedup_pairs"] = timed(
+        "q_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.5).count()
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 16).select(F.col("vec_id").alias("qid"), "embedding")
-    t0 = time.time()
-    meta["topk_rows"] = cosine_topk(emb, q, k=10).count()
-    queries["q_topk_sim"] = round(time.time() - t0, 3)
+    meta["topk_rows"] = timed("q_topk_sim", lambda: cosine_topk(emb, q, k=10).count())
 
     # -- k-NN graph via multi-table RP-LSH (the similarity scale path) --------
     from efficient_graph_algorithms_spark.operators.ann import knn_graph
 
-    t0 = time.time()
-    meta["knn_edges"] = knn_graph(
-        emb, k=5, method="lsh", n_tables=4, n_planes=8, dim=64
-    ).count()
-    queries["q_knn_lsh"] = round(time.time() - t0, 3)
-    _log("knn done")
+    meta["knn_edges"] = timed(
+        "q_knn_lsh",
+        lambda: knn_graph(emb, k=5, method="lsh", n_tables=4, n_planes=8, dim=64).count(),
+    )
 
     # -- exp-kernel tree matvec at |V| scale (tree-GFI family) ----------------
     # binary-heap tree over the graph's vertex count: deterministic
@@ -160,7 +184,6 @@ def main() -> int:
 
     from efficient_graph_algorithms_spark.operators.trees import tree_gfi_matvec
 
-    t0 = time.time()
     n_tree = n_vertices
     tree_depth = int(_math.floor(_math.log2(max(n_tree, 2))))
     heap_tree = spark.range(1, n_tree).select(
@@ -170,10 +193,10 @@ def main() -> int:
         F.floor(F.log2(F.col("id") + 1)).cast("int").alias("depth"),
     )
     fld = spark.range(n_tree).select("id", (F.col("id") % 97 / 97.0).alias("value"))
-    meta["tree_gfi_rows"] = tree_gfi_matvec(heap_tree, fld, a=-0.5, root=0).count()
+    meta["tree_gfi_rows"] = timed(
+        "q_tree_gfi", lambda: tree_gfi_matvec(heap_tree, fld, a=-0.5, root=0).count()
+    )
     meta["tree_depth"] = tree_depth
-    queries["q_tree_gfi"] = round(time.time() - t0, 3)
-    _log("tree gfi done")
 
     total = round(sum(queries.values()), 3)
     print(

@@ -107,3 +107,50 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_hrefs)
+
+
+# --- JVM-side href extraction (whole-stage-codegen hot path) ---------------
+#
+# Same semantics as `extract_hrefs(html, base_url=None)` re-expressed as
+# built-in column expressions, so the biggest scan of the pipeline (regex
+# over every page's full html) never leaves the JVM — no Arrow transfer,
+# no Python worker. `extract_hrefs` stays the oracle: a pytest asserts
+# element-exact equality on the synthetic corpus plus adversarial html.
+#
+# Parity envelope (documented, tested): byte streams that are valid UTF-8
+# decode identically; href whitespace-stripping uses Java \s ([ \t\n\x0B\f\r])
+# where Python str.strip() also strips exotic Unicode spaces — identical on
+# anything a real href contains.
+
+_HREF_SQL_PAT = r"""(?si)<a\b[^>]*?href\s*=\s*["']([^"']+)["']"""
+
+
+def _normalize_url_col(u):
+    """Column-expression mirror of `normalize_url` (same steps, same order)."""
+    u = F.regexp_replace(u, r"^\s+|\s+$", "")
+    u = F.substring_index(u, "#", 1)
+    scheme = F.substring_index(u, "://", 1)
+    rest = F.substring(u, F.length(scheme) + 4, F.length(u))
+    host = F.substring_index(rest, "/", 1)
+    path = F.substring(rest, F.length(host) + 2, F.length(u))
+    with_auth = F.when(
+        rest.contains("/"),
+        F.concat(F.lower(scheme), F.lit("://"), F.lower(host), F.lit("/"), path),
+    ).otherwise(F.concat(F.lower(scheme), F.lit("://"), F.lower(rest)))
+    u = F.when(u.contains("://"), with_auth).otherwise(u)
+    n_slash = F.length(u) - F.length(F.regexp_replace(u, "/", ""))
+    return F.when(
+        u.endswith("/") & (n_slash > 3), F.regexp_replace(u, "/+$", "")
+    ).otherwise(u)
+
+
+def extract_hrefs_expr(html) -> "F.Column":
+    """array<string> of normalized absolute hrefs in document order —
+    JVM equivalent of ``extract_hrefs_udf`` (absolute-href corpus; the
+    relative-resolution branch lives only in the Python oracle, which the
+    Spark path has never exercised: ``raw_link_pairs`` passes no base)."""
+    s = F.decode(html, "UTF-8")
+    raw = F.regexp_extract_all(s, F.lit(_HREF_SQL_PAT), F.lit(1))
+    stripped = F.transform(raw, lambda h: F.regexp_replace(h, r"^\s+|\s+$", ""))
+    nonempty = F.filter(stripped, lambda h: h != F.lit(""))
+    return F.transform(nonempty, _normalize_url_col)

@@ -104,7 +104,8 @@ def gromov_wasserstein_discrepancy(
     scalings. (The reference reuses its ``alpha`` hyperparameter as
     the regularizer weight; here that knob is ``p_reg_weight`` so it
     cannot collide with the FGW mixing ``alpha``.) The final p_s is
-    returned in info["p_s"] as a list of (i, p) rows.
+    returned in info["p_s"] as an eagerly localCheckpointed (i, p)
+    DataFrame (callers .collect() it if they need driver-side rows).
     """
     fc = (
         feature_cost.select("i", "j", F.col("m").cast("double").alias("m")).persist()
@@ -224,8 +225,9 @@ def _update_p_step(
 ) -> tuple[DataFrame, DataFrame]:
     """One softmax gradient step on the source distribution (reference
     ``update_distribution``, gromov_wasserstein_graphs.py:72-105).
-    All vectors stay distributed; only 4 scalar aggregates (⟨p,∇⟩,
-    mean, centered L2 norm, softmax max/Z) hit the driver."""
+    All vectors stay distributed; 5 driver round-trips of scalar
+    aggregates per step (⟨p,∇⟩; mean+count; centered L2 norm; softmax
+    max; softmax Z) — each transfers O(1) rows."""
     gexpr = F.lit(beta) * F.log(F.col("a"))
     if weight > 0:
         gexpr = gexpr - F.lit(weight) * (F.log(F.col("p")) + F.lit(1.0))

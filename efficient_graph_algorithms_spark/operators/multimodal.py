@@ -1,11 +1,22 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing here is REAL and tested — schemas, Arrow batch
-shapes, ``mapInPandas`` partitioning, metadata propagation. The actual
-media decode is STUBBED (image/audio libs are not in this container):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case they produce seeded fake
-features so the distributed pipeline is exercised end-to-end.
+shapes, ``mapInPandas`` partitioning, metadata propagation.
+
+Decode status per modality:
+
+* **audio/WAV — REAL.** ``decode_wav`` is a pure-NumPy RIFF parser
+  (PCM 8/16/32-bit + IEEE float32, mono or interleaved multichannel);
+  ``_audio_features`` computes real signal features (duration, RMS,
+  zero-crossing rate, peak, 12 log-spaced spectral band energies).
+  ``encode_wav_pcm16`` closes the round-trip for tests. Any ``audio``
+  row whose payload carries a RIFF/WAVE header takes this path
+  unconditionally.
+* **image / video / compressed audio — STUBBED** (PIL/ffmpeg/librosa
+  are not in this container): ``decode_media`` raises
+  ``NotImplementedError`` unless ``deterministic_fake=True``, in which
+  case it produces seeded fake features so the distributed pipeline is
+  exercised end-to-end.
 
 Pattern: media rows are large (MBs) — the operators keep batches small
 via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and never collect
@@ -66,14 +77,114 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, np.ndarray]:
     return w, h, feats
 
 
+# --- real WAV decode (pure NumPy, no external libs) ------------------------
+
+def _is_wav(payload: bytes) -> bool:
+    return len(payload) >= 44 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE byte stream → (sample_rate, n_channels,
+    samples float32[n_frames, n_channels] scaled to [-1, 1]).
+
+    Supports PCM (format 1) at 8/16/32 bits and IEEE float32 (format 3),
+    walking the chunk list properly (fmt/data may be preceded by LIST or
+    fact chunks; chunk sizes are padded to even offsets per RIFF)."""
+    if not _is_wav(payload):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little"))
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        csz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if n_ch < 1 or rate < 1:
+        raise ValueError(f"bad WAV header: channels={n_ch} rate={rate}")
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit not supported")
+    n_frames = len(x) // n_ch
+    return rate, n_ch, x[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """float[-1,1] (n_frames,) or (n_frames, n_ch) → 16-bit PCM WAV bytes.
+    Round-trip partner of ``decode_wav`` (used by tests and demos)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * n_ch * 2).to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+def _audio_features(rate: int, samples: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Real audio features, FEATURE_DIM wide:
+    [duration_s, rms, zero_crossing_rate, peak, 12 log-band energies].
+    Returns (width=n_channels, height=sample_rate//100, features)."""
+    n_ch = samples.shape[1]
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    dur = n / rate
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    peak = float(np.max(np.abs(mono))) if n else 0.0
+    bands = np.zeros(FEATURE_DIM - 4, dtype=np.float32)
+    if n > 8:
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        # 12 log-spaced bins over (0, Nyquist]
+        edges = np.unique(
+            np.round(np.logspace(0, np.log10(len(spec)), len(bands) + 1)).astype(int)
+        )
+        for i in range(min(len(bands), len(edges) - 1)):
+            seg = spec[edges[i] : edges[i + 1]]
+            bands[i] = np.log1p(seg.sum())
+    feats = np.concatenate(
+        [np.array([dur, rms, zcr, peak], dtype=np.float32), bands]
+    ).astype(np.float32)
+    return n_ch, rate // 100, feats
+
+
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """STUB: real decode needs PIL/ffmpeg/librosa — not in this container.
-    The Spark plumbing around it is real; swap this function in prod."""
+    """Audio WAV payloads decode for REAL (pure-NumPy RIFF parser above);
+    other modalities need PIL/ffmpeg — not in this container — so they are
+    stubbed behind ``deterministic_fake``. Swap in prod."""
+    if kind == "audio" and _is_wav(payload):
+        rate, _n_ch, samples = decode_wav(payload)
+        return _audio_features(rate, samples)
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; pass deterministic_fake=True to exercise the pipeline"
+        "non-WAV media decode requires image/audio libraries not present in "
+        "this environment; pass deterministic_fake=True to exercise the pipeline"
     )
 
 

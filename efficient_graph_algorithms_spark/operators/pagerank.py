@@ -118,6 +118,62 @@ def _det_sums(df: DataFrame, exprs: dict[str, Any]) -> dict[str, float]:
     return out
 
 
+def _pagerank_setup(
+    spark: SparkSession,
+    checkpoint_dir: str | None,
+    pvec: DataFrame,
+    alpha: float,
+    tol: float,
+    n: int,
+    resume: bool,
+    deterministic: bool,
+    sp: int,
+) -> tuple[bool, str, "CheckpointManager", int, float, DataFrame]:
+    """Vertex-side setup: checkpoint manager, resume load, initial dangling
+    mass. Runs concurrently with the edge-cache materialization thread in
+    ``pagerank`` — the caller reaps that thread on any error raised here."""
+    ephemeral = checkpoint_dir is None
+    state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
+    ckpt = CheckpointManager(
+        spark, state_root, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
+    )
+    start_iter = 0
+    dm: float | None = None
+    # single fused per-vertex state: (id, p, dangling, rank) — ONE
+    # vertex-side join per iteration instead of separate pvec/ranks joins
+    state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
+    if resume and checkpoint_dir:
+        latest = ckpt.latest_iteration()
+        if latest is not None:
+            saved = ckpt.load_iteration(latest)
+            if "p" in saved.columns:  # full fused snapshot
+                state = saved.select("id", "p", "dangling", "rank")
+            else:  # (id, rank)-only snapshot from an older layout
+                state = pvec.join(saved, "id").select("id", "p", "dangling", "rank")
+            start_iter = latest
+            # reuse the recorded dangling mass so the resumed run is
+            # bit-identical (a fresh agg would sum in a different order)
+            for row in ckpt.metrics():
+                if row.get("iteration") == latest and "dangling_mass" in row:
+                    dm = float(row["dangling_mass"])
+
+    if dm is None:
+        # dangling mass of the CURRENT rank vector (one-off; subsequent
+        # values ride along each iteration's snapshot job). The action
+        # also materializes the pvec persist — no separate count job.
+        dm_expr = F.sum(
+            F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("dm")
+        if deterministic:
+            dm = _det_sums(
+                _canonical(state, sp),
+                {"dm": F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))},
+            )["dm"]
+        else:
+            dm = float(state.agg(dm_expr).collect()[0]["dm"] or 0.0)
+    return ephemeral, state_root, ckpt, start_iter, dm, state
+
+
 def vertex_table(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("src").alias("id"))
@@ -210,46 +266,18 @@ def pagerank(
 
     _linked_thread = threading.Thread(target=_materialize_linked, daemon=True)
     _linked_thread.start()
-
-    ephemeral = checkpoint_dir is None
-    state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
-    ckpt = CheckpointManager(
-        spark, state_root, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
-    )
-    start_iter = 0
-    dm: float | None = None
-    # single fused per-vertex state: (id, p, dangling, rank) — ONE
-    # vertex-side join per iteration instead of separate pvec/ranks joins
-    state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
-    if resume and checkpoint_dir:
-        latest = ckpt.latest_iteration()
-        if latest is not None:
-            saved = ckpt.load_iteration(latest)
-            if "p" in saved.columns:  # full fused snapshot
-                state = saved.select("id", "p", "dangling", "rank")
-            else:  # (id, rank)-only snapshot from an older layout
-                state = pvec.join(saved, "id").select("id", "p", "dangling", "rank")
-            start_iter = latest
-            # reuse the recorded dangling mass so the resumed run is
-            # bit-identical (a fresh agg would sum in a different order)
-            for row in ckpt.metrics():
-                if row.get("iteration") == latest and "dangling_mass" in row:
-                    dm = float(row["dangling_mass"])
-
-    if dm is None:
-        # dangling mass of the CURRENT rank vector (one-off; subsequent
-        # values ride along each iteration's snapshot job). The action
-        # also materializes the pvec persist — no separate count job.
-        dm_expr = F.sum(
-            F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
-        ).alias("dm")
-        if deterministic:
-            dm = _det_sums(
-                _canonical(state, sp),
-                {"dm": F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))},
-            )["dm"]
-        else:
-            dm = float(state.agg(dm_expr).collect()[0]["dm"] or 0.0)
+    try:
+        _setup_state = _pagerank_setup(
+            spark, checkpoint_dir, pvec, alpha, tol, n, resume, deterministic, sp
+        )
+    except BaseException:
+        # reap the concurrent materialization job before propagating, so
+        # an error in checkpoint resume / the dm aggregate doesn't leave
+        # linked.count() running unsupervised on the cluster
+        _linked_thread.join()
+        linked.unpersist()
+        raise
+    ephemeral, state_root, ckpt, start_iter, dm, state = _setup_state
 
     _linked_thread.join()
     if _linked_err:
@@ -270,10 +298,18 @@ def pagerank(
     # cost (~0.1 s/iter + ~1.3 s on the cold first iteration) and the
     # partitions are tiny either way. Fast mode turns it off for small
     # graphs and restores the session conf afterwards.
+    # NOTE non-reentrancy: this flips a session-global conf, so another
+    # query submitted on the same SparkSession while a small-graph fast-mode
+    # pagerank is in flight would observe AQE off. Restore happens only
+    # when we actually modified the conf (no spurious explicit-set of a
+    # previously-default value).
     _aqe_key = "spark.sql.adaptive.enabled"
-    _aqe_prev = spark.conf.get(_aqe_key)
+    _aqe_prev: str | None = None
+    _aqe_modified = False
     if not deterministic and n <= 2_000_000:
+        _aqe_prev = spark.conf.get(_aqe_key)
         spark.conf.set(_aqe_key, "false")
+        _aqe_modified = True
         info["aqe"] = "off(small-graph)"
     try:
         for it in range(start_iter + 1, max_iter + 1):
@@ -379,7 +415,8 @@ def pagerank(
             ranks_out = ranks_out.localCheckpoint(eager=True)
         return ranks_out, info
     finally:
-        spark.conf.set(_aqe_key, _aqe_prev)
+        if _aqe_modified:
+            spark.conf.set(_aqe_key, _aqe_prev)
         pvec.unpersist()
         linked.unpersist()
         if ephemeral:

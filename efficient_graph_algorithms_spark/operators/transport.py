@@ -186,14 +186,28 @@ def sinkhorn_distance(
     v = None
     for it in range(1, n_iter + 1):
         ku = kmul(state.select("id", F.col("u").alias("value")))
-        v = (
+        v_new = (
             state.join(ku.withColumnRenamed("value", "ku"), "id")
             .select(
                 "id", "mu",
                 (F.col("mu") / F.greatest(F.col("ku"), F.lit(EPS_CLAMP))).alias("v"),
             )
         )
-        v = cut(v)
+        # convergence delta vs the previous v rides the cut write as a
+        # CollectMetrics partial (pagerank's observe() pattern) — two
+        # jobs per iteration total instead of three. _obs_v0 is
+        # observation-only scratch: the cutter drops it before the write.
+        if v_prev is not None:
+            v_new = v_new.join(
+                v_prev.select("id", F.col("v").alias("_obs_v0")), "id", "left"
+            )
+            v, got = cut.observe(
+                v_new,
+                delta=F.sum(F.abs(F.col("v") - F.coalesce(F.col("_obs_v0"), F.col("v")))),
+            )
+            delta = float(got["delta"] or 0.0)
+        else:
+            v, delta = cut(v_new), None
         kv = kmul(v.select("id", F.col("v").alias("value")))
         u_new = (
             nu_v.join(kv.withColumnRenamed("value", "kv"), "id")
@@ -207,13 +221,8 @@ def sinkhorn_distance(
             .select("id", "mu", F.coalesce(F.col("u"), F.lit(1.0)).alias("u"))
         )
         info["iterations"] = it
-        if v_prev is not None:
-            delta = (
-                v.join(v_prev.withColumnRenamed("v", "v0"), "id")
-                .agg(F.sum(F.abs(F.col("v") - F.col("v0"))))
-                .collect()[0][0]
-            )
-            info["deltas"].append(float(delta))
+        if delta is not None:
+            info["deltas"].append(delta)
             if delta < tol:
                 break
         v_prev = v
@@ -380,25 +389,37 @@ def wasserstein_barycenter(
                 )
             )
             d = cut(d)
-            # geometric-mean update: b(i) = exp(Σ_k α_k log d_k(i))
-            b = cut(
+            # geometric-mean update: b(i) = exp(Σ_k α_k log d_k(i)).
+            # The convergence change Σ_id a·|b - b_old| rides the cut
+            # write as a CollectMetrics partial (pagerank observe()
+            # pattern) — two jobs per iteration, not three. _obs_*
+            # columns are observation scratch the cutter drops pre-write.
+            b_new = (
                 d.join(alpha_df, "k")
                 .groupBy("id")
                 .agg(F.exp(F.sum(F.col("alpha") * F.log(F.col("d")))).alias("b"))
             )
+            if b_old is not None:
+                b_new = b_new.join(
+                    b_old.select("id", F.col("b").alias("_obs_b0")), "id", "left"
+                ).join(area.select("id", F.col("a").alias("_obs_a")), "id")
+                b, got = cut.observe(
+                    b_new,
+                    change=F.sum(
+                        F.col("_obs_a")
+                        * F.abs(F.col("b") - F.coalesce(F.col("_obs_b0"), F.col("b")))
+                    ),
+                )
+                change = float(got["change"] or 0.0)
+            else:
+                b, change = cut(b_new), None
             v = (
                 d.join(b, "id")
                 .select("k", "id", (F.col("v") * F.col("b") / F.col("d")).alias("v"))
             )
             info["iterations"] = it
-            if b_old is not None:
-                change = (
-                    b.join(b_old.withColumnRenamed("b", "b0"), "id")
-                    .join(area, "id")
-                    .agg(F.sum(F.col("a") * F.abs(F.col("b") - F.col("b0"))))
-                    .collect()[0][0]
-                )
-                info["changes"].append(float(change))
+            if change is not None:
+                info["changes"].append(change)
                 if it > 2 and change < tol:
                     break
             b_old = b

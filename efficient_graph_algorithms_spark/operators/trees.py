@@ -34,6 +34,7 @@ one sorted loop.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -377,9 +378,13 @@ def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int,
             nxt = cut(nxt) if depth % cut_every == 0 else nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
+            # eager: the accumulator must not depend on block-manager
+            # retention of earlier lazy checkpoints — keep= rotation below
+            # deletes the parquet cuts those generations truncate to, so a
+            # lazy chain would be unrecomputable after an executor loss
             rows = (
                 nxt if rows is None
-                else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=False)
+                else rows.unionByName(nxt).coalesce(16).localCheckpoint(eager=True)
             )
             frontier = nxt
             known = known.unionByName(nxt.select("id", "depth"))
@@ -755,6 +760,7 @@ def bartal_tree(
         singleton_roots: DataFrame | None = None  # (ck, root)
         cur_diam = diam
         level = 0
+        ldd_converged = True
         while level < max_levels:
             sizes = state.groupBy("ck").agg(F.count("*").alias("m"))
             active_keys = sizes.where(F.col("m") >= 2).select("ck")
@@ -823,6 +829,13 @@ def bartal_tree(
                 cand = new_cand
                 if done:
                     break
+            else:
+                # loud, like the eccentricity phase's disconnection check:
+                # the ball-growing relaxation exhausted max_hops before the
+                # fixpoint (possible on long weighted paths with large
+                # geometric radii) — the decomposition would silently
+                # diverge from the exact-Dijkstra NumPy mirror
+                ldd_converged = False
             # winner = min-π covering center; child key = pk + '/' + center
             win = (
                 cand.groupBy("id", "ck")
@@ -895,7 +908,16 @@ def bartal_tree(
             )
         root = int(roots.where(F.col("ck") == "R").collect()[0]["root"])
         tree = tree_depths(tree_edges, root).localCheckpoint(eager=True)
-        info = {"root": root, "diam": diam, "w_min": wmin, "levels": level}
+        info = {"root": root, "diam": diam, "w_min": wmin, "levels": level,
+                "ldd_converged": ldd_converged}
+        if not ldd_converged:
+            warnings.warn(
+                "bartal_tree: ball-growing fixpoint not reached within "
+                f"max_hops={max_hops}; decomposition may diverge from exact "
+                "ball semantics (raise max_hops)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return tree, info
     finally:
         sym.unpersist()

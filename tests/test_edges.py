@@ -75,3 +75,25 @@ def test_symmetrize(spark):
     e = spark.createDataFrame([(1, 2), (2, 1), (3, 3), (2, 3)], ["src", "dst"])
     got = sorted(map(tuple, symmetrize(e).toPandas().itertuples(index=False)))
     assert got == [(1, 2), (2, 1), (2, 3), (3, 2)]
+
+
+def test_raw_link_pairs_jvm_matches_udf_path(spark):
+    """The default JVM extraction path and the Arrow-UDF path must produce
+    the identical multiset of (src_url, dst_url) pairs."""
+    from efficient_graph_algorithms_spark.sources.edges import raw_link_pairs
+
+    pages = pages_df(spark, 300, seed=42, partitions=3)
+    a = sorted(map(tuple, raw_link_pairs(pages, jvm=True).collect()))
+    b = sorted(map(tuple, raw_link_pairs(pages, jvm=False).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_assign_dense_ids_dedupes_input(spark):
+    """Duplicate input urls collapse to one row each, ids stay dense-sorted
+    — the dedup is fused into the range shuffle, no upstream distinct()."""
+    urls = [f"u{i:03d}" for i in range(50)] * 3  # every url 3×
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).repartition(7)
+    out = assign_dense_ids(df, partitions=4).toPandas().sort_values("id")
+    assert list(out["url"]) == sorted(set(urls))
+    assert list(out["id"]) == list(range(50))

@@ -74,3 +74,38 @@ def test_hub_skew_exists():
     _, edges = edges_from_pages_pd(pages_pandas(2000, seed=42))
     counts = np.bincount(edges[:, 1])
     assert counts.max() >= 20 * max(1.0, counts.mean())
+
+
+def test_jvm_href_expr_matches_python_oracle(spark, tiny_pages_pd):
+    """extract_hrefs_expr (pure column expressions, whole-stage codegen)
+    must be element-exact vs the Python oracle — synthetic corpus plus
+    adversarial html the generator never emits."""
+    import pyspark.sql.functions as F
+
+    from efficient_graph_algorithms_spark.functions.extract import (
+        extract_hrefs,
+        extract_hrefs_expr,
+    )
+
+    adversarial = [
+        b"<a href='https://A.Example/X/'>single-quoted + trailing slash</a>",
+        b'<a class="x" HREF="https://h.example/p#frag">attr-order, caps</a>',
+        b'<a href="  https://pad.example/q  ">padded</a>',
+        b'<a href="">empty</a><a href="https://ok.example/r">after-empty</a>',
+        b'<a\nhref="https://multi.example/line">newline in tag</a>',
+        b'no links at all',
+        b'<a href="relative/path">relative (kept verbatim, no base)</a>',
+        b'<a href="https://dup.example/s">1</a><a href="https://dup.example/s">2</a>',
+        "<a href='https://uni.example/café'>unicode</a>".encode(),
+        b'<a data-href="https://no.example/skip">not an href attr</a>'
+        b'<a href="https://yes.example/t">real</a>',
+    ]
+    rows = [(u, bytes(h)) for u, h in zip(tiny_pages_pd["url"], tiny_pages_pd["html"])]
+    rows += [(f"adv{i}", h) for i, h in enumerate(adversarial)]
+    df = spark.createDataFrame(rows, "url string, html binary").repartition(5)
+    got = {
+        r["url"]: list(r["hrefs"])
+        for r in df.select("url", extract_hrefs_expr(F.col("html")).alias("hrefs")).collect()
+    }
+    for url, html in rows:
+        assert got[url] == extract_hrefs(html), url

@@ -109,9 +109,105 @@ def test_multimodal_plumbing(spark):
     assert {r["media_id"]: r["features"] for r in out2} == {
         r["media_id"]: r["features"] for r in out
     }
-    # real decode is stubbed
+    # real decode is stubbed for non-WAV modalities
     with pytest.raises(NotImplementedError):
         decode_media(b"x", "image", deterministic_fake=False)
+
+
+def test_wav_roundtrip_bit_exact():
+    """encode_wav_pcm16 → decode_wav is sample-exact at 16-bit resolution,
+    mono and stereo, and header fields survive."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(4800) / 8000.0
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, n_ch, got = decode_wav(encode_wav_pcm16(mono, 8000))
+    assert (rate, n_ch, got.shape) == (8000, 1, (4800, 1))
+    assert np.abs(got[:, 0] - mono).max() <= 1.0 / 32767 + 1e-9
+
+    stereo = np.stack([mono, -mono], axis=1)
+    rate, n_ch, got = decode_wav(encode_wav_pcm16(stereo, 44100))
+    assert (rate, n_ch, got.shape) == (44100, 2, (4800, 2))
+    assert np.abs(got - stereo).max() <= 1.0 / 32767 + 1e-9
+
+
+def test_wav_decode_variants_and_errors():
+    """8-bit PCM and float32 branches; malformed streams fail loudly."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, bits, body, n_ch=1, rate=8000, extra=b""):
+        fmt = (
+            fmt_code.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * n_ch * bits // 8).to_bytes(4, "little")
+            + (n_ch * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        chunks = extra + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        chunks += b"data" + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    # 8-bit unsigned PCM: 128 → 0.0, 255 → ~1.0
+    r, c, s = decode_wav(wav(1, 8, bytes([128, 255, 0, 128])))
+    assert np.allclose(s[:, 0], [0.0, 127 / 128, -1.0, 0.0])
+    # float32
+    body = np.array([0.25, -0.75], dtype="<f4").tobytes()
+    r, c, s = decode_wav(wav(3, 32, body))
+    assert np.allclose(s[:, 0], [0.25, -0.75])
+    # chunk-walk past a LIST chunk before fmt
+    lst = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    r, c, s = decode_wav(wav(1, 8, bytes([128]), extra=lst))
+    assert s.shape == (1, 1)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + b"\x00" * 100)  # no WAVE magic
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(1, 24, b"\x00" * 6))  # 24-bit unsupported
+
+
+def test_real_wav_through_spark_pipeline(spark):
+    """End-to-end: real WAV bytes flow through extract_media_features'
+    mapInPandas path alongside fake-decoded image rows; audio features are
+    real signal measurements (duration, RMS, spectral bands)."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_wav_pcm16,
+        extract_media_features,
+    )
+
+    rows = []
+    for i in range(8):
+        t = np.arange(8000) / 8000.0
+        sig = 0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        rows.append((i, "audio", encode_wav_pcm16(sig, 8000), {"src": "synth"}))
+    rows.append((100, "image", b"\x89PNGfake", {}))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    ).repartition(3)
+    out = {r["media_id"]: r for r in
+           extract_media_features(media, deterministic_fake=True).collect()}
+    assert len(out) == 9
+    for i in range(8):
+        r = out[i]
+        assert (r["width"], r["height"]) == (1, 80)  # mono, 8000 Hz
+        f = r["features"]
+        assert len(f) == FEATURE_DIM
+        assert abs(f[0] - 1.0) < 1e-6          # duration: 1 s
+        assert abs(f[1] - 0.4 / np.sqrt(2)) < 1e-3  # RMS of a 0.4 sine
+        assert abs(f[2] - 2 * (200 + 100 * i) / 8000.0) < 0.01  # ZCR ≈ 2f/fs
+    # higher-frequency sines put energy in higher bands
+    lo = np.argmax(out[0]["features"][4:])
+    hi = np.argmax(out[7]["features"][4:])
+    assert hi > lo
+    # image row still takes the deterministic-fake path
+    assert out[100]["kind"] == "image" and len(out[100]["features"]) == FEATURE_DIM
 
 
 # --- streaming -------------------------------------------------------------
