@@ -1,0 +1,30 @@
+# Round ritual targets. The scaling evidence is freshness-checked by
+# construction: `make scaling` stamps BENCH/scaling.json with the blob
+# hash of the measured PageRank loop, and `make check` /
+# `make scaling-fresh` FAIL whenever that file has changed since the
+# measurement — a loop change can never ship with stale scaling data.
+
+PY ?= python
+
+.PHONY: test bench scaling membw scaling-fresh check
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+# full scaling protocol: 3 repeats at the 2->8 criterion pair on the
+# 100M-edge graph (builds it on first run), plus the DRAM-bandwidth
+# probe that evidences the pair choice. ~75 min.
+scaling:
+	$(PY) tools/bench_scaling.py --repeats 3 --cpus 2 8 > BENCH/scaling.json
+	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 > BENCH/membw.json
+
+membw:
+	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 > BENCH/membw.json
+
+scaling-fresh:
+	$(PY) tools/check_scaling_fresh.py
+
+check: scaling-fresh test

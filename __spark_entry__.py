@@ -1446,15 +1446,44 @@ def q_events_user_activity(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction (decode stubbed deterministic —
-    rows-only check; the Spark plumbing is what's exercised)."""
-    from efficient_graph_algorithms_spark.operators.multimodal import extract_media_features
+    """Binary-payload feature extraction, half REAL: even doc_ids carry a
+    deterministically synthesized RIFF/WAVE payload decoded end-to-end by
+    the pure-NumPy WAV parser (multimodal.decode_wav — sample rate 8000,
+    1-2 channels, 400-610 frames, all derived from doc_id); odd doc_ids
+    keep the documented fake-image path (no image libs in-container).
+    The oracle reproduces the WAV header fields as pure arithmetic on
+    doc_id, so the real decode is hash-verified, not rows-only."""
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        extract_media_features,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        for b in batches:
+            rows = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                did = int(did)
+                if did % 2 == 0:
+                    n_ch = 1 + ((did // 2) % 2)
+                    n_frames = 400 + did % 211
+                    t = np.arange(n_frames) / 8000.0
+                    mono = 0.5 * np.sin(2 * np.pi * (110.0 + did % 40) * t)
+                    samples = np.repeat(mono[:, None], n_ch, axis=1)
+                    rows.append((did, "audio", encode_wav_pcm16(samples, 8000)))
+                else:
+                    rows.append((did, "image", text.encode("utf-8")))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
     )
     return extract_media_features(media, deterministic_fake=True).select(
         "media_id", "kind", "n_bytes", "width", "height"
@@ -1850,10 +1879,18 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value,
 FROM events GROUP BY user_id
 """,
         "multimodal_features": """
-SELECT doc_id AS media_id, 'image' AS kind,
-  octet_length(encode(text))::BIGINT AS n_bytes,
-  CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
-  CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+  -- audio rows: RIFF header 44 B + 16-bit PCM frames*channels, every
+  -- field pure arithmetic on doc_id (mirrors the query's synthesizer);
+  -- the Spark side must parse the actual bytes to reproduce these
+  CASE WHEN doc_id % 2 = 0
+       THEN CAST(44 + 2 * (400 + doc_id % 211) * (1 + (doc_id // 2) % 2) AS BIGINT)
+       ELSE octet_length(encode(text))::BIGINT END AS n_bytes,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+       ELSE 16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 80
+       ELSE 16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 END AS INT) AS height
 FROM documents
 """,
         # graph_pagerank_full: iterative-to-convergence — rows-only by design.

@@ -44,20 +44,36 @@ from efficient_graph_algorithms_spark.functions.f_fun import FFun, exp_kernel
 
 
 def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000,
-                cut_every: int = 8) -> DataFrame:
+                cut_every: int = 8, method: str = "auto",
+                depth_switch: int = 32) -> DataFrame:
     """tree(id, parent, w) rows for every non-root vertex → adds depth
-    (root = 0) by level-synchronous propagation from the root.
+    (root = 0).
+
+    method="levels": level-synchronous propagation from the root —
+    per-level work is just the frontier, the right shape for the
+    shallow Bartal/FRT/hub trees. method="doubling": pointer doubling
+    on the parent pointers (segment-sum of ones + a root-hit flag so
+    vertices of OTHER components are dropped exactly like the
+    level-sync walk drops never-reached vertices) — O(log depth)
+    self-join rounds, for high-diameter trees. method="auto" runs
+    level-sync and restarts with doubling if the frontier is still
+    alive after ``depth_switch`` levels (the discarded prefix costs
+    ``depth_switch`` cheap frontier rounds, bounded).
 
     The frontier join multiplies Catalyst's carried size estimate per
     level and localCheckpoint PRESERVES it (plans/lineage.py): at depth
     100 the estimate reaches ~10^1891 bytes and every stats visit runs
-    huge-BigInt math on the driver. The frontier therefore takes a real
-    parquet cut every ``cut_every`` levels (stats reset to file size),
-    the union accumulator every 16; the returned DataFrame is pinned
-    with an eager localCheckpoint so the scratch dir can be removed."""
+    huge-BigInt math on the driver. Both walkers therefore take a real
+    parquet cut every ``cut_every`` rounds (stats reset to file size);
+    the returned DataFrame is pinned with an eager localCheckpoint so
+    the scratch dir can be removed."""
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
+    if method not in ("auto", "levels", "doubling"):
+        raise ValueError(f"unknown method {method!r}")
     spark = tree.sparkSession
+    if method == "doubling":
+        return _tree_depths_doubling(tree, root, max_depth)
     known = spark.createDataFrame([(root, 0)], "id long, depth int")
     cut = StateCutter(spark, "treedepth", keep=3)
     try:
@@ -74,9 +90,72 @@ def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000,
             )
             if frontier.isEmpty():
                 break
+            if method == "auto" and d >= depth_switch:
+                # deep tree: restart with the O(log depth) walker (the
+                # abandoned prefix cost d bounded frontier rounds)
+                return _tree_depths_doubling(tree, root, max_depth)
             out = out.unionByName(frontier)
             if d % 16 == 0:
                 out = cut(out)
+        return (
+            tree.join(out, "id")
+            .select("id", "parent", "w", "depth")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cut.close()
+
+
+def _tree_depths_doubling(tree: DataFrame, root: int,
+                          max_depth: int = 10000) -> DataFrame:
+    """O(log depth) depths by pointer doubling on parent pointers.
+
+    State (id, ptr, acc, hit) with segment invariant: acc = Σ over the
+    path segment [v, ptr) of h(u) (h = 1 for non-root, 0 for the root
+    → inclusive root-path sum = depth), hit = whether the segment
+    contains ``root``. Jump: acc' = acc + acc[ptr], hit' = hit ∨
+    hit[ptr], ptr' = ptr[ptr] (NULL-absorbing: pointers past a path's
+    end stay NULL, including paths of OTHER forest components, whose
+    final hit stays false — they are filtered out, matching the
+    level-sync walker never reaching them; same for cycle members,
+    which the round cap abandons with hit false)."""
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    spark = tree.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    r_max = max(1, math.ceil(math.log2(max_depth + 1)) + 1)
+    state = tree.select(
+        "id", F.col("parent").alias("ptr"),
+        F.lit(1).cast("long").alias("acc"),
+        (F.col("id") == F.lit(int(root))).alias("hit"),
+    ).unionByName(
+        spark.createDataFrame([(int(root),)], "id long").select(
+            "id", F.lit(None).cast("long").alias("ptr"),
+            F.lit(0).cast("long").alias("acc"), F.lit(True).alias("hit"),
+        )
+    )
+    cut = StateCutter(spark, "treedepth_dbl", keep=3)
+    try:
+        for r in range(1, r_max + 1):
+            t = state.select(
+                F.col("id").alias("_tid"), F.col("ptr").alias("_ptr2"),
+                F.col("acc").alias("_acc2"), F.col("hit").alias("_hit2"),
+            )
+            nxt = state.join(t, state["ptr"] == t["_tid"], "left").select(
+                "id",
+                F.col("_ptr2").alias("ptr"),
+                (F.col("acc") + F.coalesce(F.col("_acc2"), F.lit(0))).alias("acc"),
+                (F.col("hit") | F.coalesce(F.col("_hit2"), F.lit(False))).alias("hit"),
+            )
+            # parquet cut EVERY round (only O(log depth) rounds total):
+            # the outer self-join's size estimate squares per round and
+            # localCheckpoint PRESERVES it (plans/lineage.py) — measured
+            # 6.98E+2477 bytes carried out of a depth-100 walk when only
+            # every 4th round cut; per-round cuts pin it at file size
+            state = cut(nxt.coalesce(sp))
+            if state.where(F.col("ptr").isNotNull()).isEmpty():
+                break
+        out = state.where("hit").select("id", F.col("acc").cast("int").alias("depth"))
         return (
             tree.join(out, "id")
             .select("id", "parent", "w", "depth")
@@ -93,6 +172,8 @@ def tree_gfi_matvec(
     f_fun: FFun | None = None,
     root: int | None = None,
     cut_every: int = 8,
+    method: str = "auto",
+    depth_switch: int = 24,
 ) -> DataFrame:
     """Exact Σ_j f(dist_T(i,j))·field[j] for every vertex i.
 
@@ -101,6 +182,21 @@ def tree_gfi_matvec(
     including the root. f_fun defaults to exp(a·x) — the kernel family
     under which the 2-pass DP is exact (reference trees.py:93-125).
     Returns (id, value).
+
+    method:
+      "levels"   — level-synchronous 2-pass DP, O(depth) rounds. The
+                   right shape for the O(log n)-deep Bartal/FRT trees
+                   and hub-shallow web MSTs these integrators target.
+      "doubling" — pointer-doubling reformulation, O(log depth) rounds
+                   (see ``_tree_gfi_matvec_doubling``): high-diameter
+                   trees (path-like MST components) stop paying one
+                   shuffle round per level. Exp kernel only.
+      "auto"     — "doubling" when the default exp kernel is in use and
+                   max_depth > depth_switch and the exp magnitudes stay
+                   inside double range; "levels" otherwise. A custom
+                   ``f_fun`` always takes "levels": the doubling algebra
+                   needs f evaluated at root-path distances, which e.g.
+                   ``exp_literal``'s finite-support kernels can't do.
 
     cut_every: parquet-cut cadence in levels. Intermediate levels take
     a coalesce + eager localCheckpoint (real plan cut — each level
@@ -114,6 +210,21 @@ def tree_gfi_matvec(
     cuts 17-21 s → cut_every=8: 12-15 s.
     """
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    if method not in ("auto", "levels", "doubling"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "doubling" or (method == "auto" and f_fun is None):
+        md = tree_with_depth.agg(F.max("depth")).collect()[0][0]
+        if md is not None and (method == "doubling" or md > depth_switch):
+            if f_fun is not None:
+                raise ValueError("method='doubling' supports only the exp kernel")
+            # cap the doubling cadence at 4: self-join rounds SQUARE the
+            # carried size estimate (vs the level walker's constant-factor
+            # growth), so the level-path cadence default (8) is too lax here
+            return _tree_gfi_matvec_doubling(
+                tree_with_depth, field, a=a, root=root,
+                cut_every=min(cut_every, 4),
+            )
 
     f = f_fun or exp_kernel(a)
     # static per-edge kernel values, computed once
@@ -203,6 +314,187 @@ def tree_gfi_matvec(
     cut.close()
     down.close()
     return sums
+
+
+def _tree_gfi_matvec_doubling(
+    tree_with_depth: DataFrame,
+    field: DataFrame,
+    a: float = -1.0,
+    root: int | None = None,
+    cut_every: int = 4,
+) -> DataFrame:
+    """O(log depth) tree-GFI matvec by pointer doubling (exp kernel).
+
+    exp's multiplicativity f(x+y) = f(x)·f(y) collapses both DP passes
+    of ``tree_gfi_matvec`` into closed forms over the weighted root-path
+    distance D(v):
+
+        up[v]  = Σ_{j ∈ subtree(v)} e^{a(D(j)-D(v))}·field[j]
+               = e^{-a·Dc(v)} · SubtreeSum( e^{a·Dc(j)}·field[j] )
+        out[v] = e^{a·Dc(v)} · AncestorSum( t(u)·e^{-a·Dc(u)} )
+          with t(root) = up[root], t(u) = (1 − e^{2a·w_u})·up[u]
+
+    (Dc = D − midrange(D): any constant shift cancels between the
+    e^{+aDc}/e^{-aDc} pair, so centering halves the exponent magnitude
+    — the numeric envelope is |a|·range(D)/2 ≤ 600; outside it the
+    function falls back to the level-sync DP, whose incremental
+    products underflow gracefully instead.)
+
+    D, SubtreeSum, and AncestorSum are each ⌈log₂(depth+1)⌉ rounds of
+    pointer doubling — per-round one self-join on the jump pointer
+    (ancestor/D: acc'[v] = acc[v] + acc[ptr[v]], ptr'[v] = ptr[ptr[v]],
+    segment-sum invariant) plus, for SubtreeSum, one groupBy delivering
+    B_k into the 2^k-th ancestor (B_{k+1}[v] = B_k[v] +
+    Σ_{u: ptr_k(u)=v} B_k[u] — the delivered subtrees tile the
+    [2^k, 2^{k+1}) depth band exactly). ~3·log₂(depth) shuffle rounds
+    total instead of 2·depth: a depth-100 path-tree component pays ~21
+    barriers, not 200. All state flows through StateCutter barriers
+    (self-joins double carried stats per round, plans/lineage.py).
+    Same exact semantics (reference trees.py:93-125) — parity-tested
+    against the level-sync path and the NumPy oracle.
+    """
+    from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+    spark = tree_with_depth.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    stats = tree_with_depth.agg(
+        F.max("depth").alias("md"),
+    ).collect()[0]
+    max_depth = stats["md"]
+    if max_depth is None:  # single-vertex tree
+        return field.select("id", "value")
+    n_rounds = max(1, math.ceil(math.log2(max_depth + 1)))
+
+    if root is None:
+        root = (
+            field.select("id")
+            .join(tree_with_depth.select("id"), "id", "left_anti")
+            .collect()
+        )[0]["id"]
+
+    tree = tree_with_depth.select("id", "parent", "w").persist()
+
+    def _barrier(df: DataFrame, cutter, step: int, last: bool) -> DataFrame:
+        if last or (step % cut_every == 0):
+            return cutter(df)
+        return df.coalesce(sp).localCheckpoint(eager=True)
+
+    def _ancestor_sum(h: DataFrame, cutter) -> DataFrame:
+        """h(id, h) over ALL vertices → (id, acc): inclusive root-path
+        sums. Invariant: acc[v] = Σ h over the segment [v, ptr(v));
+        ptr NULL ⇒ segment reaches the root (v finished)."""
+        state = (
+            tree.select("id", F.col("parent").alias("ptr"))
+            .unionByName(
+                spark.createDataFrame([(int(root),)], "id long").select(
+                    "id", F.lit(None).cast("long").alias("ptr")
+                )
+            )
+            .join(h, "id")
+            .select("id", "ptr", F.col("h").alias("acc"))
+        )
+        for r in range(1, n_rounds + 1):
+            t = state.select(
+                F.col("id").alias("_tid"),
+                F.col("ptr").alias("_ptr2"),
+                F.col("acc").alias("_acc2"),
+            )
+            state = _barrier(
+                state.join(t, state["ptr"] == t["_tid"], "left").select(
+                    "id",
+                    F.col("_ptr2").alias("ptr"),
+                    (F.col("acc") + F.coalesce(F.col("_acc2"), F.lit(0.0))).alias("acc"),
+                ),
+                cutter, r, last=(r == n_rounds),
+            )
+        return state.select("id", "acc")
+
+    cut = StateCutter(spark, "treegfi_dbl", keep=3)
+    try:
+        # ---- phase 1: D(v) = weighted root-path distance ------------------
+        h_w = tree.select("id", F.col("w").alias("h")).unionByName(
+            spark.createDataFrame([(int(root), 0.0)], "id long, h double")
+        )
+        dvec = _ancestor_sum(h_w, cut).withColumnRenamed("acc", "D")
+        rng = dvec.agg(F.min("D").alias("mn"), F.max("D").alias("mx")).collect()[0]
+        mid = (float(rng["mn"]) + float(rng["mx"])) / 2.0
+        if abs(a) * (float(rng["mx"]) - float(rng["mn"])) / 2.0 > 600.0:
+            warnings.warn(
+                "tree_gfi doubling: |a|*range(D)/2 > 600 exceeds the double "
+                "exp envelope; falling back to the level-sync DP",
+                RuntimeWarning, stacklevel=3,
+            )
+            tree.unpersist()
+            return tree_gfi_matvec(
+                tree_with_depth, field, a=a, root=root, method="levels"
+            )
+        # eager localCheckpoint, NOT a cut: dvec outlives keep= rotation
+        # (later phases keep cutting; a cut-backed dvec would lose its
+        # files while still being read — the mst_as_rooted_tree lesson)
+        dvec = dvec.select(
+            "id", (F.col("D") - F.lit(mid)).alias("dc")
+        ).localCheckpoint(eager=True)
+
+        # ---- phase 2: up[v] via subtree sums of g = e^{a·Dc}·field --------
+        g = (
+            field.join(dvec, "id")
+            .select("id", (F.exp(F.lit(a) * F.col("dc")) * F.col("value")).alias("b"))
+        )
+        state = (
+            tree.select("id", F.col("parent").alias("ptr"))
+            .unionByName(
+                spark.createDataFrame([(int(root),)], "id long").select(
+                    "id", F.lit(None).cast("long").alias("ptr")
+                )
+            )
+            .join(g, "id")
+        )
+        for r in range(1, n_rounds + 1):
+            deliv = (
+                state.where(F.col("ptr").isNotNull())
+                .groupBy(F.col("ptr").alias("id"))
+                .agg(F.sum("b").alias("_d"))
+            )
+            t = state.select(F.col("id").alias("_tid"), F.col("ptr").alias("_ptr2"))
+            state = _barrier(
+                state.join(t, state["ptr"] == t["_tid"], "left")
+                .join(deliv, "id", "left")
+                .select(
+                    "id",
+                    F.col("_ptr2").alias("ptr"),
+                    (F.col("b") + F.coalesce(F.col("_d"), F.lit(0.0))).alias("b"),
+                ),
+                cut, r, last=(r == n_rounds),
+            )
+        up = (
+            state.join(dvec, "id")
+            .select("id", (F.col("b") * F.exp(F.lit(-a) * F.col("dc"))).alias("up"))
+        ).localCheckpoint(eager=True)  # outlives keep= rotation (see dvec)
+
+        # ---- phase 3: out[v] = e^{a·Dc(v)} · AncestorSum(t(u)·e^{-a·Dc}) --
+        t_u = (
+            tree.select("id", (F.lit(1.0) - F.exp(F.lit(2.0 * a) * F.col("w"))).alias("tf"))
+            .unionByName(spark.createDataFrame([(int(root), 1.0)], "id long, tf double"))
+        )
+        h_t = (
+            up.join(t_u, "id")
+            .join(dvec, "id")
+            .select(
+                "id",
+                (F.col("tf") * F.col("up") * F.exp(F.lit(-a) * F.col("dc"))).alias("h"),
+            )
+        )
+        anc = _ancestor_sum(h_t, cut)
+        out = (
+            anc.join(dvec, "id")
+            .select("id", (F.exp(F.lit(a) * F.col("dc")) * F.col("acc")).alias("value"))
+        )
+        out = out.localCheckpoint(eager=True)  # outlives the cutter
+        return out
+    finally:
+        tree.unpersist()
+        cut.close()
 
 
 def boruvka_mst(

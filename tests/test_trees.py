@@ -353,3 +353,122 @@ def test_deep_tree_accumulators_bounded(spark):
     gm = {r["id"]: r["value"] for r in got.collect()}
     for i in range(n):
         assert abs(gm[i] - exp[i]) < 1e-9
+
+
+def _doubling_case(spark, parents, n, field, a, method="doubling", atol=1e-9):
+    exp = oracle.tree_gfi_matvec(parents, n, field, a=a)
+    tree = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+    )
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    got_df = tree_gfi_matvec(
+        tree_depths(tree, root=0), fdf, a=a, method=method
+    ).toPandas()
+    got = np.zeros(n)
+    got[got_df["id"]] = got_df["value"]
+    assert np.allclose(got, exp, atol=atol), np.abs(got - exp).max()
+
+
+def test_tree_gfi_doubling_matches_oracle_random(spark):
+    """O(log depth) pointer-doubling path: exact parity with the NumPy
+    2-pass DP oracle on random trees, several kernels."""
+    for seed, a in ((41, -0.8), (42, -1.5), (43, -0.3)):
+        parents = random_tree(50, seed)
+        rng = np.random.default_rng(seed + 1)
+        _doubling_case(spark, parents, 50, rng.uniform(-1, 1, 50), a)
+
+
+def test_tree_gfi_doubling_path_star_deep(spark):
+    """Degenerate shapes: depth-60 weighted path (the doubling path's
+    reason to exist), star (n_rounds=1), and a two-vertex tree."""
+    n = 60
+    field = np.linspace(-1, 1, n)
+    cases = [
+        {i: (i - 1, 0.3 + 0.02 * (i % 7)) for i in range(1, n)},  # path
+        {i: (0, 0.25 + 0.01 * i) for i in range(1, n)},           # star
+    ]
+    for parents in cases:
+        _doubling_case(spark, parents, n, field, a=-1.0)
+    _doubling_case(spark, {1: (0, 0.7)}, 2, np.array([0.4, -0.2]), a=-1.0)
+
+
+def test_tree_gfi_auto_dispatch_agrees(spark):
+    """method='auto' (doubling engages above depth_switch) and
+    method='levels' agree to ~1 ulp on a deep path tree."""
+    n = 40
+    parents = {i: (i - 1, 0.5) for i in range(1, n)}
+    field = np.sin(np.arange(n))
+    tree = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+    )
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(field)], "id long, value double"
+    )
+    twd = tree_depths(tree, root=0)
+    auto = tree_gfi_matvec(twd, fdf, a=-1.0, method="auto", depth_switch=24).toPandas()
+    lvl = tree_gfi_matvec(twd, fdf, a=-1.0, method="levels").toPandas()
+    m_auto = dict(zip(auto["id"], auto["value"]))
+    m_lvl = dict(zip(lvl["id"], lvl["value"]))
+    assert set(m_auto) == set(m_lvl)
+    for i in m_auto:
+        assert abs(m_auto[i] - m_lvl[i]) <= 1e-12 * max(1.0, abs(m_lvl[i])), i
+
+
+def test_tree_gfi_doubling_envelope_fallback(spark):
+    """|a|·range(D)/2 beyond the double exp envelope → warn + fall back
+    to the level-sync DP (whose incremental products underflow
+    gracefully); results still match the oracle."""
+    import warnings as _w
+
+    n = 32
+    parents = {i: (i - 1, 50.0) for i in range(1, n)}  # D range = 1550
+    field = np.ones(n)
+    tree = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in parents.items()], "id long, parent long, w double"
+    )
+    fdf = spark.createDataFrame(
+        [(i, 1.0) for i in range(n)], "id long, value double"
+    )
+    twd = tree_depths(tree, root=0)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got_df = tree_gfi_matvec(twd, fdf, a=-1.0, method="doubling").toPandas()
+    assert any("envelope" in str(r.message) for r in rec)
+    exp = oracle.tree_gfi_matvec(parents, n, field, a=-1.0)
+    got = np.zeros(n)
+    got[got_df["id"]] = got_df["value"]
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_tree_depths_doubling_parity(spark):
+    """Pointer-doubling depths == level-sync depths, including dropping
+    vertices of other forest components (no path to the given root)."""
+    parents = random_tree(40, seed=77)
+    # second component rooted at 100 (ids 100..104 chain) — unreachable
+    for i in range(101, 105):
+        parents[i] = (i - 1, 0.5)
+    rows = [(c, p, w) for c, (p, w) in parents.items()]
+    tree = spark.createDataFrame(rows, "id long, parent long, w double")
+    lvl = {
+        (r["id"], r["depth"])
+        for r in tree_depths(tree, root=0, method="levels").collect()
+    }
+    dbl = {
+        (r["id"], r["depth"])
+        for r in tree_depths(tree, root=0, method="doubling").collect()
+    }
+    assert lvl == dbl
+    assert all(i < 100 for i, _ in dbl)  # other component dropped
+
+    # deep path: auto restarts into doubling past depth_switch
+    chain = {i: (i - 1, 1.0) for i in range(1, 70)}
+    t2 = spark.createDataFrame(
+        [(c, p, w) for c, (p, w) in chain.items()], "id long, parent long, w double"
+    )
+    auto = {
+        (r["id"], r["depth"])
+        for r in tree_depths(t2, root=0, method="auto", depth_switch=16).collect()
+    }
+    assert auto == {(i, i) for i in range(1, 70)}

@@ -25,6 +25,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+
+def _git(args: list[str]) -> str | None:
+    try:
+        return subprocess.run(
+            ["git", *args], cwd=REPO, check=True, capture_output=True, text=True
+        ).stdout.strip()
+    except Exception:
+        return None
+
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -122,6 +131,13 @@ def main() -> int:
     }
     eff = (med[hi] / hi) / (med[lo] / lo)
     summary = {
+        "loop_commit": _git(["rev-parse", "--short", "HEAD"]),
+        # blob hash of the measured loop: `make scaling-fresh` fails when
+        # this no longer matches the working tree, so a loop change can
+        # never ship with stale scaling data (round-2 failure mode)
+        "loop_blob": _git(
+            ["hash-object", "efficient_graph_algorithms_spark/operators/pagerank.py"]
+        ),
         "pages": args.pages,
         "n_edges": results[lo][0]["n_edges"],
         "iterations": results[lo][0]["iterations"],
