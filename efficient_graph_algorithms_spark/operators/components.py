@@ -79,7 +79,7 @@ def connected_components(
         if latest is not None:
             labels = ckpt.load_iteration(latest)
             start_iter = latest
-    labels = labels.repartition(sp, "id").persist()
+    labels0 = labels = labels.repartition(sp, "id").persist()
     labels.count()
 
     info: dict[str, Any] = {"rounds": start_iter}
@@ -143,6 +143,7 @@ def connected_components(
         )
     sym.unpersist()
     verts.unpersist()
+    labels0.unpersist()  # initial-state persist, superseded by snapshots
     if ephemeral:
         # pin the result in block-manager memory, then drop the scratch dir
         labels = labels.localCheckpoint(eager=True)

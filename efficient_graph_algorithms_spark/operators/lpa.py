@@ -65,7 +65,7 @@ def label_propagation(
         if latest is not None:
             labels = ckpt.load_iteration(latest)
             start_iter = latest
-    labels = labels.repartition(sp, "id").persist()
+    labels0 = labels = labels.repartition(sp, "id").persist()
     labels.count()
 
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
@@ -112,4 +112,5 @@ def label_propagation(
         info["stopped_at_max_iter"] = True
     sym.unpersist()
     verts.unpersist()
+    labels0.unpersist()  # initial-state persist, superseded by snapshots
     return labels, info

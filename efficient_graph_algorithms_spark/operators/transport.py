@@ -171,7 +171,7 @@ def sinkhorn_distance(
     nu_v = verts.join(nu, "id", "left").select(
         "id", F.coalesce(F.col("m"), F.lit(0.0)).alias("nu")
     ).persist()
-    state = mu_v.select("id", "mu", F.lit(1.0).alias("u")).persist()
+    state0 = state = mu_v.select("id", "mu", F.lit(1.0).alias("u")).persist()
     # per-iteration barrier = parquet state cut: each scaling references
     # the previous state twice (through K·u and the update join), so a
     # localCheckpoint chain doubles Catalyst's carried size estimate per
@@ -241,7 +241,7 @@ def sinkhorn_distance(
         or 0.0
     )
     dist = gamma * (float(mu_term) + float(nu_term))
-    for df in (sym, verts, nu_v):
+    for df in (sym, verts, nu_v, state0):
         df.unpersist()
     if return_potentials:
         # pin before the cutter's backing files are removed

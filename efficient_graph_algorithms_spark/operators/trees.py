@@ -645,7 +645,15 @@ def mst_as_rooted_tree(spark: SparkSession, mst: DataFrame, root: int,
     """Orient an MST (forest component containing root) into parent
     pointers away from the root: (id, parent, w, depth). Frontier and
     accumulators take real parquet cuts on a cadence — see tree_depths
-    for why localCheckpoint alone melts at depth ≫ 16."""
+    for why localCheckpoint alone melts at depth ≫ 16.
+
+    Scale note: orientation is inherently O(depth) level-synchronous
+    rounds (parent pointers don't exist yet, so the pointer-doubling
+    trick the depth/matvec walkers use has nothing to jump on), but
+    each round touches only the BFS frontier — the per-level cost is
+    proportional to the frontier, not |V|. The formerly O(depth)·|V|
+    stages downstream (tree_depths, tree_gfi_matvec) switch to
+    O(log depth) doubling automatically past depth 24."""
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
     sym = mst.select("src", "dst", "w").unionByName(
