@@ -11,6 +11,8 @@ Commands:
     components --graph /path/graph [--checkpoint DIR --resume]
     lpa        --graph /path/graph [--max-iter 20]
     triangles  --graph /path/graph
+    dedup      --docs /path/documents.parquet [--method minhash|exact|simhash|ngram] [--out DIR]
+    knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
 """
 
 from __future__ import annotations
@@ -60,6 +62,18 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("lpa", "components"):
             p.add_argument("--max-iter", type=int, default=20)
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--docs", required=True)
+    d.add_argument("--method", default="minhash",
+                   choices=["minhash", "exact", "simhash", "ngram"])
+    d.add_argument("--out")
+
+    k = sub.add_parser("knn")
+    k.add_argument("--embeddings", required=True)
+    k.add_argument("--k", type=int, default=5)
+    k.add_argument("--method", default="lsh", choices=["lsh", "exact"])
+    k.add_argument("--out")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"ega-{args.cmd}")
     t0 = time.time()
@@ -87,6 +101,35 @@ def main(argv: list[str] | None = None) -> int:
         n_verts = spark.read.parquet(f"{args.out}/url_dict").count()
         print(json.dumps({"cmd": "extract", "vertices": n_verts, "edges": n_edges,
                           "out": args.out, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "dedup":
+        from efficient_graph_algorithms_spark.operators.dedup import (
+            exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+
+        docs = spark.read.parquet(args.docs)
+        fn = {"minhash": minhash_lsh_pairs, "exact": exact_duplicates,
+              "simhash": simhash_pairs, "ngram": ngram_jaccard_pairs}[args.method]
+        pairs = fn(docs)
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            pairs = spark.read.parquet(args.out)
+        print(json.dumps({"cmd": "dedup", "method": args.method,
+                          "docs": docs.count(), "pairs": pairs.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "knn":
+        from efficient_graph_algorithms_spark.operators.ann import knn_graph
+
+        points = spark.read.parquet(args.embeddings)
+        g = knn_graph(points, k=args.k, method=args.method)
+        if args.out:
+            g.write.mode("overwrite").parquet(args.out)
+            g = spark.read.parquet(args.out)
+        print(json.dumps({"cmd": "knn", "method": args.method, "k": args.k,
+                          "points": points.count(), "edges": g.count(),
+                          "sec": round(time.time() - t0, 2)}))
         return 0
 
     edges = spark.read.parquet(f"{args.graph}/edges")
