@@ -1445,6 +1445,16 @@ def q_events_user_activity(spark, sf_dir):
     return user_activity(_t(spark, sf_dir, "events"))
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (12 h gap) — the batch face of the custom
+    stateful streaming operator (streaming/sessions.py); the streaming
+    face (applyInPandasWithState, event-time timeout) is proven equal to
+    this by tests/test_similarity_multimodal.py."""
+    from efficient_graph_algorithms_spark.streaming.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=12 * 3600)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction, half REAL: even doc_ids carry a
     deterministically synthesized RIFF/WAVE payload decoded end-to-end by
@@ -1666,7 +1676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_anti": q_rel_semi_anti,
         "rel_set_ops": q_rel_set_ops,
         "rel_onehot_mask": q_rel_onehot_mask,
-        "rel_histogram": q_rel_histogram,
         "rel_stats": q_rel_stats,
         "rel_zscore": q_rel_zscore,
         "rel_minplus_join": q_rel_minplus_join,
@@ -1686,15 +1695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_knn_lsh": q_graph_knn_lsh,
         "stream_windowed_counts": q_stream_windowed_counts,
         "events_user_activity": q_events_user_activity,
+        "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
-        # --- rotation (round 4): the driver records at most 50 rows; the three
+        # --- rotation (round 4): the driver records at most 50 rows; the four
         # rel_* queries below were hash-green in rounds 1-3 (CORRECTNESS_r0{1,2,3})
         # and rotate past position 50 so stream_windowed_counts,
-        # events_user_activity and multimodal_features get driver rows. See
-        # README "Driver-row rotation".
+        # events_user_activity, events_sessionize and multimodal_features get
+        # driver rows. See README "Driver-row rotation".
         "rel_scalar_math": q_rel_scalar_math,
         "rel_date_filter": q_rel_date_filter,
         "rel_distinct": q_rel_distinct,
+        "rel_histogram": q_rel_histogram,
     }
 
 
@@ -1877,6 +1888,24 @@ FROM events GROUP BY 1, 2
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value,
        max(ts) AS last_ts
 FROM events GROUP BY user_id
+""",
+        "events_sessionize": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 43200 SECOND
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
 """,
         "multimodal_features": """
 SELECT doc_id AS media_id,

@@ -252,6 +252,88 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert norm(got) == norm(batch)
 
 
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    sessionization over chronological microbatches — sessions that SPAN a
+    batch boundary (open state merged across batches), sessions closed by
+    an in-batch gap, and sessions closed by the event-time timeout once a
+    sentinel advances the watermark — all equal the batch window-function
+    result."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from efficient_graph_algorithms_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    events = spark.read.parquet(src)
+    gap = 12 * 3600
+
+    # two chronological chunks (split mid-stream so many per-user sessions
+    # straddle the boundary) + a far-future sentinel that advances the
+    # watermark past every open session's timeout horizon
+    sdir = tmp_path / "events_stream"
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid_ts = mn + (mx - mn) / 2
+    chunks = [
+        events.where(F.col("ts") <= mid_ts),
+        events.where(F.col("ts") > mid_ts),
+        spark.createDataFrame(
+            [
+                (
+                    999_999,
+                    mx + pd.Timedelta(seconds=gap) + pd.Timedelta(hours=4),
+                    -1,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            events.schema,
+        ),
+    ]
+    for i, c in enumerate(chunks):
+        p = sdir / f"chunk{i}"
+        c.coalesce(1).write.parquet(str(p))
+        # maxFilesPerTrigger=1 picks files oldest-mtime-first: force order
+        for f in p.glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+        _time.sleep(0.01)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sdir}/chunk*")
+    )
+    q = (
+        sessionize_stream(stream, gap_sec=gap, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_pp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len(q.recentProgress) >= 3  # genuinely multiple microbatches
+    got = spark.sql("select * from sess_pp where user_id >= 0").toPandas()
+    want = sessionize(events, gap_sec=gap).drop("session_idx").toPandas()
+
+    def norm(df):
+        df = df.copy()
+        for c in ("session_start", "session_end"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+        return set(map(tuple, df[cols].itertuples(index=False)))
+
+    assert len(got) == len(want) and norm(got) == norm(want)
+    # the split genuinely exercised multi-event sessions
+    assert (want["n_events"] > 1).sum() > 50
+
+
 def test_epsilon_nn_grid_equals_brute(spark):
     """Grid candidates are an exact superset: grid path == brute path."""
     from efficient_graph_algorithms_spark.operators.graph_build import epsilon_nn_graph
