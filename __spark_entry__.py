@@ -1384,6 +1384,22 @@ def q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k driven end-to-end (Lloyd quantizer training, corpus
+    list assignment, query probe ranking, candidate equi-join) in the
+    exhaustive n_probe = n_centroids configuration, whose result is
+    provably the exact brute-force top-k — so the brute SQL is a strict
+    oracle for the whole IVF pipeline. The recall/cost dial (n_probe <
+    n_centroids) is pinned by tests/test_similarity_multimodal.py."""
+    from efficient_graph_algorithms_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, n_iter=3)
+
+
 def q_sim_cosine_pairs(spark, sf_dir):
     from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs
 
@@ -1681,7 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_minplus_join": q_rel_minplus_join,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_percentiles": q_rel_percentiles,
-        "rel_union_except": q_rel_union_except,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
@@ -1689,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_pairs": q_sim_cosine_pairs,
         "sim_cosine_pairs_lsh": q_sim_cosine_pairs_lsh,
         "graph_knn": q_graph_knn,
@@ -1706,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_date_filter": q_rel_date_filter,
         "rel_distinct": q_rel_distinct,
         "rel_histogram": q_rel_histogram,
+        "rel_union_except": q_rel_union_except,
     }
 
 
@@ -1875,6 +1892,9 @@ SELECT k AS nation_without_partners FROM (
         "dedup_minhash_lsh": _dedup_minhash_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "sim_cosine_topk": _sim_topk_sql(),
+        # exhaustive-probe IVF provably equals brute force (pytest); the
+        # brute SQL is therefore a strict oracle for the IVF pipeline
+        "sim_ivf_topk": _sim_topk_sql(),
         "sim_cosine_pairs": _sim_pairs_sql(),
         "sim_cosine_pairs_lsh": _sim_pairs_lsh_oracle_sql(),
         "graph_knn": _knn_exact_oracle_sql(),

@@ -18,6 +18,12 @@ in tests/test_plans.py):
 - ``ann_topk`` — multi-probe query-side expansion (flip each signature
   bit once → n_planes+1 probes/table) so queries reach adjacent
   buckets without growing the corpus index.
+- ``ivf_topk`` — inverted-file (IVF) index: a deterministic Lloyd
+  coarse quantizer (trained on a bounded hash-ordered sample, like
+  every production IVF) partitions the corpus into n_centroids
+  disjoint lists; queries probe their n_probe nearest lists via an
+  equi-join on list_id. n_probe = n_centroids degenerates to EXACT
+  brute force (asserted in tests), so recall is a single dial.
 
 ``knn_graph`` composes them: candidates → exact cosine → per-vertex
 top-k window → symmetrize. Reference parity: the symmetrized k-NN
@@ -225,6 +231,145 @@ def ann_topk(
         cand.join(v, "vec_id")
         .join(q, "qid")
         .select("qid", "vec_id", F.round(cosine(F.col("_qv"), F.col("_cv")), ROUND_DP).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cos", "rn")
+    )
+
+
+def _ivf_dist2(vec: Column, c: list[float]) -> Column:
+    """Squared L2 distance to centroid c, up to the |v|^2 term shared by
+    every centroid (irrelevant for the argmin): |c|^2 - 2 v.c."""
+    cc = float(np.dot(c, c))
+    return F.lit(cc) - 2.0 * _dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+
+
+def _ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid, pure JVM: array_min over
+    (dist, idx) structs — lexicographic min gives argmin with a
+    deterministic idx tie-break."""
+    arr = F.array(
+        *[
+            F.struct(_ivf_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(arr)["i"]
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+) -> list[list[float]]:
+    """Deterministic Lloyd coarse quantizer for the IVF index.
+
+    Trains on a hash-ordered sample of ``max_train`` vectors (orderBy +
+    limit compiles to TakeOrderedAndProject — no global sort
+    materializes; production IVF quantizers train on a bounded sample
+    regardless of corpus size, the index assignment below still covers
+    every vector). Init = first n_centroids sample rows in the same
+    hash order, so the whole pipeline is seed-reproducible. Empty
+    clusters keep their previous centroid. Driver state is
+    n_centroids x dim floats per iteration — broadcast-sized by
+    construction."""
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    order = F.md5(F.concat_ws(":", F.lit(seed), F.col("_id").cast("string")))
+    train = v.orderBy(order, F.col("_id")).limit(max_train).persist()
+    try:
+        init = train.limit(n_centroids).collect()
+        cents = [[float(x) for x in r["_v"]] for r in init]
+        if len(cents) < n_centroids:
+            raise ValueError(
+                f"need >= {n_centroids} vectors to train, got {len(cents)}"
+            )
+        for _ in range(n_iter):
+            assigned = train.select(
+                "_v", _ivf_assign_expr(F.col("_v"), cents).alias("cid")
+            )
+            sums = (
+                assigned.select("cid", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            nxt = [list(c) for c in cents]
+            dims: dict[int, list] = {}
+            for r in sums:
+                dims.setdefault(r["cid"], []).append(r)
+            for cid, rows in dims.items():
+                for r in rows:
+                    nxt[cid][r["pos"]] = r["s"] / r["n"]
+            cents = nxt
+        return cents
+    finally:
+        train.unpersist()
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: (qid, vec_id, cos, rn), same contract as
+    ``ann_topk`` / ``similarity.cosine_topk``.
+
+    Corpus vectors are assigned to their nearest coarse centroid
+    (narrow, no shuffle); each query probes its n_probe nearest lists.
+    Candidates come from ONE equi-join on list_id — lists are disjoint,
+    so no distinct() is needed (unlike multi-table LSH). n_probe =
+    n_centroids probes every list and reproduces exact brute force;
+    recall at n_probe < n_centroids is the recall/cost dial. Pass
+    ``centroids`` to reuse a trained quantizer across calls."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            vectors, n_centroids, n_iter, seed, id_col, vec_col
+        )
+    corpus = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        _ivf_assign_expr(F.col(vec_col), centroids).alias("list_id"),
+    )
+    dist_arr = F.array(
+        *[
+            F.struct(
+                _ivf_dist2(F.col("_qv"), c).alias("d"), F.lit(i).alias("i")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qv"))
+        .select(
+            "qid",
+            "_qv",
+            F.explode(F.slice(F.array_sort(dist_arr), 1, n_probe)).alias("_p"),
+        )
+        .select("qid", "_qv", F.col("_p.i").alias("list_id"))
+    )
+    scored = (
+        probes.join(corpus, "list_id")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), ROUND_DP).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -118,6 +118,21 @@ def test_knn_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_ivf_topk_no_cartesian(spark):
+    """IVF candidates come from one equi-join on list_id; the plan must
+    never fall back to a cartesian/nested-loop shape."""
+    from efficient_graph_algorithms_spark.operators.ann import ivf_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 11) for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.limit(5).withColumnRenamed("vec_id", "qid")
+    plan = _plan(ivf_topk(vecs, q, k=3, n_centroids=4, n_probe=2, n_iter=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_state_cutter_bounds_stats(spark):
     """Iterated self-joins barriered by StateCutter keep Catalyst's size
     estimate bounded and real. Through localCheckpoint, Spark 4 carries

@@ -334,6 +334,47 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert (want["n_events"] > 1).sum() > 50
 
 
+def test_ivf_exhaustive_equals_brute(spark):
+    """n_probe = n_centroids probes every inverted list — IVF must then
+    reproduce exact brute-force cosine top-k bit-for-bit."""
+    from efficient_graph_algorithms_spark.operators.ann import ivf_topk
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+    q = emb.limit(20).withColumnRenamed("vec_id", "qid")
+    want = {tuple(r) for r in cosine_topk(emb, q, k=5).collect()}
+    got = {
+        tuple(r)
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8, n_iter=3).collect()
+    }
+    emb.unpersist()
+    assert got == want and len(want) == 100
+
+
+def test_ivf_partial_probe_recall(spark):
+    """The recall dial: probing 4 of 16 lists must recover most of the
+    exact top-5 (bound pinned from a measured run; seeded data, so the
+    number is deterministic, the bound leaves slack for k-means drift)."""
+    from efficient_graph_algorithms_spark.operators.ann import (
+        ivf_centroids,
+        ivf_topk,
+    )
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+    q = emb.limit(40).withColumnRenamed("vec_id", "qid")
+    want = {(r["qid"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    cents = ivf_centroids(emb, n_centroids=16, n_iter=5)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    got = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=5, n_probe=4, centroids=cents).collect()
+    }
+    emb.unpersist()
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+
+
 def test_epsilon_nn_grid_equals_brute(spark):
     """Grid candidates are an exact superset: grid path == brute path."""
     from efficient_graph_algorithms_spark.operators.graph_build import epsilon_nn_graph
