@@ -1472,13 +1472,15 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction, half REAL: even doc_ids carry a
-    deterministically synthesized RIFF/WAVE payload decoded end-to-end by
-    the pure-NumPy WAV parser (multimodal.decode_wav — sample rate 8000,
-    1-2 channels, 400-610 frames, all derived from doc_id); odd doc_ids
-    keep the documented fake-image path (no image libs in-container).
-    The oracle reproduces the WAV header fields as pure arithmetic on
-    doc_id, so the real decode is hash-verified, not rows-only."""
+    """Binary-payload feature extraction, BOTH modalities REAL: even
+    doc_ids carry a deterministically synthesized RIFF/WAVE payload
+    decoded end-to-end by the pure-NumPy WAV parser (multimodal.
+    decode_wav — sample rate 8000, 1-2 channels, 400-610 frames, all
+    derived from doc_id); odd doc_ids carry a synthesized 24-bit BMP
+    (16-47 x 8-23 px, doc_id-derived gradient) decoded end-to-end by
+    decode_bmp (round-trip + padding/top-down cases in pytest). The
+    oracle reproduces the WAV/BMP header fields as pure arithmetic on
+    doc_id, so both real decodes are hash-verified, not rows-only."""
     from efficient_graph_algorithms_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -1490,12 +1492,13 @@ def q_multimodal_features(spark, sf_dir):
         import pandas as pd
 
         from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_bmp24,
             encode_wav_pcm16,
         )
 
         for b in batches:
             rows = []
-            for did, text in zip(b["doc_id"], b["text"]):
+            for did in b["doc_id"]:
                 did = int(did)
                 if did % 2 == 0:
                     n_ch = 1 + ((did // 2) % 2)
@@ -1505,13 +1508,17 @@ def q_multimodal_features(spark, sf_dir):
                     samples = np.repeat(mono[:, None], n_ch, axis=1)
                     rows.append((did, "audio", encode_wav_pcm16(samples, 8000)))
                 else:
-                    rows.append((did, "image", text.encode("utf-8")))
+                    w, h = 16 + did % 32, 8 + did % 16
+                    x = np.arange(w, dtype=np.uint8)[None, :, None]
+                    y = np.arange(h, dtype=np.uint8)[:, None, None]
+                    img = ((x * 3 + y * 5 + did) % 256).astype(np.uint8)
+                    rows.append((did, "image", encode_bmp24(np.broadcast_to(img, (h, w, 3)))))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = d.select("doc_id").mapInPandas(
         gen, "media_id long, kind string, payload binary"
     )
-    return extract_media_features(media, deterministic_fake=True).select(
+    return extract_media_features(media, deterministic_fake=False).select(
         "media_id", "kind", "n_bytes", "width", "height"
     )
 
@@ -1930,16 +1937,20 @@ FROM s GROUP BY user_id, session_idx
         "multimodal_features": """
 SELECT doc_id AS media_id,
   CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
-  -- audio rows: RIFF header 44 B + 16-bit PCM frames*channels, every
-  -- field pure arithmetic on doc_id (mirrors the query's synthesizer);
-  -- the Spark side must parse the actual bytes to reproduce these
+  -- audio rows: RIFF header 44 B + 16-bit PCM frames*channels;
+  -- image rows: BMP header 54 B + height * 4-byte-padded row stride.
+  -- Every field is pure arithmetic on doc_id (mirrors the query's
+  -- synthesizer); the Spark side must parse the actual bytes to
+  -- reproduce these.
   CASE WHEN doc_id % 2 = 0
        THEN CAST(44 + 2 * (400 + doc_id % 211) * (1 + (doc_id // 2) % 2) AS BIGINT)
-       ELSE octet_length(encode(text))::BIGINT END AS n_bytes,
+       ELSE CAST(54 + (8 + doc_id % 16)
+                    * ((3 * (16 + doc_id % 32) + 3) // 4 * 4) AS BIGINT)
+       END AS n_bytes,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
-       ELSE 16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 END AS INT) AS width,
+       ELSE 16 + doc_id % 32 END AS INT) AS width,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 80
-       ELSE 16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 END AS INT) AS height
+       ELSE 8 + doc_id % 16 END AS INT) AS height
 FROM documents
 """,
         # graph_pagerank_full: iterative-to-convergence — rows-only by design.

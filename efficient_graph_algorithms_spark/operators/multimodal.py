@@ -12,11 +12,17 @@ Decode status per modality:
   ``encode_wav_pcm16`` closes the round-trip for tests. Any ``audio``
   row whose payload carries a RIFF/WAVE header takes this path
   unconditionally.
-* **image / video / compressed audio — STUBBED** (PIL/ffmpeg/librosa
-  are not in this container): ``decode_media`` raises
-  ``NotImplementedError`` unless ``deterministic_fake=True``, in which
-  case it produces seeded fake features so the distributed pipeline is
-  exercised end-to-end.
+* **image/BMP — REAL.** ``decode_bmp`` is a pure-NumPy parser for
+  uncompressed 24-bit BI_RGB (4-byte row padding, bottom-up and
+  top-down layouts); ``_image_features`` computes real pixel features
+  (channel means, luminance std, 12-bin luminance histogram).
+  ``encode_bmp24`` closes the round-trip for tests. Any ``image`` row
+  whose payload carries a BM header takes this path unconditionally.
+* **compressed image/video/audio (PNG/JPEG/MP4/MP3…) — STUBBED**
+  (PIL/ffmpeg/librosa are not in this container): ``decode_media``
+  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
+  which case it produces seeded fake features so the distributed
+  pipeline is exercised end-to-end.
 
 Pattern: media rows are large (MBs) — the operators keep batches small
 via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and never collect
@@ -173,18 +179,99 @@ def _audio_features(rate: int, samples: np.ndarray) -> tuple[int, int, np.ndarra
     return n_ch, rate // 100, feats
 
 
+# --- real BMP decode (pure NumPy, no external libs) ------------------------
+
+def _is_bmp(payload: bytes) -> bool:
+    return len(payload) >= 54 and payload[:2] == b"BM"
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24-bit BI_RGB BMP → (width, height,
+    pixels float32[h, w, 3] RGB in [0, 1]).
+
+    Handles the two layout quirks that trip naive parsers: rows are
+    padded to 4-byte boundaries, and a positive biHeight means the rows
+    are stored bottom-up (negative = top-down)."""
+    if not _is_bmp(payload):
+        raise ValueError("not a BMP stream")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP {bpp}bpp compression={comp} not supported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dims {w}x{h}")
+    stride = (3 * w + 3) // 4 * 4
+    body = payload[off : off + stride * h]
+    if len(body) < stride * h:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)[:, : 3 * w]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return w, h, img.astype(np.float32) / 255.0
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """uint8 or float[0,1] RGB (h, w, 3) → 24-bit bottom-up BMP bytes.
+    Round-trip partner of ``decode_bmp`` (tests and demos)."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = a[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, RGB->BGR
+    body = rows.tobytes()
+    hdr = (
+        b"BM" + (54 + len(body)).to_bytes(4, "little") + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    return hdr + body
+
+
+def _image_features(w: int, h: int, img: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Real image features, FEATURE_DIM wide:
+    [mean_r, mean_g, mean_b, std_luminance, 12-bin luminance histogram
+    (mass-normalized)]. Returns (width, height, features)."""
+    lum = 0.2126 * img[:, :, 0] + 0.7152 * img[:, :, 1] + 0.0722 * img[:, :, 2]
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+    feats = np.concatenate(
+        [
+            img.reshape(-1, 3).mean(axis=0),
+            np.array([lum.std()]),
+            hist / max(1, lum.size),
+        ]
+    ).astype(np.float32)
+    return w, h, feats
+
+
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """Audio WAV payloads decode for REAL (pure-NumPy RIFF parser above);
-    other modalities need PIL/ffmpeg — not in this container — so they are
-    stubbed behind ``deterministic_fake``. Swap in prod."""
+    """Audio WAV and image BMP payloads decode for REAL (pure-NumPy
+    parsers above); other formats need PIL/ffmpeg — not in this
+    container — so they are stubbed behind ``deterministic_fake``.
+    Swap in prod."""
     if kind == "audio" and _is_wav(payload):
         rate, _n_ch, samples = decode_wav(payload)
         return _audio_features(rate, samples)
+    if kind == "image" and _is_bmp(payload):
+        return _image_features(*decode_bmp(payload))
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV media decode requires image/audio libraries not present in "
-        "this environment; pass deterministic_fake=True to exercise the pipeline"
+        "non-WAV/BMP media decode requires image/audio libraries not present "
+        "in this environment; pass deterministic_fake=True to exercise the "
+        "pipeline"
     )
 
 
