@@ -6,13 +6,18 @@
 
 PY ?= python
 
-.PHONY: test bench scaling membw scaling-fresh check
+.PHONY: test bench scaling membw scaling-fresh check pyfiles
 
 test:
 	$(PY) -m pytest tests/ -x -q
 
 bench:
 	$(PY) bench.py
+
+# north-rule launch mode: zip the package for spark-submit --py-files
+# (cwd-independent driver+executor imports)
+pyfiles:
+	$(PY) tools/make_pyfiles.py
 
 # full scaling protocol: 3 repeats at the 2->8 criterion pair on the
 # 100M-edge graph (builds it on first run), plus the DRAM-bandwidth
