@@ -97,11 +97,19 @@ def cosine_pairs(
         if dim is None:
             dim = len(vectors.select(vec_col).first()[0])
         eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+        # norm projected FIRST: referencing _norm(vec) inside the
+        # transform lambda would re-evaluate the O(dim) aggregate per
+        # element (O(dim^2)/row — same Catalyst-inlining trap as
+        # dedup.shingles)
         unit = vectors.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_raw"),
+            _norm(F.col(vec_col)).alias("_n"),
+        ).select(
+            "_id",
+            "_raw",
             F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+                F.col("_raw"), lambda x: x.cast("double") / F.col("_n")
             ).alias("_unit"),
         )
         cand = grid_candidate_pairs(
