@@ -272,10 +272,12 @@ def ivf_centroids(
     """Deterministic Lloyd coarse quantizer for the IVF index.
 
     Trains on a hash-ordered sample of ``max_train`` vectors (orderBy +
-    limit compiles to TakeOrderedAndProject — no global sort
-    materializes; production IVF quantizers train on a bounded sample
-    regardless of corpus size, the index assignment below still covers
-    every vector). Init = first n_centroids sample rows in the same
+    limit: TakeOrderedAndProject below
+    ``spark.sql.execution.topKSortFallbackThreshold`` (default 10k), a
+    bounded one-off sort above it — either way training cost is capped;
+    production IVF quantizers train on a bounded sample regardless of
+    corpus size, and the index assignment below still covers every
+    vector). Init = first n_centroids sample rows in the same
     hash order, so the whole pipeline is seed-reproducible. Empty
     clusters keep their previous centroid. Driver state is
     n_centroids x dim floats per iteration — broadcast-sized by

@@ -118,7 +118,11 @@ def sessionize_stream(
             yield _emit(uid, st)
             return
         chunks = [pdf[["ts", "value"]] for pdf in pdfs]
-        ev = pd.concat(chunks).sort_values("ts")
+        ev = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame()
+        if len(ev) == 0:
+            # defensive: a data invocation with no rows leaves the open
+            # session (and its pending timeout) untouched
+            return
         # arrow may hand pandas datetime64[us] or [ns]; normalize via numpy
         ts_us = ev["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         vals = ev["value"].to_numpy()
