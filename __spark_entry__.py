@@ -1509,8 +1509,10 @@ def q_multimodal_features(spark, sf_dir):
                     rows.append((did, "audio", encode_wav_pcm16(samples, 8000)))
                 else:
                     w, h = 16 + did % 32, 8 + did % 16
-                    x = np.arange(w, dtype=np.uint8)[None, :, None]
-                    y = np.arange(h, dtype=np.uint8)[:, None, None]
+                    # int64 throughout: uint8 + a large Python int raises
+                    # OverflowError under NumPy 2 promotion rules
+                    x = np.arange(w, dtype=np.int64)[None, :, None]
+                    y = np.arange(h, dtype=np.int64)[:, None, None]
                     img = ((x * 3 + y * 5 + did) % 256).astype(np.uint8)
                     rows.append((did, "image", encode_bmp24(np.broadcast_to(img, (h, w, 3)))))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])

@@ -247,17 +247,22 @@ def _ivf_dist2(vec: Column, c: list[float]) -> Column:
     return F.lit(cc) - 2.0 * _dot(vec, F.array(*[F.lit(float(x)) for x in c]))
 
 
-def _ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the nearest centroid, pure JVM: array_min over
-    (dist, idx) structs — lexicographic min gives argmin with a
-    deterministic idx tie-break."""
-    arr = F.array(
+def _ivf_dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d, i>> of (distance, centroid-idx) pairs — the single
+    source of truth for assignment (array_min) and probe ranking
+    (array_sort); lexicographic struct order gives a deterministic idx
+    tie-break in both."""
+    return F.array(
         *[
             F.struct(_ivf_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
             for i, c in enumerate(centroids)
         ]
     )
-    return F.array_min(arr)["i"]
+
+
+def _ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid, pure JVM."""
+    return F.array_min(_ivf_dist_structs(vec, centroids))["i"]
 
 
 def ivf_centroids(
@@ -302,13 +307,10 @@ def ivf_centroids(
                 .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
                 .collect()
             )
+            # empty clusters get no rows and keep their previous centroid
             nxt = [list(c) for c in cents]
-            dims: dict[int, list] = {}
             for r in sums:
-                dims.setdefault(r["cid"], []).append(r)
-            for cid, rows in dims.items():
-                for r in rows:
-                    nxt[cid][r["pos"]] = r["s"] / r["n"]
+                nxt[r["cid"]][r["pos"]] = r["s"] / r["n"]
             cents = nxt
         return cents
     finally:
@@ -347,14 +349,7 @@ def ivf_topk(
         F.col(vec_col).alias("_cv"),
         _ivf_assign_expr(F.col(vec_col), centroids).alias("list_id"),
     )
-    dist_arr = F.array(
-        *[
-            F.struct(
-                _ivf_dist2(F.col("_qv"), c).alias("d"), F.lit(i).alias("i")
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    dist_arr = _ivf_dist_structs(F.col("_qv"), centroids)
     probes = (
         queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qv"))
         .select(

@@ -178,6 +178,12 @@ def minhash_lsh_pairs(
     verify is an inline expression — no second join back to the
     signatures. (The previous long-form plan recomputed the shingle
     pipeline three times: band keys + both verify sides.)"""
+    if not 1 <= bands <= k or k % bands != 0:
+        raise ValueError(
+            f"bands must divide k (got k={k}, bands={bands}): a partial "
+            "band would change the banding semantics vs the SQL oracle, "
+            "and bands > k degenerates to an all-pairs join"
+        )
     rows = k // bands
     wide = _minhash_wide(docs, k, seed, id_col, text_col)
     band_structs = F.array(

@@ -16,10 +16,16 @@ Scale notes (the shapes that matter at 100 TB):
   materialized per key, so only a single pathologically hot user (all
   events one key) would skew a task; web-scale event tables key by
   user/session actor where the heaviest key is ~1e6 events — megabytes.
-- **Streaming** (`sessionize_stream`): state per OPEN session only
-  (4 scalars/user), closed sessions are emitted and dropped; the
-  event-time timeout bounds state for users that go quiet — state size
-  is O(active users in the watermark horizon), not O(history).
+- **Streaming** (`sessionize_stream`): state per user is the list of
+  PENDING session intervals (4 scalars each) still inside the watermark
+  horizon — events are aggregated into intervals immediately, never
+  buffered raw. A session is emitted (and dropped from state) only once
+  the watermark passes ``session_end + gap``, at which point no
+  admissible event can extend or split it — so the operator is correct
+  under ARBITRARY event order within the watermark, not just
+  chronological delivery (asserted in tests with shuffled microbatches).
+  The event-time timeout clears users who go quiet; state is O(pending
+  intervals in the watermark horizon), not O(history).
 
 The reference engine is batch-only (SURVEY §2.10); this module extends
 the engine's streaming surface alongside `streaming/events.py`.
@@ -27,6 +33,7 @@ the engine's streaming surface alongside `streaming/events.py`.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
 from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql import DataFrame
@@ -41,9 +48,22 @@ SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
 )
-# open-session state: timestamps as epoch microseconds (exact int64
-# arithmetic — float would lose sub-ms precision on 2024+ epochs)
-_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint, s double"
+# pending session intervals as parallel arrays, sorted by start;
+# timestamps as epoch microseconds (exact int64 arithmetic — float
+# would lose sub-ms precision on 2024+ epochs)
+_STATE_SCHEMA = (
+    "starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>, ss array<double>"
+)
+
+
+def _round6_half_up(x: float) -> float:
+    """Match Spark's F.round on doubles: BigDecimal of the SHORTEST
+    decimal repr (repr(x) in Python = Double.toString in Java), then
+    HALF_UP — Python's round() is half-even on the binary value and can
+    differ in the last digit."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"),
+                                                  rounding=ROUND_HALF_UP))
 
 
 def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
@@ -81,13 +101,16 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
 def sessionize_stream(
     events: DataFrame, gap_sec: int = 1800, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming sessionization: per-user open-session state, sessions
-    emitted (append mode) when closed by a gap or by the event-time
-    timeout once the watermark passes ``last_event + gap``.
+    """Streaming sessionization: per-user pending-interval state; a
+    session is emitted (append mode) once the event-time watermark
+    strictly passes ``session_end + gap`` — before that boundary a
+    late-but-admissible event could still extend it or bridge it with a
+    neighbor, so earlier emission would break exactness.
 
-    Contract vs `sessionize`: after the watermark passes every open
+    Contract vs `sessionize`: after the watermark passes every pending
     session's horizon, the union of emitted rows equals the batch result
-    minus ``session_idx`` (batch=stream-prefix; asserted in tests).
+    minus ``session_idx`` — for ANY delivery order of events the
+    watermark admits (asserted in tests, including shuffled batches).
     """
     import pandas as pd  # driver + worker import; keep module import light
 
@@ -95,55 +118,73 @@ def sessionize_stream(
 
     gap_us = int(gap_sec) * 1_000_000
 
-    def _emit(uid: int, st: tuple) -> "pd.DataFrame":
-        start_us, last_us, n, s = st
+    def _rows(uid: int, intervals: list[list]) -> "pd.DataFrame":
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "session_start": [pd.Timestamp(start_us * 1000)],
-                "session_end": [pd.Timestamp(last_us * 1000)],
-                "n_events": [n],
-                "sum_value": [round(s, 6)],
+                "user_id": [uid] * len(intervals),
+                "session_start": [pd.Timestamp(m[0] * 1000) for m in intervals],
+                "session_end": [pd.Timestamp(m[1] * 1000) for m in intervals],
+                "n_events": [m[2] for m in intervals],
+                "sum_value": [_round6_half_up(m[3]) for m in intervals],
             }
         )
+
+    def _settle(state: "GroupState", uid: int, items: list[list]):
+        """Merge intervals/events (sorted sweep), emit the final ones,
+        persist the rest with a timeout at the earliest horizon."""
+        items.sort(key=lambda m: (m[0], m[1]))
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] <= merged[-1][1] + gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], it[1])
+                m[2] += it[2]
+                m[3] += it[3]
+            else:
+                merged.append(list(it))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # strict: an event at exactly last+gap (== watermark) still merges
+        final = [m for m in merged if m[1] + gap_us < wm_us]
+        pending = [m for m in merged if m[1] + gap_us >= wm_us]
+        if pending:
+            state.update(
+                (
+                    [m[0] for m in pending],
+                    [m[1] for m in pending],
+                    [m[2] for m in pending],
+                    [m[3] for m in pending],
+                )
+            )
+            horizon_ms = min(m[1] for m in pending) // 1000 + int(gap_sec) * 1000 + 1
+            state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+        return final
 
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
     ) -> Iterator["pd.DataFrame"]:
         uid = key[0]
-        if state.hasTimedOut:
-            # watermark passed last_event + gap: the open session is final
-            st = state.get
-            state.remove()
-            yield _emit(uid, st)
+        items: list[list] = []
+        if state.exists:
+            starts, lasts, ns, ss = state.get
+            items = [
+                [int(a), int(b), int(n), float(s)]
+                for a, b, n, s in zip(starts, lasts, ns, ss)
+            ]
+        if not state.hasTimedOut:
+            chunks = [pdf[["ts", "value"]] for pdf in pdfs]
+            ev = pd.concat(chunks) if chunks else pd.DataFrame()
+            if len(ev):
+                # arrow may hand datetime64[us] or [ns]; normalize via numpy
+                ts_us = ev["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+                vals = ev["value"].to_numpy()
+                items += [[int(t), int(t), 1, float(v)] for t, v in zip(ts_us, vals)]
+        if not items:
             return
-        chunks = [pdf[["ts", "value"]] for pdf in pdfs]
-        ev = pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame()
-        if len(ev) == 0:
-            # defensive: a data invocation with no rows leaves the open
-            # session (and its pending timeout) untouched
-            return
-        # arrow may hand pandas datetime64[us] or [ns]; normalize via numpy
-        ts_us = ev["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
-        vals = ev["value"].to_numpy()
-        open_s = list(state.get) if state.exists else None
-        for t, v in zip(ts_us, vals):
-            if open_s is not None and t - open_s[1] <= gap_us:
-                open_s[1] = max(open_s[1], int(t))
-                open_s[2] += 1
-                open_s[3] += float(v)
-            else:
-                if open_s is not None:
-                    yield _emit(uid, tuple(open_s))
-                open_s = [int(t), int(t), 1, float(v)]
-        state.update(tuple(open_s))
-        # fire once the watermark passes the session horizon; the API
-        # rejects timestamps at/behind the current watermark, so clamp
-        timeout_ms = max(
-            open_s[1] // 1000 + int(gap_sec) * 1000,
-            state.getCurrentWatermarkMs() + 1,
-        )
-        state.setTimeoutTimestamp(timeout_ms)
+        final = _settle(state, uid, items)
+        if final:
+            yield _rows(uid, final)
 
     src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
         "ts", watermark

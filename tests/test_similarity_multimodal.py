@@ -333,13 +333,18 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert norm(got) == norm(batch)
 
 
-def test_sessionize_stream_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("split", ["chronological", "shuffled"])
+def test_sessionize_stream_matches_batch(spark, tmp_path, split):
     """Custom stateful operator (applyInPandasWithState): streaming
-    sessionization over chronological microbatches — sessions that SPAN a
-    batch boundary (open state merged across batches), sessions closed by
-    an in-batch gap, and sessions closed by the event-time timeout once a
-    sentinel advances the watermark — all equal the batch window-function
-    result."""
+    sessionization must equal the batch window-function result.
+
+    chronological: two time-ordered chunks — sessions SPAN a batch
+    boundary (pending state merged across batches), sessions close by
+    the event-time timeout once a sentinel advances the watermark.
+    shuffled: chunks split by event_id parity — events arrive OUT OF
+    event-time order across batches (late events within a wide
+    watermark); intervals must merge/bridge correctly, so emission
+    happens only when the watermark passes each session's horizon."""
     import os
     import time as _time
 
@@ -354,28 +359,30 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     events = spark.read.parquet(src)
     gap = 12 * 3600
 
-    # two chronological chunks (split mid-stream so many per-user sessions
-    # straddle the boundary) + a far-future sentinel that advances the
-    # watermark past every open session's timeout horizon
     sdir = tmp_path / "events_stream"
     mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
-    mid_ts = mn + (mx - mn) / 2
-    chunks = [
-        events.where(F.col("ts") <= mid_ts),
-        events.where(F.col("ts") > mid_ts),
+    if split == "chronological":
+        mid_ts = mn + (mx - mn) / 2
+        parts = [
+            events.where(F.col("ts") <= mid_ts),
+            events.where(F.col("ts") > mid_ts),
+        ]
+        watermark = "2 hours"
+    else:
+        # arbitrary interleaving: every second event is ~a whole stream
+        # late relative to batch 1 — admissible under a wide watermark
+        parts = [
+            events.where(F.col("event_id") % 2 == 0),
+            events.where(F.col("event_id") % 2 == 1),
+        ]
+        watermark = "30 days"
+    sentinel_ts = (
+        mx + pd.Timedelta(seconds=gap) + pd.Timedelta(days=31)
+    )
+    chunks = parts + [
         spark.createDataFrame(
-            [
-                (
-                    999_999,
-                    mx + pd.Timedelta(seconds=gap) + pd.Timedelta(hours=4),
-                    -1,
-                    "sentinel",
-                    0.0,
-                    "{}",
-                )
-            ],
-            events.schema,
-        ),
+            [(999_999, sentinel_ts, -1, "sentinel", 0.0, "{}")], events.schema
+        )
     ]
     for i, c in enumerate(chunks):
         p = sdir / f"chunk{i}"
@@ -390,17 +397,18 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{sdir}/chunk*")
     )
+    qname = f"sess_pp_{split}"
     q = (
-        sessionize_stream(stream, gap_sec=gap, watermark="2 hours")
+        sessionize_stream(stream, gap_sec=gap, watermark=watermark)
         .writeStream.format("memory")
-        .queryName("sess_pp")
+        .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(240)
     assert len(q.recentProgress) >= 3  # genuinely multiple microbatches
-    got = spark.sql("select * from sess_pp where user_id >= 0").toPandas()
+    got = spark.sql(f"select * from {qname} where user_id >= 0").toPandas()
     want = sessionize(events, gap_sec=gap).drop("session_idx").toPandas()
 
     def norm(df):
