@@ -1303,6 +1303,7 @@ def q_rel_union_except(spark, sf_dir):
 
 def q_text_features(spark, sf_dir):
     from efficient_graph_algorithms_spark.functions.text import (
+        bpe_token_count,
         fingerprint60,
         lang_id,
         quality_score,
@@ -1313,6 +1314,7 @@ def q_text_features(spark, sf_dir):
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         lang_id(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text")).alias("quality"),
         fingerprint60(F.col("text")).alias("fp"),
@@ -1321,6 +1323,7 @@ def q_text_features(spark, sf_dir):
 
 def _text_features_sql() -> str:
     from efficient_graph_algorithms_spark.functions.text import (
+        duck_bpe_token_count,
         duck_fingerprint60,
         duck_lang_id,
         duck_quality_score,
@@ -1330,6 +1333,7 @@ def _text_features_sql() -> str:
     return (
         "SELECT doc_id, "
         f"CAST({duck_token_count('text')} AS BIGINT) AS n_tokens, "
+        f"CAST({duck_bpe_token_count('text')} AS BIGINT) AS n_bpe_tokens, "
         f"{duck_lang_id('text')} AS lang_pred, "
         f"{duck_quality_score('text')} AS quality, "
         f"{duck_fingerprint60('text')} AS fp FROM documents"

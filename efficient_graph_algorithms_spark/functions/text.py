@@ -40,6 +40,21 @@ def token_count(text: Column) -> Column:
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs with
+# identical semantics in Java regex AND RE2 (no lookahead, no \p
+# classes): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs. Both engines match alternations
+# leftmost-first, so counts agree exactly.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count (the LLM-pipeline cost
+    estimator): number of BPE_ISH_PATTERN matches. Whitespace runs are
+    not tokens (they fold into the following token's optional space)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     low = F.lower(text)
     return {
@@ -108,6 +123,11 @@ def duck_token_count(expr: str) -> str:
         f"CASE WHEN trim({expr}) = '' THEN 0 "
         f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END"
     )
+
+
+def duck_bpe_token_count(expr: str) -> str:
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
 
 
 def duck_marker_count(expr: str, words: list[str]) -> str:
