@@ -13,6 +13,7 @@ Commands:
     triangles  --graph /path/graph
     dedup      --docs /path/documents.parquet [--method minhash|exact|simhash|ngram] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
+    sessionize --events /path/events.parquet [--gap-sec 1800] [--out DIR]
 """
 
 from __future__ import annotations
@@ -74,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--method", default="lsh", choices=["lsh", "exact"])
     k.add_argument("--out")
 
+    s = sub.add_parser("sessionize")
+    s.add_argument("--events", required=True)
+    s.add_argument("--gap-sec", type=int, default=1800)
+    s.add_argument("--out")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"ega-{args.cmd}")
     t0 = time.time()
@@ -116,6 +122,27 @@ def main(argv: list[str] | None = None) -> int:
             pairs = spark.read.parquet(args.out)
         print(json.dumps({"cmd": "dedup", "method": args.method,
                           "docs": docs.count(), "pairs": pairs.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "sessionize":
+        from efficient_graph_algorithms_spark.streaming.sessions import sessionize
+
+        events = spark.read.parquet(args.events)
+        sess = sessionize(events, gap_sec=args.gap_sec)
+        if args.out:
+            sess.write.mode("overwrite").parquet(args.out)
+            sess = spark.read.parquet(args.out)
+        from pyspark.sql import functions as _F
+
+        stats = sess.agg(
+            _F.count("*").alias("sessions"),
+            _F.max("n_events").alias("max_events"),
+        ).collect()[0]
+        print(json.dumps({"cmd": "sessionize", "gap_sec": args.gap_sec,
+                          "events": events.count(),
+                          "sessions": stats["sessions"],
+                          "max_events": stats["max_events"],
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
