@@ -118,16 +118,18 @@ def extract_hrefs_udf(html: pd.Series) -> pd.Series:
 # element-exact equality on the synthetic corpus plus adversarial html.
 #
 # Parity envelope (documented, tested): byte streams that are valid UTF-8
-# decode identically; href whitespace-stripping uses Java \s ([ \t\n\x0B\f\r])
-# where Python str.strip() also strips exotic Unicode spaces — identical on
-# anything a real href contains.
+# decode identically. All \s uses carry the (?U) flag so Java's
+# whitespace class is Unicode-aware like Python's — both the \s* around
+# `href=` in the match pattern (an NBSP there would otherwise be missed
+# only by the JVM path) and the strip step (Python str.strip() strips
+# exotic Unicode spaces).
 
-_HREF_SQL_PAT = r"""(?si)<a\b[^>]*?href\s*=\s*["']([^"']+)["']"""
+_HREF_SQL_PAT = r"""(?siU)<a\b[^>]*?href\s*=\s*["']([^"']+)["']"""
 
 
 def _normalize_url_col(u):
     """Column-expression mirror of `normalize_url` (same steps, same order)."""
-    u = F.regexp_replace(u, r"^\s+|\s+$", "")
+    u = F.regexp_replace(u, r"(?U)^\s+|\s+$", "")
     u = F.substring_index(u, "#", 1)
     scheme = F.substring_index(u, "://", 1)
     rest = F.substring(u, F.length(scheme) + 4, F.length(u))
@@ -151,6 +153,6 @@ def extract_hrefs_expr(html) -> "F.Column":
     Spark path has never exercised: ``raw_link_pairs`` passes no base)."""
     s = F.decode(html, "UTF-8")
     raw = F.regexp_extract_all(s, F.lit(_HREF_SQL_PAT), F.lit(1))
-    stripped = F.transform(raw, lambda h: F.regexp_replace(h, r"^\s+|\s+$", ""))
+    stripped = F.transform(raw, lambda h: F.regexp_replace(h, r"(?U)^\s+|\s+$", ""))
     nonempty = F.filter(stripped, lambda h: h != F.lit(""))
     return F.transform(nonempty, _normalize_url_col)

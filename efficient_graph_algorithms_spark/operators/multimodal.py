@@ -261,11 +261,19 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     parsers above); other formats need PIL/ffmpeg — not in this
     container — so they are stubbed behind ``deterministic_fake``.
     Swap in prod."""
-    if kind == "audio" and _is_wav(payload):
-        rate, _n_ch, samples = decode_wav(payload)
-        return _audio_features(rate, samples)
-    if kind == "image" and _is_bmp(payload):
-        return _image_features(*decode_bmp(payload))
+    try:
+        if kind == "audio" and _is_wav(payload):
+            rate, _n_ch, samples = decode_wav(payload)
+            return _audio_features(rate, samples)
+        if kind == "image" and _is_bmp(payload):
+            return _image_features(*decode_bmp(payload))
+    except (ValueError, NotImplementedError):
+        # header looked WAV/BMP but the body is unsupported or malformed
+        # (e.g. 24-bit PCM, truncated data chunk): in fake mode degrade to
+        # the deterministic fake instead of aborting the whole Spark job;
+        # in strict mode surface the real error
+        if not deterministic_fake:
+            raise
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(

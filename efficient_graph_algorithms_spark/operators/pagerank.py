@@ -134,6 +134,32 @@ def _pagerank_setup(
     ``pagerank`` — the caller reaps that thread on any error raised here."""
     ephemeral = checkpoint_dir is None
     state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
+    try:
+        return _pagerank_setup_inner(
+            spark, state_root, ephemeral, pvec, alpha, tol, n, resume,
+            checkpoint_dir, deterministic, sp,
+        )
+    except BaseException:
+        # don't leak the freshly created tmpfs scratch dir when resume
+        # load / the dm aggregate fails
+        if ephemeral:
+            shutil.rmtree(state_root, ignore_errors=True)
+        raise
+
+
+def _pagerank_setup_inner(
+    spark: SparkSession,
+    state_root: str,
+    ephemeral: bool,
+    pvec: DataFrame,
+    alpha: float,
+    tol: float,
+    n: int,
+    resume: bool,
+    checkpoint_dir: str | None,
+    deterministic: bool,
+    sp: int,
+) -> tuple[bool, str, "CheckpointManager", int, float, DataFrame]:
     ckpt = CheckpointManager(
         spark, state_root, "pagerank", {"alpha": alpha, "tol": tol, "n": n}
     )
@@ -273,9 +299,12 @@ def pagerank(
     except BaseException:
         # reap the concurrent materialization job before propagating, so
         # an error in checkpoint resume / the dm aggregate doesn't leave
-        # linked.count() running unsupervised on the cluster
+        # linked.count() running unsupervised on the cluster; drop BOTH
+        # setup persists (the ephemeral scratch dir is cleaned inside
+        # _pagerank_setup itself)
         _linked_thread.join()
         linked.unpersist()
+        pvec.unpersist()
         raise
     ephemeral, state_root, ckpt, start_iter, dm, state = _setup_state
 
@@ -377,9 +406,14 @@ def pagerank(
                 # task-commit overhead is per-file (~10 ms each), so tiny
                 # states shouldn't pay for `sp` files — measured 0.30 s →
                 # 0.16 s per write at 126k vertices, sp=32.
+                import uuid as _uuid
+
                 from pyspark.sql.observation import Observation
 
-                obs = Observation(f"pr_it{it}")
+                # session-unique name: two pagerank loops sharing a
+                # SparkSession must not cross-capture each other's
+                # CollectMetrics (same rationale as StateCutter.observe)
+                obs = Observation(f"pr_{_uuid.uuid4().hex[:12]}_it{it}")
                 sp_state = min(sp, max(8, -(-n // 500_000)))
                 observed = new_state.repartition(sp_state, "id").observe(
                     obs,

@@ -213,19 +213,25 @@ def tree_gfi_matvec(
 
     if method not in ("auto", "levels", "doubling"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "doubling" or (method == "auto" and f_fun is None):
-        md = tree_with_depth.agg(F.max("depth")).collect()[0][0]
-        if md is not None and (method == "doubling" or md > depth_switch):
-            if f_fun is not None:
-                raise ValueError("method='doubling' supports only the exp kernel")
-            # cap the doubling cadence at 4: self-join rounds SQUARE the
-            # carried size estimate (vs the level walker's constant-factor
-            # growth), so the level-path cadence default (8) is too lax here
-            return _tree_gfi_matvec_doubling(
-                tree_with_depth, field, a=a, root=root,
-                cut_every=min(cut_every, 4),
-            )
+    # ONE max-depth job serves dispatch, the doubling path (passed down)
+    # and the level path alike
+    max_depth = tree_with_depth.agg(F.max("depth")).collect()[0][0]
+    if max_depth is not None and (
+        method == "doubling"
+        or (method == "auto" and f_fun is None and max_depth > depth_switch)
+    ):
+        if f_fun is not None:
+            raise ValueError("method='doubling' supports only the exp kernel")
+        # cap the doubling cadence at 4: self-join rounds SQUARE the
+        # carried size estimate (vs the level walker's constant-factor
+        # growth), so the level-path cadence default (8) is too lax here
+        return _tree_gfi_matvec_doubling(
+            tree_with_depth, field, a=a, root=root,
+            cut_every=min(cut_every, 4), max_depth=max_depth,
+        )
 
+    if max_depth is None:  # single-vertex tree
+        return field.select("id", "value")
     f = f_fun or exp_kernel(a)
     # static per-edge kernel values, computed once
     edges = tree_with_depth.select(
@@ -233,10 +239,6 @@ def tree_gfi_matvec(
         f(F.col("w")).alias("fw"),
         (F.lit(1.0) - f(F.lit(2.0) * F.col("w"))).alias("one_minus_f2w"),
     ).persist()
-    max_depth = edges.agg(F.max("depth")).collect()[0][0]
-    if max_depth is None:  # single-vertex tree
-        edges.unpersist()
-        return field.select("id", "value")
 
     spark = tree_with_depth.sparkSession
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -322,6 +324,7 @@ def _tree_gfi_matvec_doubling(
     a: float = -1.0,
     root: int | None = None,
     cut_every: int = 4,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """O(log depth) tree-GFI matvec by pointer doubling (exp kernel).
 
@@ -358,10 +361,8 @@ def _tree_gfi_matvec_doubling(
     spark = tree_with_depth.sparkSession
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    stats = tree_with_depth.agg(
-        F.max("depth").alias("md"),
-    ).collect()[0]
-    max_depth = stats["md"]
+    if max_depth is None:  # not passed down by the dispatcher
+        max_depth = tree_with_depth.agg(F.max("depth")).collect()[0][0]
     if max_depth is None:  # single-vertex tree
         return field.select("id", "value")
     n_rounds = max(1, math.ceil(math.log2(max_depth + 1)))

@@ -95,9 +95,16 @@ class StateCutter:
         previous generation for a convergence delta without persisting
         it into the new state table. Returns (cut_df, {name: value}).
         """
+        import uuid
+
         from pyspark.sql.observation import Observation
 
-        obs = Observation(f"cut_{self._n + 1}")
+        # name must be unique across the SparkSession, not just this
+        # cutter: the Observation listener matches by name against ANY
+        # terminated query, so two loops sharing a session (e.g. a
+        # sinkhorn and a barycenter in parallel threads) with plain
+        # "cut_<n>" names could cross-capture each other's metrics
+        obs = Observation(f"cut_{uuid.uuid4().hex[:12]}_{self._n + 1}")
         observed = df.observe(obs, *[e.alias(k) for k, e in exprs.items()])
         scratch = [c for c in df.columns if c.startswith("_obs_")]
         if scratch:

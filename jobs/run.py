@@ -73,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--embeddings", required=True)
     k.add_argument("--k", type=int, default=5)
     k.add_argument("--method", default="lsh", choices=["lsh", "exact"])
+    k.add_argument("--dim", type=int, help="embedding width (default: inferred)")
     k.add_argument("--out")
 
     s = sub.add_parser("sessionize")
@@ -150,7 +151,10 @@ def main(argv: list[str] | None = None) -> int:
         from efficient_graph_algorithms_spark.operators.ann import knn_graph
 
         points = spark.read.parquet(args.embeddings)
-        g = knn_graph(points, k=args.k, method=args.method)
+        # LSH planes must match the embedding width: zip_with null-pads a
+        # mismatch and every vector would silently hash to bucket 0
+        dim = args.dim or len(points.select("embedding").first()[0])
+        g = knn_graph(points, k=args.k, method=args.method, dim=dim)
         if args.out:
             g.write.mode("overwrite").parquet(args.out)
             g = spark.read.parquet(args.out)

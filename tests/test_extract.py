@@ -99,6 +99,10 @@ def test_jvm_href_expr_matches_python_oracle(spark, tiny_pages_pd):
         "<a href='https://uni.example/café'>unicode</a>".encode(),
         b'<a data-href="https://no.example/skip">not an href attr</a>'
         b'<a href="https://yes.example/t">real</a>',
+        # NBSP around `=` and inside the quotes: Python \s / str.strip()
+        # are Unicode-aware, so the JVM pattern must carry (?U)
+        "<a href\u00a0=\u00a0'https://nbsp.example/u'>nbsp eq</a>".encode(),
+        "<a href='\u00a0https://nbsp2.example/v\u00a0'>nbsp padded</a>".encode(),
     ]
     rows = [(u, bytes(h)) for u, h in zip(tiny_pages_pd["url"], tiny_pages_pd["html"])]
     rows += [(f"adv{i}", h) for i, h in enumerate(adversarial)]

@@ -58,7 +58,9 @@ def measure(workers: int, mib: int, passes: int, rounds: int) -> dict:
         ]
         for p in procs:
             p.start()
-        results = [q.get() for _ in procs]
+        # timeout so a dead worker (e.g. OOM-killed) fails the probe
+        # loudly instead of hanging `make scaling` forever
+        results = [q.get(timeout=600) for _ in procs]
         for p in procs:
             p.join()
         # aggregate = sum of each worker's own rate (they overlap ~fully;

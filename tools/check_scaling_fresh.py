@@ -24,7 +24,15 @@ def main() -> int:
     if not path.exists():
         print(f"STALE: {path} missing — run `make scaling`", file=sys.stderr)
         return 1
-    rec = json.loads(path.read_text())
+    try:
+        rec = json.loads(path.read_text())
+    except json.JSONDecodeError:
+        print(
+            "STALE: BENCH/scaling.json is empty or truncated (an aborted "
+            "`make scaling` run?) — run `make scaling`",
+            file=sys.stderr,
+        )
+        return 1
     stamped = rec.get("loop_blob")
     if stamped is None:
         print(
