@@ -20,11 +20,21 @@ pyfiles:
 	$(PY) tools/make_pyfiles.py
 
 # full scaling protocol: 3 repeats at the 2->8 criterion pair on the
-# 100M-edge graph (builds it on first run), plus the DRAM-bandwidth
-# probe that evidences the pair choice. ~75 min.
+# 100M-edge direct-generated graph (built on first run — the SAME input
+# every recorded measurement used; --min-edges refuses a smaller graph
+# so the protocol can't silently drift), plus the DRAM-bandwidth probe
+# that evidences the pair choice. ~75 min. Output lands via tmp+rename
+# so an aborted run can't truncate the stamped evidence in place.
+BENCH_WORK ?= /tmp/ega_bench
+SCALING_GRAPH ?= $(BENCH_WORK)/scaling_large
 scaling:
-	$(PY) tools/bench_scaling.py --repeats 3 --cpus 2 8 > BENCH/scaling.json
-	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 > BENCH/membw.json
+	test -d $(SCALING_GRAPH)/edges || $(PY) tools/gen_edges.py \
+		--vertices 12000000 --edges 100000000 --out $(SCALING_GRAPH)
+	$(PY) tools/bench_scaling.py --repeats 3 --cpus 2 8 \
+		--graph $(SCALING_GRAPH) --min-edges 90000000 \
+		> BENCH/scaling.json.tmp && mv BENCH/scaling.json.tmp BENCH/scaling.json
+	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 \
+		> BENCH/membw.json.tmp && mv BENCH/membw.json.tmp BENCH/membw.json
 
 membw:
 	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 > BENCH/membw.json

@@ -114,9 +114,31 @@ def main() -> int:
     ap.add_argument("--graph", help="prebuilt graph dir (skips the pages build)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpus", type=int, nargs=2, default=[8, 32])
+    ap.add_argument(
+        "--min-edges",
+        type=int,
+        default=0,
+        help="fail fast (before any timed rep) if the input graph has fewer "
+        "edges — guards the protocol against silently measuring a smaller "
+        "graph than BASELINE.md prescribes",
+    )
     args = ap.parse_args()
 
     graph = args.graph or build_graph(args.pages)
+    if args.min_edges:
+        import pyarrow.parquet as pq
+
+        n_in = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in Path(graph, "edges").glob("*.parquet")
+        )
+        if n_in < args.min_edges:
+            print(
+                f"REFUSING: {graph}/edges has {n_in:,} rows < --min-edges "
+                f"{args.min_edges:,} — wrong input for the scaling protocol",
+                file=sys.stderr,
+            )
+            return 1
     results: dict[int, list[dict]] = {}
     for rep in range(args.repeats):
         for cpus in args.cpus:
@@ -138,6 +160,7 @@ def main() -> int:
         "loop_blob": _git(
             ["hash-object", "efficient_graph_algorithms_spark/operators/pagerank.py"]
         ),
+        "graph": graph,
         "pages": args.pages,
         "n_edges": results[lo][0]["n_edges"],
         "iterations": results[lo][0]["iterations"],
