@@ -100,10 +100,15 @@ spark.stop()
 def run_config(cpus: int, graph: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER.format(repo=str(REPO)), str(cpus), graph],
-        check=True,
         capture_output=True,
         text=True,
     )
+    if out.returncode != 0:
+        # surface the child's tail so a failed leg is diagnosable from the log
+        tail = "\n".join(out.stderr.splitlines()[-25:])
+        raise RuntimeError(
+            f"runner cpus={cpus} exited {out.returncode}; stderr tail:\n{tail}"
+        )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
