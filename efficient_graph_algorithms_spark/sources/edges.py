@@ -70,7 +70,9 @@ def raw_link_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
     )
     return (
         pages.select("url", F.explode(raw).alias("h"))
-        .select("url", F.regexp_replace(F.col("h"), r"^\s+|\s+$", "").alias("h"))
+        # (?U): Unicode-aware \s like Python str.strip() — an NBSP-only href
+        # must strip to "" and be dropped HERE, exactly as the UDF path does
+        .select("url", F.regexp_replace(F.col("h"), r"(?U)^\s+|\s+$", "").alias("h"))
         .where(F.col("h") != "")
         .select(
             F.col("url").alias("src_url"),

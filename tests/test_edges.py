@@ -89,6 +89,28 @@ def test_raw_link_pairs_jvm_matches_udf_path(spark):
     assert len(a) > 0
 
 
+def test_raw_link_pairs_jvm_matches_udf_path_adversarial(spark):
+    """NBSP/Unicode-whitespace hrefs: the jvm path's intermediate strip must
+    be Unicode-aware ((?U)) like Python str.strip() — an NBSP-only href
+    strips to "" and is dropped by BOTH paths (was: jvm path kept it, then
+    normalized it to an empty dst_url the UDF path never emits)."""
+    from efficient_graph_algorithms_spark.sources.edges import raw_link_pairs
+
+    adversarial = [
+        ("adv_nbsp_only", "<a href='\u00a0'>nbsp-only href</a>".encode()),
+        ("adv_nbsp_pad", "<a href='\u00a0https://nb.example/v\u00a0'>pad</a>".encode()),
+        ("adv_nbsp_eq", "<a href\u00a0=\u00a0'https://nb.example/u'>eq</a>".encode()),
+        ("adv_thinsp", "<a href='\u2009https://thin.example/w'>thin space</a>".encode()),
+        ("adv_plain", b"<a href='https://ok.example/x'>plain</a>"),
+    ]
+    pages = spark.createDataFrame(adversarial, "url string, html binary")
+    a = sorted(map(tuple, raw_link_pairs(pages, jvm=True).collect()))
+    b = sorted(map(tuple, raw_link_pairs(pages, jvm=False).collect()))
+    assert a == b
+    assert ("adv_nbsp_only", "") not in a
+    assert len(a) == 4
+
+
 def test_assign_dense_ids_dedupes_input(spark):
     """Duplicate input urls collapse to one row each, ids stay dense-sorted
     — the dedup is fused into the range shuffle, no upstream distinct()."""
