@@ -1053,6 +1053,89 @@ def _gw2_oracle_sql(beta: float = 0.1, outers: int = 2, inners: int = 3) -> str:
     return "\n".join(lines) + f"\nSELECT i, j, round(t, 9) AS t FROM t{outers}"
 
 
+HITS_SQL_ITERS = 2
+HOST_MOD = 50  # synthetic hosts for the host-graph contraction query
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS_SQL_ITERS synchronous hubs/authorities steps on the derived
+    graph — the real operators.hits loop, pinned to a fixed iteration
+    count (tol=0.0) so the unrolled-SQL oracle computes the same thing."""
+    from efficient_graph_algorithms_spark.operators.hits import hits
+
+    e = _graph_edges(spark, sf_dir)
+    out, _ = hits(spark, e, vertices=_vertices(e), max_iter=HITS_SQL_ITERS, tol=0.0)
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_oracle_sql() -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "h0 AS (SELECT id, 1.0 AS h FROM v),",
+    ]
+    for i in range(1, HITS_SQL_ITERS + 1):
+        p = i - 1
+        lines += [
+            # authority <- normalize2(A^T h)
+            f"ar{i} AS (SELECT e.dst AS id, sum(h.h) AS a FROM e "
+            f"JOIN h{p} h ON e.src = h.id GROUP BY e.dst),",
+            f"af{i} AS (SELECT v.id, coalesce(ar.a, 0.0) AS a "
+            f"FROM v LEFT JOIN ar{i} ar ON v.id = ar.id),",
+            f"za{i} AS (SELECT sqrt(sum(a*a)) AS z FROM af{i}),",
+            f"a{i} AS (SELECT id, a / (SELECT CASE WHEN z > 0 THEN z ELSE 1.0 END "
+            f"FROM za{i}) AS a FROM af{i}),",
+            # hub <- normalize2(A a)
+            f"hr{i} AS (SELECT e.src AS id, sum(a.a) AS h FROM e "
+            f"JOIN a{i} a ON e.dst = a.id GROUP BY e.src),",
+            f"hf{i} AS (SELECT v.id, coalesce(hr.h, 0.0) AS h "
+            f"FROM v LEFT JOIN hr{i} hr ON v.id = hr.id),",
+            f"zh{i} AS (SELECT sqrt(sum(h*h)) AS z FROM hf{i}),",
+            f"h{i} AS (SELECT id, h / (SELECT CASE WHEN z > 0 THEN z ELSE 1.0 END "
+            f"FROM zh{i}) AS h FROM hf{i}),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    k = HITS_SQL_ITERS
+    return "\n".join(lines) + (
+        f"\nSELECT h.id, round(h.h, 6) AS hub, round(a.a, 6) AS authority"
+        f"\nFROM h{k} h JOIN a{k} a ON h.id = a.id"
+    )
+
+
+def q_graph_host_graph(spark, sf_dir):
+    """Page graph -> host graph through the real URL-parsing contraction
+    path (try_parse_url + contract_by_key). Vertices get deterministic
+    synthetic URLs (host = id % HOST_MOD) so the oracle can compute the
+    host arithmetically while Spark actually parses the URL string."""
+    from efficient_graph_algorithms_spark.operators.contract import host_graph
+
+    e = _graph_edges(spark, sf_dir)
+    url_dict = _vertices(e).select(
+        "id",
+        F.concat(
+            F.lit("https://host-"),
+            (F.col("id") % HOST_MOD).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    return host_graph(e, url_dict)
+
+
+_HOST_GRAPH_SQL = f"""
+WITH e AS ({_E_SQL}), v AS ({_V_SQL}),
+m AS (SELECT id, 'host-' || CAST(id % {HOST_MOD} AS VARCHAR) || '.example' AS key FROM v)
+SELECT sm.key AS src_key, dm.key AS dst_key, count(*) AS weight
+FROM e JOIN m sm ON e.src = sm.id JOIN m dm ON e.dst = dm.id
+WHERE sm.key <> dm.key
+GROUP BY sm.key, dm.key
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational operator queries (TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -1696,13 +1779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sinkhorn3": q_graph_sinkhorn3,
         "graph_wbary2": q_graph_wbary2,
         "graph_gw2": q_graph_gw2,
+        "graph_hits": q_graph_hits,
+        "graph_host_graph": q_graph_host_graph,
         # relational operators
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
         "rel_window_rank": q_rel_window_rank,
-        "rel_topk": q_rel_topk,
-        "rel_semi_anti": q_rel_semi_anti,
         "rel_set_ops": q_rel_set_ops,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -1726,11 +1809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": q_events_user_activity,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
-        # --- rotation (round 4): the driver records at most 50 rows; the four
+        # --- rotation (round 4): the driver records at most 50 rows; the
         # rel_* queries below were hash-green in rounds 1-3 (CORRECTNESS_r0{1,2,3})
         # and rotate past position 50 so stream_windowed_counts,
-        # events_user_activity, events_sessionize and multimodal_features get
-        # driver rows. See README "Driver-row rotation".
+        # events_user_activity, events_sessionize, multimodal_features and the
+        # round-4 graph_hits / graph_host_graph queries get driver rows.
+        # See README "Driver-row rotation".
+        "rel_topk": q_rel_topk,
+        "rel_semi_anti": q_rel_semi_anti,
         "rel_scalar_math": q_rel_scalar_math,
         "rel_date_filter": q_rel_date_filter,
         "rel_distinct": q_rel_distinct,
@@ -1767,6 +1853,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_sinkhorn3": _sinkhorn3_oracle_sql(),
         "graph_wbary2": _wbary2_oracle_sql(),
         "graph_gw2": _gw2_oracle_sql(),
+        "graph_hits": _hits_oracle_sql(),
+        "graph_host_graph": _HOST_GRAPH_SQL,
         "graph_components": _CC_ORACLE_SQL,
         "graph_triangle_count": _TRI_SQL_BASE + "\nSELECT count(*) AS triangles FROM tri",
         "graph_triangles_per_vertex": _TRI_SQL_BASE

@@ -75,6 +75,37 @@ def pagerank(
     return r, it
 
 
+def hits(
+    edges,
+    n: int,
+    tol: float = 1e-8,
+    max_iter: int = 30,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Kleinberg HITS, synchronous, L2-normalized per half-step.
+
+    a_{t} = normalize2(A^T h_{t-1}); h_t = normalize2(A a_t).
+    Stops when L1(h_t - h_{t-1}) < tol. Returns (hub, authority, iters).
+    """
+    src, dst = _edge_arrays(edges)
+    h = np.ones(n, dtype=np.float64)
+    a = np.ones(n, dtype=np.float64)
+    it = 0
+    for it in range(1, max_iter + 1):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        za = float(np.sqrt((a * a).sum()))
+        if za > 0:
+            a /= za
+        h_new = np.bincount(src, weights=a[dst], minlength=n)
+        zh = float(np.sqrt((h_new * h_new).sum()))
+        if zh > 0:
+            h_new /= zh
+        delta = float(np.abs(h_new - h).sum())
+        h = h_new
+        if delta < tol:
+            break
+    return h, a, it
+
+
 def connected_components(edges, n: int) -> np.ndarray:
     """component[v] = min vertex id reachable from v (undirected)."""
     parent = np.arange(n, dtype=np.int64)

@@ -67,18 +67,18 @@ def test_driver_row_window_covers_rotated_queries():
     """The driver records only the first 50 queries() entries. Guard the
     round-4 rotation: the entries that historically fell outside the
     window (multimodal_features, the streaming queries) plus the new
-    events_sessionize and sim_ivf_topk must sit INSIDE the first 50, and
-    only rows with 3+ consecutive green rounds (rel_scalar_math,
-    rel_date_filter, rel_distinct, rel_histogram, rel_union_except) may
-    sit outside."""
+    events_sessionize, sim_ivf_topk, graph_hits and graph_host_graph
+    must sit INSIDE the first 50, and only rows with 3+ consecutive
+    green rounds (CORRECTNESS_r01-r03 all-true) may sit outside."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     window = set(names[:50])
     for must_have in ("multimodal_features", "stream_windowed_counts",
                       "events_user_activity", "events_sessionize",
-                      "sim_ivf_topk"):
+                      "sim_ivf_topk", "graph_hits", "graph_host_graph"):
         assert must_have in window, f"{must_have} rotated out of the 50-row window"
     outside = set(names[50:])
     assert outside <= {"rel_scalar_math", "rel_date_filter", "rel_distinct",
-                       "rel_histogram", "rel_union_except"}, outside
+                       "rel_histogram", "rel_union_except",
+                       "rel_topk", "rel_semi_anti"}, outside
