@@ -11,6 +11,8 @@ Commands:
     components --graph /path/graph [--checkpoint DIR --resume]
     lpa        --graph /path/graph [--max-iter 20]
     triangles  --graph /path/graph
+    hits       --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
+    hostgraph  --graph /path/graph [--keep-self-loops] [--top 10] [--out DIR]
     dedup      --docs /path/documents.parquet [--method minhash|exact|simhash|ngram] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
     sessionize --events /path/events.parquet [--gap-sec 1800] [--out DIR]
@@ -44,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--pages", required=True)
     e.add_argument("--out", required=True)
 
-    for name in ("pagerank", "components", "lpa", "triangles"):
+    for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -62,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
                                 "bit-identical")
         if name in ("lpa", "components"):
             p.add_argument("--max-iter", type=int, default=20)
+        if name == "hits":
+            p.add_argument("--max-iter", type=int, default=30)
+            p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--top", type=int, default=10)
+        if name == "hostgraph":
+            p.add_argument("--keep-self-loops", action="store_true")
+            p.add_argument("--top", type=int, default=10)
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -213,6 +222,43 @@ def main(argv: list[str] | None = None) -> int:
         n_lab = labels.select("label").distinct().count()
         print(json.dumps({"cmd": "lpa", "rounds": info["rounds"], "labels": n_lab,
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "hits":
+        from efficient_graph_algorithms_spark.operators.hits import hits
+
+        scores, info = hits(spark, edges, vertices=vertices,
+                            max_iter=args.max_iter, tol=args.tol)
+        if args.out:
+            scores.write.mode("overwrite").parquet(args.out)
+        url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+        top = (scores.orderBy(F.desc("authority"), F.asc("id")).limit(args.top)
+               .join(url_dict, "id").orderBy(F.desc("authority")).collect())
+        print(json.dumps({
+            "cmd": "hits", "n": info["n"], "iterations": info["iterations"],
+            "converged": info["converged"], "sec": round(time.time() - t0, 2),
+            "top_authorities": [{"id": r["id"], "url": r["url"],
+                                 "authority": r["authority"], "hub": r["hub"]}
+                                for r in top],
+        }))
+        return 0
+
+    if args.cmd == "hostgraph":
+        from efficient_graph_algorithms_spark.operators.contract import host_graph
+
+        url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+        hg = host_graph(edges, url_dict, keep_self_loops=args.keep_self_loops)
+        if args.out:
+            hg.write.mode("overwrite").parquet(args.out)
+            hg = spark.read.parquet(args.out)
+        top = (hg.orderBy(F.desc("weight"), F.asc("src_key"), F.asc("dst_key"))
+               .limit(args.top).collect())
+        print(json.dumps({
+            "cmd": "hostgraph", "host_edges": hg.count(),
+            "sec": round(time.time() - t0, 2),
+            "top": [{"src": r["src_key"], "dst": r["dst_key"],
+                     "weight": r["weight"]} for r in top],
+        }))
         return 0
 
     if args.cmd == "triangles":
