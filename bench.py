@@ -25,6 +25,12 @@ round-over-round deltas unreadable. The first rep also absorbs one-time
 JVM/JIT warm-up (measured: the regexp scan's first execution is ~3-5×
 its steady-state cost purely from C2 compilation), which is amortized
 noise at 100 TB, not per-query cost.
+
+Additionally every run samples /proc/stat steal% in the background and
+reports per-query mean/max in meta["steal_pct"] — a sustained burst can
+cover all 3 reps (observed: back-to-back runs where q_cc, untouched for
+3 rounds, swung 7.5 s → 24.7 s), and the recorded steal makes such a
+number readable as contamination rather than regression.
 """
 
 from __future__ import annotations
@@ -33,6 +39,7 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -45,6 +52,45 @@ from efficient_graph_algorithms_spark.session import get_spark  # noqa: E402
 
 def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+class _StealSampler:
+    """Samples /proc/stat steal% every 0.5 s in a daemon thread."""
+
+    def __init__(self, interval: float = 0.5) -> None:
+        self.samples: list[tuple[float, float]] = []  # (time, steal%)
+        self._stop = threading.Event()
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:9]))
+        return sum(vals), vals[7]  # total jiffies, steal jiffies
+
+    def _run(self) -> None:
+        tot0, st0 = self._read()
+        while not self._stop.wait(self._interval):
+            tot1, st1 = self._read()
+            if tot1 > tot0:
+                self.samples.append(
+                    (time.time(), 100.0 * (st1 - st0) / (tot1 - tot0))
+                )
+            tot0, st0 = tot1, st1
+
+    def start(self) -> "_StealSampler":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def window(self, t0: float, t1: float) -> dict | None:
+        xs = [p for t, p in self.samples if t0 <= t <= t1]
+        if not xs:
+            return None
+        return {"mean": round(sum(xs) / len(xs), 1), "max": round(max(xs), 1)}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,19 +109,27 @@ def main() -> int:
     rep_secs: dict[str, list[float]] = {}
     meta["rep_secs"] = rep_secs
     meta["reps"] = REPS
+    steal = _StealSampler().start()
+    steal_pct: dict[str, object] = {}
+    meta["steal_pct"] = steal_pct
+    t_bench0 = time.time()
 
     def timed(name: str, fn) -> object:
         """Run fn REPS times; record median in queries[name], all rep
         times in meta. Returns the last rep's return value."""
         out = None
         secs: list[float] = []
+        t_q0 = time.time()
         for _ in range(REPS):
             t0 = time.time()
             out = fn()
             secs.append(round(time.time() - t0, 3))
+        w = steal.window(t_q0, time.time())
+        if w is not None:
+            steal_pct[name] = w
         rep_secs[name] = secs
         queries[name] = round(statistics.median(secs), 3)
-        _log(f"{name} done median={queries[name]}s reps={secs}")
+        _log(f"{name} done median={queries[name]}s reps={secs} steal={w}")
         return out
 
     # -- corpus build (timed as q_extract) ---------------------------------
@@ -209,6 +263,10 @@ def main() -> int:
     )
     meta["tree_depth"] = tree_depth
 
+    w_all = steal.window(t_bench0, time.time())
+    if w_all is not None:
+        steal_pct["overall"] = w_all
+    steal.stop()
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
