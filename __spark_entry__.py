@@ -1559,15 +1559,18 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-payload feature extraction, BOTH modalities REAL: even
-    doc_ids carry a deterministically synthesized RIFF/WAVE payload
-    decoded end-to-end by the pure-NumPy WAV parser (multimodal.
-    decode_wav — sample rate 8000, 1-2 channels, 400-610 frames, all
-    derived from doc_id); odd doc_ids carry a synthesized 24-bit BMP
-    (16-47 x 8-23 px, doc_id-derived gradient) decoded end-to-end by
-    decode_bmp (round-trip + padding/top-down cases in pytest). The
-    oracle reproduces the WAV/BMP header fields as pure arithmetic on
-    doc_id, so both real decodes are hash-verified, not rows-only."""
+    """Binary-payload feature extraction, ALL THREE modalities REAL:
+    even doc_ids carry a deterministically synthesized RIFF/WAVE
+    payload decoded end-to-end by the pure-NumPy WAV parser
+    (multimodal.decode_wav — sample rate 8000, 1-2 channels, 400-610
+    frames, all derived from doc_id); doc_id % 4 == 1 rows carry a
+    synthesized YUV4MPEG2 video (16-46 x 10-24 px, 2-5 frames, 25 fps,
+    C420jpeg, doc_id-derived moving gradient) decoded end-to-end by
+    decode_y4m; the remaining odd doc_ids carry a synthesized 24-bit
+    BMP (16-47 x 8-23 px) decoded end-to-end by decode_bmp (round-trip
+    + padding/top-down cases in pytest). The oracle reproduces the
+    WAV/Y4M/BMP header fields as pure arithmetic on doc_id, so all
+    three real decodes are hash-verified, not rows-only."""
     from efficient_graph_algorithms_spark.operators.multimodal import (
         extract_media_features,
     )
@@ -1581,6 +1584,7 @@ def q_multimodal_features(spark, sf_dir):
         from efficient_graph_algorithms_spark.operators.multimodal import (
             encode_bmp24,
             encode_wav_pcm16,
+            encode_y4m,
         )
 
         for b in batches:
@@ -1594,6 +1598,17 @@ def q_multimodal_features(spark, sf_dir):
                     mono = 0.5 * np.sin(2 * np.pi * (110.0 + did % 40) * t)
                     samples = np.repeat(mono[:, None], n_ch, axis=1)
                     rows.append((did, "audio", encode_wav_pcm16(samples, 8000)))
+                elif did % 4 == 1:
+                    # even dims so the 4:2:0 chroma planes are integral
+                    w, h = 16 + (did % 16) * 2, 10 + (did % 8) * 2
+                    n_frames = 2 + did % 4
+                    x = np.arange(w, dtype=np.int64)[None, None, :]
+                    y = np.arange(h, dtype=np.int64)[None, :, None]
+                    i = np.arange(n_frames, dtype=np.int64)[:, None, None]
+                    luma = ((x * 2 + y * 7 + i * 11 + did) % 256).astype(np.uint8)
+                    rows.append(
+                        (did, "video", encode_y4m(luma, colourspace="420jpeg"))
+                    )
                 else:
                     w, h = 16 + did % 32, 8 + did % 16
                     # int64 throughout: uint8 + a large Python int raises
@@ -2030,20 +2045,30 @@ FROM s GROUP BY user_id, session_idx
 """,
         "multimodal_features": """
 SELECT doc_id AS media_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+  CASE WHEN doc_id % 2 = 0 THEN 'audio'
+       WHEN doc_id % 4 = 1 THEN 'video'
+       ELSE 'image' END AS kind,
   -- audio rows: RIFF header 44 B + 16-bit PCM frames*channels;
+  -- video rows: Y4M stream header 41 B (2-digit W/H by construction)
+  --   + frames * (6-byte FRAME marker + 4:2:0 planar frame w*h*3/2);
   -- image rows: BMP header 54 B + height * 4-byte-padded row stride.
   -- Every field is pure arithmetic on doc_id (mirrors the query's
   -- synthesizer); the Spark side must parse the actual bytes to
   -- reproduce these.
   CASE WHEN doc_id % 2 = 0
        THEN CAST(44 + 2 * (400 + doc_id % 211) * (1 + (doc_id // 2) % 2) AS BIGINT)
+       WHEN doc_id % 4 = 1
+       THEN CAST(41 + (2 + doc_id % 4)
+                    * (6 + (16 + (doc_id % 16) * 2)
+                         * (10 + (doc_id % 8) * 2) * 3 // 2) AS BIGINT)
        ELSE CAST(54 + (8 + doc_id % 16)
                     * ((3 * (16 + doc_id % 32) + 3) // 4 * 4) AS BIGINT)
        END AS n_bytes,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+       WHEN doc_id % 4 = 1 THEN 16 + (doc_id % 16) * 2
        ELSE 16 + doc_id % 32 END AS INT) AS width,
   CAST(CASE WHEN doc_id % 2 = 0 THEN 80
+       WHEN doc_id % 4 = 1 THEN 10 + (doc_id % 8) * 2
        ELSE 8 + doc_id % 16 END AS INT) AS height
 FROM documents
 """,

@@ -18,6 +18,14 @@ Decode status per modality:
   (channel means, luminance std, 12-bin luminance histogram).
   ``encode_bmp24`` closes the round-trip for tests. Any ``image`` row
   whose payload carries a BM header takes this path unconditionally.
+* **video/Y4M — REAL.** ``decode_y4m`` is a pure-NumPy parser for
+  YUV4MPEG2 streams (uncompressed planar YUV with an ASCII header;
+  mono / 4:2:0 / 4:2:2 / 4:4:4 colourspaces, per-frame parameter
+  tags); ``_video_features`` computes real temporal features
+  (frame count, fps, mean luma, motion energy, 12-bin luminance
+  histogram). ``encode_y4m`` closes the round-trip for tests. Any
+  ``video`` row whose payload carries a YUV4MPEG2 magic takes this
+  path unconditionally.
 * **compressed image/video/audio (PNG/JPEG/MP4/MP3…) — STUBBED**
   (PIL/ffmpeg/librosa are not in this container): ``decode_media``
   raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
@@ -256,19 +264,134 @@ def _image_features(w: int, h: int, img: np.ndarray) -> tuple[int, int, np.ndarr
     return w, h, feats
 
 
+# --- real Y4M video decode (pure NumPy, no external libs) -------------------
+
+#: chroma-plane size as a fraction of the luma plane, per Y4M colourspace
+#: family (YUV4MPEG2 spec: C tag; 420 variants share one plane layout)
+_Y4M_CHROMA_FRACTION = {
+    "mono": 0.0,
+    "420": 0.25,
+    "420jpeg": 0.25,
+    "420mpeg2": 0.25,
+    "420paldv": 0.25,
+    "422": 0.5,
+    "444": 1.0,
+}
+
+
+def _is_y4m(payload: bytes) -> bool:
+    return len(payload) >= 10 and payload[:10] == b"YUV4MPEG2 "
+
+
+def decode_y4m(payload: bytes) -> tuple[float, np.ndarray]:
+    """Parse a YUV4MPEG2 byte stream → (fps, luma float32[n_frames, h, w]
+    in [0, 1]).
+
+    Walks the ASCII stream header (``YUV4MPEG2 W.. H.. F<num>:<den> ...
+    C<colourspace>\\n``), then each ``FRAME[ params]\\n`` marker followed
+    by raw planar YUV. Chroma planes are validated for length and
+    skipped — the feature extractor below is luma-only. Per-frame
+    parameter tags (allowed by the spec) are tolerated."""
+    if not _is_y4m(payload):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M stream header unterminated")
+    w = h = 0
+    fps_num, fps_den = 25, 1
+    cs = "420jpeg"  # spec default when no C tag is present
+    for tag in payload[10:nl].split(b" "):
+        if not tag:
+            continue
+        key, val = chr(tag[0]), tag[1:].decode("ascii", "replace")
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == "C":
+            cs = val
+        # I (interlacing), A (pixel aspect), X (comment) don't affect layout
+    if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
+        raise ValueError(f"bad Y4M header: W={w} H={h} F={fps_num}:{fps_den}")
+    frac = _Y4M_CHROMA_FRACTION.get(cs)
+    if frac is None:
+        raise NotImplementedError(f"Y4M colourspace C{cs} not supported")
+    luma_sz = w * h
+    frame_sz = luma_sz + 2 * int(luma_sz * frac)
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = payload.find(b"\n", pos + 5)
+        if fnl < 0:
+            raise ValueError("Y4M frame header unterminated")
+        body = payload[fnl + 1 : fnl + 1 + frame_sz]
+        if len(body) < frame_sz:
+            raise ValueError("Y4M frame data truncated")
+        frames.append(
+            np.frombuffer(body[:luma_sz], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + frame_sz
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return fps_num / fps_den, np.stack(frames).astype(np.float32) / 255.0
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1), colourspace: str = "mono"
+) -> bytes:
+    """uint8 or float[0,1] luma (n_frames, h, w) → YUV4MPEG2 bytes.
+    Round-trip partner of ``decode_y4m`` (tests and demos). For
+    subsampled colourspaces the chroma planes are neutral (128); luma
+    round-trips exactly."""
+    a = np.asarray(frames)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    n, h, w = a.shape
+    frac = _Y4M_CHROMA_FRACTION[colourspace]
+    chroma = b"\x80" * (2 * int(w * h * frac))
+    hdr = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colourspace}\n"
+    ).encode("ascii")
+    return hdr + b"".join(b"FRAME\n" + f.tobytes() + chroma for f in a)
+
+
+def _video_features(fps: float, frames: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Real video features, FEATURE_DIM wide:
+    [n_frames, fps, mean_luma, motion (mean |frame delta|),
+    12-bin luminance histogram (mass-normalized)].
+    Returns (width, height, features)."""
+    n, h, w = frames.shape
+    motion = float(np.mean(np.abs(np.diff(frames, axis=0)))) if n > 1 else 0.0
+    hist, _ = np.histogram(frames, bins=FEATURE_DIM - 4, range=(0.0, 1.0))
+    feats = np.concatenate(
+        [
+            np.array([float(n), fps, frames.mean(), motion], dtype=np.float32),
+            (hist / max(1, frames.size)).astype(np.float32),
+        ]
+    ).astype(np.float32)
+    return w, h, feats
+
+
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """Audio WAV and image BMP payloads decode for REAL (pure-NumPy
-    parsers above); other formats need PIL/ffmpeg — not in this
-    container — so they are stubbed behind ``deterministic_fake``.
-    Swap in prod."""
+    """Audio WAV, image BMP and video Y4M payloads decode for REAL
+    (pure-NumPy parsers above); compressed formats need PIL/ffmpeg —
+    not in this container — so they are stubbed behind
+    ``deterministic_fake``. Swap in prod."""
     try:
         if kind == "audio" and _is_wav(payload):
             rate, _n_ch, samples = decode_wav(payload)
             return _audio_features(rate, samples)
         if kind == "image" and _is_bmp(payload):
             return _image_features(*decode_bmp(payload))
+        if kind == "video" and _is_y4m(payload):
+            return _video_features(*decode_y4m(payload))
     except (ValueError, NotImplementedError):
-        # header looked WAV/BMP but the body is unsupported or malformed
+        # header looked WAV/BMP/Y4M but the body is unsupported or malformed
         # (e.g. 24-bit PCM, truncated data chunk): in fake mode degrade to
         # the deterministic fake instead of aborting the whole Spark job;
         # in strict mode surface the real error
@@ -277,9 +400,9 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV/BMP media decode requires image/audio libraries not present "
-        "in this environment; pass deterministic_fake=True to exercise the "
-        "pipeline"
+        "non-WAV/BMP/Y4M media decode requires image/audio libraries not "
+        "present in this environment; pass deterministic_fake=True to "
+        "exercise the pipeline"
     )
 
 
@@ -311,3 +434,47 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.lit(10) * every_n, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma_mean", FloatType()),
+        StructField("luma_std", FloatType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL video frame sampling: decode Y4M payloads on the executors
+    and emit one row per sampled frame (every ``every_n``-th, always
+    including frame 0) with per-frame luminance statistics.
+
+    Same scale posture as ``extract_media_features``: Arrow-batched
+    ``mapInPandas``, binaries never reach the driver, output rows are
+    tiny fixed-width scalars so the fan-out (frames per video) shuffles
+    cheaply. Non-Y4M video rows raise — compose with a filter or the
+    fake-mode plan above for compressed formats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                if kind != "video":
+                    continue
+                _fps, frames = decode_y4m(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            float(frames[i].mean()),
+                            float(frames[i].std()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "luma_mean", "luma_std"]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

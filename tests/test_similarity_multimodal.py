@@ -293,6 +293,131 @@ def test_real_bmp_through_spark_pipeline(spark):
     assert np.argmax(out[5]["features"][4:]) > np.argmax(out[1]["features"][4:])
 
 
+def test_y4m_roundtrip_bit_exact():
+    """encode_y4m → decode_y4m recovers every luma sample exactly, for
+    mono and every chroma-subsampled colourspace family."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 14, 20), dtype=np.uint8)
+    for cs in ("mono", "420jpeg", "420", "422", "444"):
+        fps, got = decode_y4m(encode_y4m(frames, fps=(30, 1), colourspace=cs))
+        assert fps == 30.0, cs
+        assert np.array_equal((got * 255).round().astype(np.uint8), frames), cs
+
+
+def test_y4m_header_variants_and_errors():
+    """Per-frame parameter tags and X comments parse; zero dims, a bad
+    FRAME marker, truncation, and unknown colourspaces raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    payload = encode_y4m(frames, fps=(24, 1), colourspace="mono")
+
+    # X comment tag in the stream header is tolerated
+    commented = payload.replace(
+        b" Cmono\n", b" Cmono Xcomment\n", 1
+    )
+    fps, got = decode_y4m(commented)
+    assert fps == 24.0 and got.shape == (2, 4, 6)
+
+    # per-frame parameter tag after FRAME is tolerated
+    tagged = payload.replace(b"FRAME\n", b"FRAME Ip\n", 1)
+    _, got2 = decode_y4m(tagged)
+    assert np.array_equal(got2, got)
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"not a stream")
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W0 H4 F25:1\nFRAME\n" + b"\0" * 24)
+    with _pytest.raises(ValueError):
+        decode_y4m(payload[:-3])  # truncated final frame
+    with _pytest.raises(ValueError):
+        decode_y4m(payload.replace(b"FRAME", b"FRAMX", 1))
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(payload.replace(b"Cmono", b"C410x", 1))
+
+
+def test_real_y4m_through_spark_pipeline(spark):
+    """End-to-end: real Y4M bytes flow through extract_media_features;
+    video features are real temporal measurements (frame count, fps,
+    motion energy), not hash-derived fakes."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_y4m,
+        extract_media_features,
+    )
+
+    rows = []
+    for i in range(4):
+        n_frames = 2 + i
+        # frame j is a flat field of brightness j*step: motion = step/255
+        step = 10 * (i + 1)
+        frames = np.stack(
+            [np.full((10, 16), min(255, j * step), dtype=np.uint8) for j in range(n_frames)]
+        )
+        rows.append((i, "video", encode_y4m(frames, fps=(25, 1), colourspace="420jpeg"), {}))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    ).repartition(2)
+    out = {r["media_id"]: r for r in
+           extract_media_features(media, deterministic_fake=False).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        r = out[i]
+        assert (r["width"], r["height"]) == (16, 10)
+        f = r["features"]
+        assert len(f) == FEATURE_DIM
+        assert f[0] == 2 + i                       # n_frames real
+        assert f[1] == 25.0                        # fps real
+        assert abs(f[3] - 10 * (i + 1) / 255.0) < 1e-6  # motion real
+        assert abs(sum(f[4:]) - 1.0) < 1e-5        # histogram mass-normalized
+
+
+def test_sample_video_frames_real(spark):
+    """sample_video_frames decodes Y4M on the executors and emits one
+    row per sampled frame with exact per-frame luminance stats."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        encode_y4m,
+        sample_video_frames,
+    )
+
+    frames = np.stack(
+        [np.full((8, 8), 20 * j, dtype=np.uint8) for j in range(7)]
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "video", encode_y4m(frames), {}),
+            (1, "image", b"BM-not-really", {}),  # non-video rows skipped
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    got = {
+        r["frame_idx"]: r
+        for r in sample_video_frames(media, every_n=3).collect()
+    }
+    assert sorted(got) == [0, 3, 6]  # frames 0,3,6 of 7
+    for j, r in got.items():
+        assert r["media_id"] == 0
+        assert abs(r["luma_mean"] - 20 * j / 255.0) < 1e-6
+        assert r["luma_std"] == 0.0
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     """Structured Streaming prefix contract: the same transformation on a
     file stream over the events table equals the batch result."""
