@@ -1599,9 +1599,11 @@ def q_multimodal_features(spark, sf_dir):
                     samples = np.repeat(mono[:, None], n_ch, axis=1)
                     rows.append((did, "audio", encode_wav_pcm16(samples, 8000)))
                 elif did % 4 == 1:
-                    # even dims so the 4:2:0 chroma planes are integral
+                    # even dims so the 4:2:0 chroma planes are integral;
+                    # frame count keyed on did//4 so it VARIES across the
+                    # did % 4 == 1 stratum (did % 4 would be constant 1)
                     w, h = 16 + (did % 16) * 2, 10 + (did % 8) * 2
-                    n_frames = 2 + did % 4
+                    n_frames = 2 + (did // 4) % 4
                     x = np.arange(w, dtype=np.int64)[None, None, :]
                     y = np.arange(h, dtype=np.int64)[None, :, None]
                     i = np.arange(n_frames, dtype=np.int64)[:, None, None]
@@ -1624,6 +1626,54 @@ def q_multimodal_features(spark, sf_dir):
     )
     return extract_media_features(media, deterministic_fake=False).select(
         "media_id", "kind", "n_bytes", "width", "height"
+    )
+
+
+def q_video_frame_stats(spark, sf_dir):
+    """Video frame sampling, REAL decode: doc_id % 4 == 1 rows carry a
+    synthesized YUV4MPEG2 payload whose frames are flat luminance
+    fields (frame j of doc d is uniformly (d*31 + j*37) % 256), so the
+    per-frame statistics sample_video_frames computes on the decoded
+    pixels reduce to exact arithmetic the oracle reproduces. Every
+    2nd frame is sampled (always including frame 0); luma255 is the
+    decoded frame mean scaled back to the 8-bit grid — exact because
+    each frame is a constant field."""
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 4 = 1")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_y4m,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = 16 + (did % 16) * 2, 10 + (did % 8) * 2
+                n_frames = 2 + (did // 4) % 4
+                luma = np.stack(
+                    [
+                        np.full((h, w), (did * 31 + j * 37) % 256, dtype=np.uint8)
+                        for j in range(n_frames)
+                    ]
+                )
+                rows.append((did, "video", encode_y4m(luma, colourspace="420jpeg")))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return sample_video_frames(media, every_n=2).select(
+        "media_id",
+        "frame_idx",
+        F.round(F.col("luma_mean") * 255).cast("long").alias("luma255"),
     )
 
 
@@ -1807,7 +1857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zscore": q_rel_zscore,
         "rel_minplus_join": q_rel_minplus_join,
         "rel_interp_metrics": q_rel_interp_metrics,
-        "rel_percentiles": q_rel_percentiles,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
         "dedup_exact": q_dedup_exact,
@@ -1824,13 +1873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": q_events_user_activity,
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
+        "video_frame_stats": q_video_frame_stats,
         # --- rotation (round 4): the driver records at most 50 rows; the
         # rel_* queries below were hash-green in rounds 1-3 (CORRECTNESS_r0{1,2,3})
         # and rotate past position 50 so stream_windowed_counts,
         # events_user_activity, events_sessionize, multimodal_features and the
-        # round-4 graph_hits / graph_host_graph queries get driver rows.
-        # See README "Driver-row rotation".
+        # round-4 graph_hits / graph_host_graph / video_frame_stats queries
+        # get driver rows. See README "Driver-row rotation".
         "rel_topk": q_rel_topk,
+        "rel_percentiles": q_rel_percentiles,
         "rel_semi_anti": q_rel_semi_anti,
         "rel_scalar_math": q_rel_scalar_math,
         "rel_date_filter": q_rel_date_filter,
@@ -2058,7 +2109,7 @@ SELECT doc_id AS media_id,
   CASE WHEN doc_id % 2 = 0
        THEN CAST(44 + 2 * (400 + doc_id % 211) * (1 + (doc_id // 2) % 2) AS BIGINT)
        WHEN doc_id % 4 = 1
-       THEN CAST(41 + (2 + doc_id % 4)
+       THEN CAST(41 + (2 + (doc_id // 4) % 4)
                     * (6 + (16 + (doc_id % 16) * 2)
                          * (10 + (doc_id % 8) * 2) * 3 // 2) AS BIGINT)
        ELSE CAST(54 + (8 + doc_id % 16)
@@ -2071,6 +2122,20 @@ SELECT doc_id AS media_id,
        WHEN doc_id % 4 = 1 THEN 10 + (doc_id % 8) * 2
        ELSE 8 + doc_id % 16 END AS INT) AS height
 FROM documents
+""",
+        "video_frame_stats": """
+-- mirrors q_video_frame_stats' synthesizer: doc_id % 4 == 1 videos
+-- with 2 + (doc_id // 4) % 4 flat frames; every 2nd frame sampled;
+-- frame j's uniform luminance is (doc_id*31 + j*37) % 256, which the
+-- Spark side must recover by decoding the actual Y4M planes.
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+f AS (SELECT doc_id,
+             unnest(range(0, 2 + (doc_id // 4) % 4, 2)) AS frame_idx
+      FROM v)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST((doc_id * 31 + frame_idx * 37) % 256 AS BIGINT) AS luma255
+FROM f
 """,
         # graph_pagerank_full: iterative-to-convergence — rows-only by design.
     }

@@ -24,6 +24,7 @@ FAST_ORACLE_QUERIES = [
     "dedup_exact",
     "sim_cosine_topk",
     "events_user_activity",
+    "video_frame_stats",
 ]
 
 
@@ -76,9 +77,10 @@ def test_driver_row_window_covers_rotated_queries():
     window = set(names[:50])
     for must_have in ("multimodal_features", "stream_windowed_counts",
                       "events_user_activity", "events_sessionize",
-                      "sim_ivf_topk", "graph_hits", "graph_host_graph"):
+                      "sim_ivf_topk", "graph_hits", "graph_host_graph",
+                      "video_frame_stats"):
         assert must_have in window, f"{must_have} rotated out of the 50-row window"
     outside = set(names[50:])
     assert outside <= {"rel_scalar_math", "rel_date_filter", "rel_distinct",
                        "rel_histogram", "rel_union_except",
-                       "rel_topk", "rel_semi_anti"}, outside
+                       "rel_topk", "rel_semi_anti", "rel_percentiles"}, outside
