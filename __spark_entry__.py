@@ -255,6 +255,53 @@ def _lpa_oracle_sql() -> str:
     return "\n".join(lines) + f"\nSELECT id, label FROM l{LPA_SQL_ITERS}"
 
 
+KCORE_SQL_PEELS = 3
+# k chosen against the sf0.01 degree distribution (min 31, median 59):
+# at 48 the 3 unrolled peels remove ~17% of vertices with real cascade
+# (a smaller k peels nothing at the driver's scale and would verify
+# only a degree computation)
+KCORE_SQL_K = 48
+
+
+def q_graph_kcore3(spark, sf_dir):
+    """k-core peel (engine extension, no reference counterpart — the
+    standard web-graph quality filter): the real operator pinned to
+    KCORE_SQL_PEELS synchronous peel rounds so the unrolled SQL oracle
+    reproduces it exactly. The operator may stop earlier at the peel
+    fixpoint; extra unrolled rounds are then no-ops, so results
+    coincide (same contract as graph_lpa / graph_pagerank_3iter)."""
+    from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+    e = _graph_edges(spark, sf_dir)
+    core, _ = k_core(spark, e, KCORE_SQL_K, max_iter=KCORE_SQL_PEELS)
+    return core.select("id", "degree")
+
+
+def _kcore_oracle_sql() -> str:
+    """KCORE_SQL_PEELS unrolled synchronous peel rounds at k=KCORE_SQL_K:
+    each round recomputes degrees on the surviving symmetrized edge set
+    and drops every vertex below k. Output = survivor degrees after the
+    last round — the exact semantics of operators.kcore.k_core."""
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "l0 AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),",
+    ]
+    for i in range(1, KCORE_SQL_PEELS + 1):
+        p = i - 1
+        lines += [
+            f"r{i} AS (SELECT src AS id FROM l{p} GROUP BY src "
+            f"HAVING count(*) < {KCORE_SQL_K}),",
+            f"l{i} AS (SELECT src, dst FROM l{p} "
+            f"WHERE src NOT IN (SELECT id FROM r{i}) "
+            f"AND dst NOT IN (SELECT id FROM r{i})),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return (
+        "\n".join(lines)
+        + f"\nSELECT src AS id, count(*) AS degree FROM l{KCORE_SQL_PEELS} GROUP BY src"
+    )
+
+
 def q_graph_ppr_3iter(spark, sf_dir):
     """Personalized PageRank (reference random_walk_with_restart_kernel,
     ``reference src/ega/algorithms/graph_kernels.py:72-79``): the real
@@ -1846,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_gw2": q_graph_gw2,
         "graph_hits": q_graph_hits,
         "graph_host_graph": q_graph_host_graph,
+        "graph_kcore3": q_graph_kcore3,
         # relational operators
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
@@ -1855,7 +1903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
         "rel_zscore": q_rel_zscore,
-        "rel_minplus_join": q_rel_minplus_join,
         "rel_interp_metrics": q_rel_interp_metrics,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
@@ -1882,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get driver rows. See README "Driver-row rotation".
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
+        "rel_minplus_join": q_rel_minplus_join,
         "rel_semi_anti": q_rel_semi_anti,
         "rel_scalar_math": q_rel_scalar_math,
         "rel_date_filter": q_rel_date_filter,
@@ -1906,6 +1954,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
 """,
         "graph_pagerank_3iter": _pr3_oracle_sql(),
         "graph_lpa": _lpa_oracle_sql(),
+        "graph_kcore3": _kcore_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

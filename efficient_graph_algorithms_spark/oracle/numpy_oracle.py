@@ -106,6 +106,39 @@ def hits(
     return h, a, it
 
 
+def k_core(
+    edges, k: int, max_rounds: int | None = None
+) -> tuple[dict[int, int], int, bool]:
+    """Synchronous k-core peel on the undirected simple graph: each
+    round removes EVERY vertex whose current degree is < k, at once.
+    Returns ({survivor: degree-in-survivor-subgraph}, rounds,
+    converged). With max_rounds=None runs to the fixpoint (the k-core);
+    a bounded run mirrors the engine's max_iter contract exactly."""
+    src, dst = _edge_arrays(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rounds, converged = 0, False
+    while max_rounds is None or rounds < max_rounds:
+        doomed = [v for v, nbrs in adj.items() if len(nbrs) < k]
+        rounds += 1
+        if not doomed:
+            converged = True
+            break
+        for v in doomed:
+            for u in adj[v]:
+                adj[u].discard(v)
+            del adj[v]
+        adj = {v: nbrs for v, nbrs in adj.items() if nbrs}
+        if not adj:
+            converged = True
+            break
+    return {v: len(nbrs) for v, nbrs in adj.items()}, rounds, converged
+
+
 def connected_components(edges, n: int) -> np.ndarray:
     """component[v] = min vertex id reachable from v (undirected)."""
     parent = np.arange(n, dtype=np.int64)

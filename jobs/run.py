@@ -46,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--pages", required=True)
     e.add_argument("--out", required=True)
 
-    for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph"):
+    for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
+                 "kcore"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -71,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "hostgraph":
             p.add_argument("--keep-self-loops", action="store_true")
             p.add_argument("--top", type=int, default=10)
+        if name == "kcore":
+            p.add_argument("--k", type=int, default=2)
+            p.add_argument("--max-iter", type=int, default=100)
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -240,6 +244,20 @@ def main(argv: list[str] | None = None) -> int:
             "top_authorities": [{"id": r["id"], "url": r["url"],
                                  "authority": r["authority"], "hub": r["hub"]}
                                 for r in top],
+        }))
+        return 0
+
+    if args.cmd == "kcore":
+        from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+        core, info = k_core(spark, edges, args.k, max_iter=args.max_iter)
+        if args.out:
+            core.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "cmd": "kcore", "k": args.k, "rounds": info["rounds"],
+            "converged": info["converged"], "core_vertices": core.count(),
+            "core_edges": info["core_edges"] // 2,
+            "sec": round(time.time() - t0, 2),
         }))
         return 0
 

@@ -149,6 +149,60 @@ def test_components_path_graph(spark):
     assert info["rounds"] < 20  # log-ish, not linear
 
 
+# --- k-core --------------------------------------------------------------------
+
+def _kcore_map(labels_df):
+    return {r["id"]: r["degree"] for r in labels_df.collect()}
+
+
+def test_kcore_matches_oracle_to_fixpoint(spark):
+    from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+    edges = er_graph(80, 0.06, seed=5)
+    for k in (2, 3, 4):
+        exp, _, exp_conv = oracle.k_core(edges, k)
+        core, info = k_core(spark, spark_edges(spark, edges), k)
+        assert info["converged"] is True and exp_conv is True
+        got = _kcore_map(core)
+        assert got == exp, f"k={k}"
+        assert all(d >= k for d in got.values())
+
+
+def test_kcore_bounded_rounds_match(spark):
+    """max_iter=N equals the oracle's synchronous peel after exactly N
+    rounds — the contract the unrolled-SQL driver oracle relies on."""
+    from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+    edges = er_graph(80, 0.06, seed=5)
+    for rounds in (1, 2):
+        exp, _, _ = oracle.k_core(edges, 4, max_rounds=rounds)
+        core, _ = k_core(spark, spark_edges(spark, edges), 4, max_iter=rounds)
+        assert _kcore_map(core) == exp, f"rounds={rounds}"
+
+
+def test_kcore_edge_cases(spark):
+    from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+    # two triangles plus a pendant path hanging off one: the 2-core is
+    # the triangles only — the path peels leaf-first over two rounds
+    edges = np.array(
+        [[0, 1], [1, 2], [2, 0], [2, 3], [3, 7], [4, 5], [5, 6], [6, 4]]
+    )
+    core, info = k_core(spark, spark_edges(spark, edges), 2)
+    got = _kcore_map(core)
+    assert set(got) == {0, 1, 2, 4, 5, 6}
+    assert all(d == 2 for d in got.values())
+    assert info["converged"] and info["rounds"] == 3  # peel, peel, no-op
+
+    # k above the degeneracy: peels to empty
+    core, info = k_core(spark, spark_edges(spark, edges), 3)
+    assert core.count() == 0 and info["converged"]
+
+    # k <= 1 keeps every non-isolated vertex, converging in one round
+    core, info = k_core(spark, spark_edges(spark, edges), 1)
+    assert core.count() == 8 and info["rounds"] == 1
+
+
 # --- Label propagation --------------------------------------------------------
 
 def test_lpa_matches_oracle_exactly(spark):
