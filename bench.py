@@ -220,6 +220,21 @@ def main() -> int:
 
     timed("q_lpa", run_lpa)
 
+    # -- k-core peel (web-graph quality filter) -------------------------------
+    from efficient_graph_algorithms_spark.operators.kcore import k_core
+
+    kcore_infos: list[dict] = []
+
+    def run_kcore():
+        core, kinfo = k_core(spark, edges, k=3)
+        kinfo["core_vertices"] = core.count()
+        kcore_infos.append(kinfo)
+        return kinfo
+
+    kinfo = timed("q_kcore", run_kcore)
+    meta["kcore_rounds"] = kinfo["rounds"]
+    meta["kcore_vertices"] = kinfo["core_vertices"]
+
     # -- documents dedup + embeddings topk ----------------------------------------
     from efficient_graph_algorithms_spark.operators.dedup import minhash_lsh_pairs
     from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
