@@ -302,6 +302,53 @@ def _kcore_oracle_sql() -> str:
     )
 
 
+ANF_SQL_RADIUS = 2
+ANF_SEED_MOD = 50  # ~40 sampled sources at the driver's 2000-vertex graph
+
+
+def q_graph_anf2(spark, sf_dir):
+    """Neighborhood function (engine extension, no reference counterpart
+    — the HyperBall/ANF statistic of web-graph analysis): EXACT ball
+    sizes N(v, r) for r = 1..ANF_SQL_RADIUS from sampled sources
+    (id % ANF_SEED_MOD == 0), pinned rounds (stop_early=False) so the
+    unrolled SQL oracle reproduces it exactly. The HLL-sketch mode (the
+    100 TB path) is pytest-verified against this exact mode."""
+    from efficient_graph_algorithms_spark.operators.anf import neighborhood_function
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = _vertices(e).where(F.col("id") % ANF_SEED_MOD == 0)
+    res, _ = neighborhood_function(
+        spark, e, max_radius=ANF_SQL_RADIUS, mode="exact",
+        sources=seeds, stop_early=False,
+    )
+    return res.select("id", "r", "nf")
+
+
+def _anf2_oracle_sql() -> str:
+    """Unrolled r-hop reachable-set counts on the symmetrized simple
+    graph: b0 = {(v, v)}, b_{i+1} = b_i U (b_i o E); nf = count distinct
+    members per source after each hop — the exact semantics of
+    operators.anf.neighborhood_function(mode='exact')."""
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),",
+        f"seeds AS (SELECT DISTINCT src AS id FROM sym WHERE src % {ANF_SEED_MOD} = 0),",
+        "b0 AS (SELECT id, id AS m FROM seeds),",
+    ]
+    for i in range(1, ANF_SQL_RADIUS + 1):
+        p = i - 1
+        lines.append(
+            f"b{i} AS (SELECT id, m FROM b{p} UNION "
+            f"SELECT b.id, y.dst AS m FROM b{p} b JOIN sym y ON y.src = b.m),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT id, {i} AS r, count(*) AS nf FROM b{i} GROUP BY id"
+        for i in range(1, ANF_SQL_RADIUS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_graph_ppr_3iter(spark, sf_dir):
     """Personalized PageRank (reference random_walk_with_restart_kernel,
     ``reference src/ega/algorithms/graph_kernels.py:72-79``): the real
@@ -1894,8 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_host_graph": q_graph_host_graph,
         "graph_kcore3": q_graph_kcore3,
+        "graph_anf2": q_graph_anf2,
         # relational operators
-        "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
         "rel_window_rank": q_rel_window_rank,
@@ -1927,6 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_user_activity, events_sessionize, multimodal_features and the
         # round-4 graph_hits / graph_host_graph / video_frame_stats queries
         # get driver rows. See README "Driver-row rotation".
+        # rel_groupby_sum joined the rotation tail when graph_anf2 landed
+        # (hash-green r1-r3).
+        "rel_groupby_sum": q_rel_groupby_sum,
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
         "rel_minplus_join": q_rel_minplus_join,
@@ -1955,6 +2005,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_pagerank_3iter": _pr3_oracle_sql(),
         "graph_lpa": _lpa_oracle_sql(),
         "graph_kcore3": _kcore_oracle_sql(),
+        "graph_anf2": _anf2_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore"):
+                 "kcore", "anf"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
         if name == "kcore":
             p.add_argument("--k", type=int, default=2)
             p.add_argument("--max-iter", type=int, default=100)
+        if name == "anf":
+            p.add_argument("--max-radius", type=int, default=16)
+            p.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
+            p.add_argument("--registers", type=int, default=64)
+            p.add_argument("--top", type=int, default=5,
+                           help="print the top-N vertices by harmonic centrality")
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -259,6 +265,31 @@ def main(argv: list[str] | None = None) -> int:
             "core_edges": info["core_edges"] // 2,
             "sec": round(time.time() - t0, 2),
         }))
+        return 0
+
+    if args.cmd == "anf":
+        from efficient_graph_algorithms_spark.operators.anf import neighborhood_function
+
+        res, info = neighborhood_function(
+            spark, edges, max_radius=args.max_radius, mode=args.mode,
+            registers=args.registers,
+        )
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+        out = {
+            "cmd": "anf", "mode": args.mode, "rounds": info["rounds"],
+            "converged": info["converged"],
+            "nf_totals": [round(t, 1) for t in info["totals"]],
+            "sec": round(time.time() - t0, 2),
+        }
+        if "effective_diameter_90" in info:
+            out["effective_diameter_90"] = info["effective_diameter_90"]
+        if args.mode == "sketch" and args.top:
+            top = res.orderBy(F.desc("harmonic_est")).limit(args.top).collect()
+            out["top_harmonic"] = [
+                {"id": r["id"], "harmonic": round(r["harmonic_est"], 2)} for r in top
+            ]
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "hostgraph":

@@ -1,0 +1,112 @@
+"""Neighborhood function (ANF / HyperBall): exact mode vs a NumPy BFS
+oracle, sketch mode vs exact mode, determinism, fixpoint contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from efficient_graph_algorithms_spark.operators.anf import neighborhood_function
+
+
+def _random_edges(spark, n=120, m=420, seed=11):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    pairs = [(int(a), int(b)) for a, b in zip(src, dst) if a != b]
+    return spark.createDataFrame(pairs, "src long, dst long"), pairs
+
+
+def _bfs_ball_sizes(pairs, radius, directed=False):
+    """{(v, r): |ball(v, r)|} for every vertex present in the graph."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set())
+        if not directed:
+            adj[b].add(a)
+            adj.setdefault(a, set())
+    out = {}
+    for v in adj:
+        ball = {v}
+        for r in range(1, radius + 1):
+            ball = ball | {w for u in ball for w in adj.get(u, ())}
+            out[(v, r)] = len(ball)
+    return out
+
+
+def test_exact_matches_bfs(spark):
+    edges, pairs = _random_edges(spark)
+    res, info = neighborhood_function(spark, edges, max_radius=3, mode="exact")
+    want = _bfs_ball_sizes(pairs, 3)
+    got = {(r.id, r.r): r.nf for r in res.collect()}
+    assert got == {k: v for k, v in want.items() if k[1] <= info["rounds"]}
+    # totals are the per-round pair counts = sum of ball sizes
+    per_round = {}
+    for (v, r), nf in got.items():
+        per_round[r] = per_round.get(r, 0) + nf
+    assert info["totals"] == [per_round[r] for r in sorted(per_round)]
+
+
+def test_exact_directed_and_sources(spark):
+    # path 0 -> 1 -> 2 -> 3: out-balls shrink along the path
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (3,)], "id long")
+    res, info = neighborhood_function(
+        spark, edges, max_radius=5, mode="exact", sources=seeds, directed=True
+    )
+    got = {(r.id, r.r): r.nf for r in res.collect()}
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 3 and got[(0, 3)] == 4
+    assert got[(3, 1)] == 1  # sink: ball never grows
+    assert info["converged"]
+    assert info["rounds"] <= 4  # fixpoint at the path diameter
+
+
+def test_exact_pinned_rounds_contract(spark):
+    # stop_early=False keeps emitting fixpoint rows — one row per (v, r)
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    res, info = neighborhood_function(
+        spark, edges, max_radius=4, mode="exact", stop_early=False
+    )
+    rows = res.collect()
+    assert len(rows) == 3 * 4  # 3 vertices x 4 radii
+    final = {r.id: r.nf for r in rows if r.r == 4}
+    assert final == {0: 3, 1: 3, 2: 3}
+    assert info["converged"]
+
+
+def test_sketch_tracks_exact(spark):
+    edges, pairs = _random_edges(spark, n=300, m=900, seed=5)
+    res, info = neighborhood_function(
+        spark, edges, max_radius=12, mode="sketch", registers=64
+    )
+    assert info["converged"]
+    want = _bfs_ball_sizes(pairs, info["rounds"])
+    rows = res.collect()
+    rel = [
+        abs(r.nf_est - want[(r.id, info["rounds"])]) / want[(r.id, info["rounds"])]
+        for r in rows
+    ]
+    # HLL with m=64 registers: sigma ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert float(np.mean(rel)) < 0.15
+    assert float(np.max(rel)) < 0.40
+    # harmonic centrality estimates are positive for non-isolated vertices
+    assert all(r.harmonic_est > 0 for r in rows)
+    assert info["effective_diameter_90"] <= info["rounds"]
+
+
+def test_sketch_deterministic(spark):
+    edges, _ = _random_edges(spark, n=80, m=240, seed=3)
+    a, _ = neighborhood_function(spark, edges, max_radius=8, mode="sketch")
+    b, _ = neighborhood_function(spark, edges, max_radius=8, mode="sketch")
+    ra = sorted((r.id, r.nf_est, r.harmonic_est) for r in a.collect())
+    rb = sorted((r.id, r.nf_est, r.harmonic_est) for r in b.collect())
+    assert ra == rb
+
+
+def test_validation(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="mode"):
+        neighborhood_function(spark, edges, mode="bogus")
+    with pytest.raises(ValueError, match="registers"):
+        neighborhood_function(spark, edges, mode="sketch", registers=48)
