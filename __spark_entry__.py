@@ -302,6 +302,57 @@ def _kcore_oracle_sql() -> str:
     )
 
 
+KTRUSS_SQL_PEELS = 2
+# k=4 (support threshold 2) against the sf0.01 edge-support distribution
+# (max 9, median 2, 10k of 59k edges triangle-free): the first peel
+# removes ~2/3 of the edges and the second cascades further — both
+# unrolled rounds do real work
+KTRUSS_SQL_K = 4
+
+
+def q_graph_ktruss2(spark, sf_dir):
+    """k-truss peel (engine extension, no reference counterpart — the
+    edge-level sharpening of k-core: a link farm's star edges have high
+    degree but zero triangle support): the real operator pinned to
+    KTRUSS_SQL_PEELS peel rounds so the unrolled SQL oracle reproduces
+    it exactly. Support in the output is the one computed at the start
+    of the final round — the operator's documented contract — which the
+    oracle mirrors. Early fixpoint => extra unrolled rounds are no-ops
+    (same contract as graph_kcore3)."""
+    from efficient_graph_algorithms_spark.operators.ktruss import k_truss
+
+    e = _graph_edges(spark, sf_dir)
+    truss, _ = k_truss(spark, e, KTRUSS_SQL_K, max_iter=KTRUSS_SQL_PEELS)
+    return truss.select("lo", "hi", "support")
+
+
+def _ktruss_oracle_sql() -> str:
+    """KTRUSS_SQL_PEELS unrolled synchronous truss peels at
+    k=KTRUSS_SQL_K: each round counts per-edge triangle support on the
+    surviving canonical edge set and drops edges below k-2. Output =
+    survivors of the last round with that round's support — the exact
+    semantics of operators.ktruss.k_truss."""
+    t = KTRUSS_SQL_K - 2
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"l0 AS ({_UND_SQL}),",
+    ]
+    for i in range(1, KTRUSS_SQL_PEELS + 1):
+        p = i - 1
+        lines += [
+            f"tri{i} AS (SELECT a.lo AS x, a.hi AS y, b.hi AS z "
+            f"FROM l{p} a JOIN l{p} b ON a.lo = b.lo AND a.hi < b.hi "
+            f"JOIN l{p} c ON c.lo = a.hi AND c.hi = b.hi),",
+            f"sup{i} AS (SELECT lo, hi, count(*) AS support FROM ("
+            f"SELECT x AS lo, y AS hi FROM tri{i} UNION ALL "
+            f"SELECT x, z FROM tri{i} UNION ALL "
+            f"SELECT y, z FROM tri{i}) GROUP BY lo, hi),",
+            f"l{i} AS (SELECT lo, hi, support FROM sup{i} WHERE support >= {t}),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT lo, hi, support FROM l{KTRUSS_SQL_PEELS}"
+
+
 ANF_SQL_RADIUS = 2
 ANF_SEED_MOD = 50  # ~40 sampled sources at the driver's 2000-vertex graph
 
@@ -1942,8 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_graph": q_graph_host_graph,
         "graph_kcore3": q_graph_kcore3,
         "graph_anf2": q_graph_anf2,
+        "graph_ktruss2": q_graph_ktruss2,
         # relational operators
-        "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
         "rel_window_rank": q_rel_window_rank,
         "rel_set_ops": q_rel_set_ops,
@@ -1974,9 +2025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_user_activity, events_sessionize, multimodal_features and the
         # round-4 graph_hits / graph_host_graph / video_frame_stats queries
         # get driver rows. See README "Driver-row rotation".
-        # rel_groupby_sum joined the rotation tail when graph_anf2 landed
-        # (hash-green r1-r3).
+        # rel_groupby_sum / rel_join_agg joined the rotation tail when
+        # graph_anf2 / graph_ktruss2 landed (both hash-green r1-r3).
         "rel_groupby_sum": q_rel_groupby_sum,
+        "rel_join_agg": q_rel_join_agg,
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
         "rel_minplus_join": q_rel_minplus_join,
@@ -2006,6 +2058,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_lpa": _lpa_oracle_sql(),
         "graph_kcore3": _kcore_oracle_sql(),
         "graph_anf2": _anf2_oracle_sql(),
+        "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore", "anf"):
+                 "kcore", "ktruss", "anf"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -72,8 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         if name == "hostgraph":
             p.add_argument("--keep-self-loops", action="store_true")
             p.add_argument("--top", type=int, default=10)
-        if name == "kcore":
-            p.add_argument("--k", type=int, default=2)
+        if name in ("kcore", "ktruss"):
+            p.add_argument("--k", type=int, default=2 if name == "kcore" else 3)
             p.add_argument("--max-iter", type=int, default=100)
         if name == "anf":
             p.add_argument("--max-radius", type=int, default=16)
@@ -263,6 +263,19 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "kcore", "k": args.k, "rounds": info["rounds"],
             "converged": info["converged"], "core_vertices": core.count(),
             "core_edges": info["core_edges"] // 2,
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "ktruss":
+        from efficient_graph_algorithms_spark.operators.ktruss import k_truss
+
+        truss, info = k_truss(spark, edges, args.k, max_iter=args.max_iter)
+        if args.out:
+            truss.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "cmd": "ktruss", "k": args.k, "rounds": info["rounds"],
+            "converged": info["converged"], "truss_edges": info["truss_edges"],
             "sec": round(time.time() - t0, 2),
         }))
         return 0
