@@ -302,6 +302,53 @@ def _kcore_oracle_sql() -> str:
     )
 
 
+# Sparsify the dense driver graph for SCC: the full 59k-edge graph is ONE
+# giant SCC (every vertex reaches every vertex) — a degenerate test. Keeping
+# 1/12 of the edges by hash gives real bowtie structure at sf0.01: 4,893
+# edges, 1,978 vertices, 366 SCCs, giant component 285 (1/20 gives even
+# more fragments but triples the engine's hop count for the same coverage —
+# the multi-outer-round extract/partition path is pytest-covered instead).
+SCC_EDGE_MOD = 12
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components (engine extension, no reference
+    counterpart — the directed face of the link graph; Broder bowtie):
+    FULL-convergence run. No round pinning needed: the SCC fixpoint is
+    schedule-independent and scc(v) = min member id is deterministic,
+    so the oracle is a transitive-closure recursive CTE rather than an
+    unrolled trajectory (contrast graph_pagerank_3iter)."""
+    from efficient_graph_algorithms_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    e = _graph_edges(spark, sf_dir).where(
+        (F.col("src") * 31 + F.col("dst") * 7) % SCC_EDGE_MOD == 0
+    )
+    labels, _ = strongly_connected_components(spark, e)
+    return labels.select("id", "scc")
+
+
+def _scc_oracle_sql() -> str:
+    """scc(v) = least(v, min{u : v→*u and u→*v}) via a recursive-CTE
+    transitive closure — the schedule-independent fixpoint the operator
+    converges to."""
+    return f"""
+WITH RECURSIVE e0 AS ({_E_SQL}),
+e AS (SELECT src, dst FROM e0 WHERE (src * 31 + dst * 7) % {SCC_EDGE_MOD} = 0),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mut AS (SELECT r1.a AS mv, r1.b AS mu FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT v.id, least(v.id, coalesce(min(m.mu), v.id)) AS scc
+FROM v LEFT JOIN mut m ON m.mv = v.id GROUP BY v.id
+"""
+
+
 KTRUSS_SQL_PEELS = 2
 # k=4 (support threshold 2) against the sf0.01 edge-support distribution
 # (max 9, median 2, 10k of 59k edges triangle-free): the first peel
@@ -1994,8 +2041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore3": q_graph_kcore3,
         "graph_anf2": q_graph_anf2,
         "graph_ktruss2": q_graph_ktruss2,
+        "graph_scc": q_graph_scc,
         # relational operators
-        "rel_window_argmax": q_rel_window_argmax,
         "rel_window_rank": q_rel_window_rank,
         "rel_set_ops": q_rel_set_ops,
         "rel_onehot_mask": q_rel_onehot_mask,
@@ -2025,10 +2072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_user_activity, events_sessionize, multimodal_features and the
         # round-4 graph_hits / graph_host_graph / video_frame_stats queries
         # get driver rows. See README "Driver-row rotation".
-        # rel_groupby_sum / rel_join_agg joined the rotation tail when
-        # graph_anf2 / graph_ktruss2 landed (both hash-green r1-r3).
+        # rel_groupby_sum / rel_join_agg / rel_window_argmax joined the
+        # rotation tail when graph_anf2 / graph_ktruss2 / graph_scc
+        # landed (all hash-green r1-r3).
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
+        "rel_window_argmax": q_rel_window_argmax,
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
         "rel_minplus_join": q_rel_minplus_join,
@@ -2059,6 +2108,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_kcore3": _kcore_oracle_sql(),
         "graph_anf2": _anf2_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
+        "graph_scc": _scc_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

@@ -1,0 +1,237 @@
+"""Strongly connected components of the DIRECTED link graph.
+
+The web graph is directed, and its SCC structure is the classic
+"bowtie" of web science (Broder et al., "Graph structure in the web",
+2000 — public paper): one giant core SCC, IN/OUT tendrils, and a dust
+of small components. PageRank-family kernels and the undirected CC
+operator don't see this; SCC does. No reference counterpart
+(``reference src/ega`` is undirected-kernel machinery); engine
+extension in the same family as HITS / k-core / ANF.
+
+Algorithm — trim + forward coloring + backward marking (the
+distributed-SCC scheme published as Orzan's coloring and the FW-BW
+method; every phase is a level-synchronous DataFrame fixpoint):
+
+repeat until no vertex is unassigned:
+  1. TRIM to fixpoint: a live vertex with no in-edge or no out-edge
+     (within the live subgraph) is a singleton SCC — assign and drop.
+     Removing a layer exposes the next (tendrils peel off in chains).
+  2. COLOR forward to fixpoint: color(v) = min id that reaches v,
+     propagated along edge direction (one gather shuffle per hop).
+  3. MARK backward to fixpoint: roots are vertices with
+     color(v) == v; mark(v) spreads against edge direction but only
+     within a color class. Marked vertices form exactly the SCC of
+     their color root (v is marked iff v reaches the root r=color(v);
+     r reaches v by the definition of color; so marked ⇔ mutually
+     reachable with the root).
+  4. EXTRACT: assign scc = color to marked vertices (the color root is
+     provably the minimum member of its SCC: any smaller member would
+     have recolored the whole class). Then PARTITION: an SCC is always
+     monochromatic — an edge whose endpoints took different colors can
+     never lie on a cycle — so cross-color edges are deleted
+     permanently and the residual graph fragments geometrically.
+
+Labels are deterministic and schedule-independent: scc(v) = min id of
+v's strongly connected component — exactly what a transitive-closure
+SQL oracle computes, so the full-convergence run is driver-verifiable
+(unlike PageRank there is no trajectory to pin).
+
+Scale shape: every phase is one equi-join shuffle per hop with its
+convergence scalar (monotone: remaining count / color sum / marked
+count) riding the state-cut write as a CollectMetrics partial — one
+job per hop, no driver collects beyond scalars. Each stream (live
+edges, remaining, colors, marks) cuts through its OWN StateCutter so
+keep= rotation can never delete a generation another stream still
+reads. Hop counts are bounded by the SCC-quotient diameter; web
+graphs are shallow. See docs/SCALE.md.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.plans.lineage import StateCutter
+
+
+def strongly_connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_outer: int = 50,
+    max_hops: int = 500,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Returns (labels(id, scc), info).
+
+    ``scc`` is the minimum vertex id of the component — deterministic,
+    schedule-independent, and directly comparable to a
+    transitive-closure oracle. Self-loops are ignored (a vertex with
+    only a self-loop is a singleton SCC, as usual).
+
+    info: outer_rounds, trim_assigned, hops (total synchronous hops
+    across all phases), converged.
+    """
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e0 = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(sp, "src")
+        .persist()
+    )
+    verts = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    info: dict[str, Any] = {"outer_rounds": 0, "trim_assigned": 0, "hops": 0}
+    assigned_parts: list[DataFrame] = []
+    converged = False
+
+    with StateCutter(spark, "scc_live", keep=3) as cut_live, \
+         StateCutter(spark, "scc_rem", keep=3) as cut_rem, \
+         StateCutter(spark, "scc_col", keep=3) as cut_col, \
+         StateCutter(spark, "scc_mark", keep=3) as cut_mark:
+        live, got = cut_live.observe(e0, n=F.count(F.lit(1)))
+        remaining, got = cut_rem.observe(verts, n=F.count(F.lit(1)))
+        n_remaining = int(got["n"] or 0)
+
+        for outer in range(1, max_outer + 1):
+            if n_remaining == 0:
+                converged = True
+                break
+            info["outer_rounds"] = outer
+
+            # -- 1. TRIM to fixpoint ---------------------------------
+            while True:
+                has_out = live.select(F.col("src").alias("id")).distinct()
+                has_in = live.select(F.col("dst").alias("id")).distinct()
+                keep = remaining.join(has_out, "id", "left_semi").join(
+                    has_in, "id", "left_semi"
+                )
+                keep, got = cut_rem.observe(keep, n=F.count(F.lit(1)))
+                info["hops"] += 1
+                n_keep = int(got["n"] or 0)
+                if n_keep == n_remaining:
+                    break
+                trivial = remaining.join(keep, "id", "left_anti").select(
+                    "id", F.col("id").alias("scc")
+                ).localCheckpoint(eager=True)
+                assigned_parts.append(trivial)
+                info["trim_assigned"] += n_remaining - n_keep
+                remaining = keep
+                n_remaining = n_keep
+                live, _ = cut_live.observe(
+                    live.join(remaining, live["src"] == remaining["id"], "left_semi")
+                    .join(remaining, live["dst"] == remaining["id"], "left_semi"),
+                    n=F.count(F.lit(1)),
+                )
+                if n_remaining == 0:
+                    break
+            if n_remaining == 0:
+                converged = True
+                break
+
+            # -- 2. COLOR forward to fixpoint ------------------------
+            colors = remaining.select("id", F.col("id").alias("color"))
+            colors, got = cut_col.observe(colors, s=F.sum("color"))
+            prev_sum = int(got["s"] or 0)
+            for _ in range(max_hops):
+                inc = (
+                    live.join(colors, live["src"] == colors["id"], "inner")
+                    .groupBy(live["dst"].alias("id"))
+                    .agg(F.min("color").alias("in_color"))
+                )
+                nxt = colors.join(inc, "id", "left").select(
+                    colors["id"],
+                    F.least(
+                        F.col("color"), F.coalesce("in_color", F.col("color"))
+                    ).alias("color"),
+                )
+                colors, got = cut_col.observe(nxt, s=F.sum("color"))
+                info["hops"] += 1
+                cur = int(got["s"] or 0)
+                if cur == prev_sum:  # color sum is monotone decreasing
+                    break
+                prev_sum = cur
+            else:
+                warnings.warn("scc: coloring hit max_hops", stacklevel=2)
+
+            # -- 3. MARK backward within color classes to fixpoint ---
+            state = colors.select(
+                "id", "color", (F.col("id") == F.col("color")).alias("mark")
+            )
+            state, got = cut_mark.observe(state, m=F.sum(F.col("mark").cast("long")))
+            prev_marked = int(got["m"] or 0)
+            for _ in range(max_hops):
+                dstside = state.select(
+                    F.col("id").alias("w"),
+                    F.col("color").alias("wcolor"),
+                    F.col("mark").alias("wmark"),
+                )
+                hit = (
+                    live.join(dstside, live["dst"] == dstside["w"], "inner")
+                    .where(F.col("wmark"))
+                    .select(live["src"].alias("id"), F.col("wcolor").alias("color"))
+                    .distinct()
+                    .withColumn("hit", F.lit(True))
+                )
+                # at most one hit row per (id, color): no row explosion
+                nxt = state.join(hit, ["id", "color"], "left").select(
+                    "id",
+                    "color",
+                    (F.col("mark") | F.coalesce("hit", F.lit(False))).alias("mark"),
+                )
+                state, got = cut_mark.observe(nxt, m=F.sum(F.col("mark").cast("long")))
+                info["hops"] += 1
+                cur = int(got["m"] or 0)
+                if cur == prev_marked:  # marked set is monotone increasing
+                    break
+                prev_marked = cur
+            else:
+                warnings.warn("scc: marking hit max_hops", stacklevel=2)
+
+            # -- 4. EXTRACT + PARTITION ------------------------------
+            found = state.where("mark").select(
+                "id", F.col("color").alias("scc")
+            ).localCheckpoint(eager=True)
+            assigned_parts.append(found)
+            remaining, got = cut_rem.observe(
+                state.where(~F.col("mark")).select("id"), n=F.count(F.lit(1))
+            )
+            n_remaining = int(got["n"] or 0)
+            # monochromatic-SCC partition: drop cross-color edges forever,
+            # plus edges touching assigned vertices
+            csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("c1"))
+            cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("c2"))
+            live, _ = cut_live.observe(
+                live.join(csrc, "src").join(cdst, "dst")
+                .where(F.col("c1") == F.col("c2"))
+                .select("src", "dst")
+                .join(remaining, F.col("src") == remaining["id"], "left_semi")
+                .join(remaining, F.col("dst") == remaining["id"], "left_semi"),
+                n=F.count(F.lit(1)),
+            )
+        else:
+            warnings.warn(
+                f"scc hit max_outer={max_outer} with {n_remaining} vertices "
+                "unassigned — their labels are missing from the result",
+                stacklevel=2,
+            )
+
+        if assigned_parts:
+            labels = assigned_parts[0]
+            for part in assigned_parts[1:]:
+                labels = labels.unionByName(part)
+        else:  # edgeless input: no vertices, empty labelling
+            labels = spark.createDataFrame([], "id long, scc long")
+        labels = labels.localCheckpoint(eager=True)
+
+    info["converged"] = converged
+    e0.unpersist()
+    return labels, info

@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore", "ktruss", "anf"):
+                 "kcore", "ktruss", "anf", "scc"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -264,6 +264,26 @@ def main(argv: list[str] | None = None) -> int:
             "converged": info["converged"], "core_vertices": core.count(),
             "core_edges": info["core_edges"] // 2,
             "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "scc":
+        from efficient_graph_algorithms_spark.operators.scc import (
+            strongly_connected_components,
+        )
+
+        labels, info = strongly_connected_components(spark, edges)
+        if args.out:
+            labels.write.mode("overwrite").parquet(args.out)
+        sizes = labels.groupBy("scc").count()
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_sccs"), F.max("count").alias("giant")
+        ).first()
+        print(json.dumps({
+            "cmd": "scc", "n": labels.count(), "n_sccs": stats["n_sccs"],
+            "giant_scc": stats["giant"], "outer_rounds": info["outer_rounds"],
+            "hops": info["hops"], "trim_assigned": info["trim_assigned"],
+            "converged": info["converged"], "sec": round(time.time() - t0, 2),
         }))
         return 0
 
