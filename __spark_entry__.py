@@ -349,6 +349,51 @@ FROM v LEFT JOIN mut m ON m.mv = v.id GROUP BY v.id
 """
 
 
+WALKS_SQL_STEPS = 2
+WALKS_SEED = 42
+
+
+def q_graph_walks2(spark, sf_dir):
+    """Deterministic random-walk corpus (engine extension — the
+    DeepWalk/node2vec training-data generator; the reference's walk
+    KERNEL computes distribution vectors, this materializes walks):
+    WALKS_SQL_STEPS steps, 1 walk per vertex. Every step choice is the
+    argmin of a portable 60-bit md5 hash, so the SQL oracle replays the
+    corpus bit-for-bit (same portability trick as the MinHash family)."""
+    from efficient_graph_algorithms_spark.operators.walks import random_walks
+
+    e = _graph_edges(spark, sf_dir)
+    corpus, _ = random_walks(
+        spark, e, walk_length=WALKS_SQL_STEPS, walks_per_vertex=1, seed=WALKS_SEED
+    )
+    return corpus.select("walk", "step", "id")
+
+
+def _walks_oracle_sql() -> str:
+    """Replay of the hash-argmin walk: at step t the walker at ``cur``
+    moves to the out-neighbor with the smallest choice hash (dst as
+    tie-break) — the exact semantics of operators.walks.random_walks."""
+    from efficient_graph_algorithms_spark.operators.walks import walk_choice_duck_sql
+
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "s0 AS (SELECT id AS walk, id AS cur FROM v),",
+    ]
+    selects = ["SELECT walk, 0 AS step, cur AS id FROM s0"]
+    for t in range(1, WALKS_SQL_STEPS + 1):
+        h = walk_choice_duck_sql("walk", t, "dst", WALKS_SEED)
+        lines += [
+            f"c{t} AS (SELECT walk, dst, row_number() OVER "
+            f"(PARTITION BY walk ORDER BY {h}, dst) AS rn "
+            f"FROM s{t-1} JOIN e ON e.src = s{t-1}.cur),",
+            f"s{t} AS (SELECT walk, dst AS cur FROM c{t} WHERE rn = 1),",
+        ]
+        selects.append(f"SELECT walk, {t} AS step, cur AS id FROM s{t}")
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 KTRUSS_SQL_PEELS = 2
 # k=4 (support threshold 2) against the sf0.01 edge-support distribution
 # (max 9, median 2, 10k of 59k edges triangle-free): the first peel
@@ -2042,8 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_anf2": q_graph_anf2,
         "graph_ktruss2": q_graph_ktruss2,
         "graph_scc": q_graph_scc,
+        "graph_walks2": q_graph_walks2,
         # relational operators
-        "rel_window_rank": q_rel_window_rank,
         "rel_set_ops": q_rel_set_ops,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2078,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
+        "rel_window_rank": q_rel_window_rank,
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
         "rel_minplus_join": q_rel_minplus_join,
@@ -2109,6 +2155,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_anf2": _anf2_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
+        "graph_walks2": _walks_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

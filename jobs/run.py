@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore", "ktruss", "anf", "scc"):
+                 "kcore", "ktruss", "anf", "scc", "walks"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("kcore", "ktruss"):
             p.add_argument("--k", type=int, default=2 if name == "kcore" else 3)
             p.add_argument("--max-iter", type=int, default=100)
+        if name == "walks":
+            p.add_argument("--length", type=int, default=10)
+            p.add_argument("--per-vertex", type=int, default=1)
+            p.add_argument("--seed", type=int, default=42)
+            p.add_argument("--paths", action="store_true",
+                           help="emit (walk, path array) instead of long form")
         if name == "anf":
             p.add_argument("--max-radius", type=int, default=16)
             p.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
@@ -263,6 +269,24 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "kcore", "k": args.k, "rounds": info["rounds"],
             "converged": info["converged"], "core_vertices": core.count(),
             "core_edges": info["core_edges"] // 2,
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "walks":
+        from efficient_graph_algorithms_spark.operators.walks import random_walks
+
+        corpus, info = random_walks(
+            spark, edges, walk_length=args.length,
+            walks_per_vertex=args.per_vertex, seed=args.seed,
+            as_paths=args.paths,
+        )
+        if args.out:
+            corpus.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "cmd": "walks", "n_walks": info["n_walks"],
+            "steps_run": info["steps_run"], "rows": corpus.count(),
+            "live_final": info["live_walks"][-1] if info["live_walks"] else info["n_walks"],
             "sec": round(time.time() - t0, 2),
         }))
         return 0
