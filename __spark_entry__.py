@@ -349,6 +349,44 @@ FROM v LEFT JOIN mut m ON m.mv = v.id GROUP BY v.id
 """
 
 
+def q_graph_webstats(spark, sf_dir):
+    """Whole-graph web statistics (engine extension, no reference
+    counterpart): reciprocity, degree assortativity, global clustering
+    coefficient — single-pass aggregates, rounded to 9 decimals for
+    cross-engine float agreement."""
+    from efficient_graph_algorithms_spark.operators.webstats import web_stats
+
+    e = _graph_edges(spark, sf_dir)
+    stats, _ = web_stats(spark, e)
+    return stats.select("reciprocity", "assortativity", "clustering")
+
+
+def _webstats_oracle_sql() -> str:
+    """The three statistics as plain SQL aggregates: reciprocity via an
+    EXISTS reverse-edge probe, assortativity as corr() of endpoint
+    degrees over both orientations of the undirected edge list,
+    clustering as 3*triangles / sum(d*(d-1)/2)."""
+    return f"""
+WITH e AS ({_E_SQL}),
+und AS ({_UND_SQL}),
+deg AS (SELECT id, count(*) AS deg FROM
+        (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+sym AS (SELECT lo AS a, hi AS b FROM und UNION ALL SELECT hi, lo FROM und),
+tri AS (SELECT a.lo AS x, a.hi AS y, b.hi AS z FROM und a
+        JOIN und b ON a.lo = b.lo AND a.hi < b.hi
+        JOIN und c ON c.lo = a.hi AND c.hi = b.hi)
+SELECT
+  round((SELECT count(*) FROM e x WHERE EXISTS
+         (SELECT 1 FROM e r WHERE r.src = x.dst AND r.dst = x.src))
+        / (SELECT count(*) FROM e)::DOUBLE, 9) AS reciprocity,
+  round((SELECT corr(d1.deg::DOUBLE, d2.deg::DOUBLE) FROM sym
+         JOIN deg d1 ON d1.id = sym.a JOIN deg d2 ON d2.id = sym.b), 9)
+        AS assortativity,
+  round(3.0 * (SELECT count(*) FROM tri)
+        / (SELECT sum(deg * (deg - 1) / 2.0) FROM deg), 9) AS clustering
+"""
+
+
 WALKS_SQL_STEPS = 2
 WALKS_SEED = 42
 
@@ -2088,8 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss2": q_graph_ktruss2,
         "graph_scc": q_graph_scc,
         "graph_walks2": q_graph_walks2,
+        "graph_webstats": q_graph_webstats,
         # relational operators
-        "rel_set_ops": q_rel_set_ops,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
         "rel_zscore": q_rel_zscore,
@@ -2124,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
         "rel_window_rank": q_rel_window_rank,
+        "rel_set_ops": q_rel_set_ops,
         "rel_topk": q_rel_topk,
         "rel_percentiles": q_rel_percentiles,
         "rel_minplus_join": q_rel_minplus_join,
@@ -2156,6 +2195,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),
+        "graph_webstats": _webstats_oracle_sql(),
         "graph_ppr_3iter": _ppr3_oracle_sql(),
         "graph_matching": _matching_oracle_sql(),
         "graph_tree_gfi": _tree_gfi_oracle_sql(),

@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore", "ktruss", "anf", "scc", "walks"):
+                 "kcore", "ktruss", "anf", "scc", "walks", "stats"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -269,6 +269,19 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "kcore", "k": args.k, "rounds": info["rounds"],
             "converged": info["converged"], "core_vertices": core.count(),
             "core_edges": info["core_edges"] // 2,
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "stats":
+        from efficient_graph_algorithms_spark.operators.webstats import web_stats
+
+        stats, info = web_stats(spark, edges)
+        row = stats.first()
+        print(json.dumps({
+            "cmd": "stats", "reciprocity": row["reciprocity"],
+            "assortativity": row["assortativity"],
+            "clustering": row["clustering"], **info,
             "sec": round(time.time() - t0, 2),
         }))
         return 0
