@@ -530,6 +530,45 @@ def _anf2_oracle_sql() -> str:
     return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_graph_closeness2(spark, sf_dir):
+    """Truncated closeness centrality (engine extension — the sampled
+    centrality statistic of web-graph analysis) from the same sampled
+    sources as graph_anf2, radius 2: exact first-hit BFS distances,
+    n_reached / sum_dist / round-6 closeness per source."""
+    from efficient_graph_algorithms_spark.operators.anf import truncated_closeness
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = _vertices(e).where(F.col("id") % ANF_SEED_MOD == 0)
+    res, _ = truncated_closeness(
+        spark, e, max_radius=ANF_SQL_RADIUS, sources=seeds
+    )
+    return res
+
+
+def _closeness2_oracle_sql() -> str:
+    """Unrolled 2-hop first-hit distances on the symmetrized simple
+    graph: d1 = 1-hop targets (excl. source), d2 = 2-hop targets not in
+    {source} U d1; closeness = round((|d1|+|d2|) / (|d1|+2|d2|), 6)."""
+    return f"""
+WITH e AS ({_E_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+seeds AS (SELECT DISTINCT src AS id FROM sym WHERE src % {ANF_SEED_MOD} = 0),
+d1 AS (SELECT DISTINCT s.id, y.dst AS m FROM seeds s JOIN sym y ON y.src = s.id
+       WHERE y.dst <> s.id),
+d2 AS (SELECT DISTINCT d.id, y.dst AS m FROM d1 d JOIN sym y ON y.src = d.m
+       WHERE y.dst <> d.id
+       AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.id = d.id AND p.m = y.dst)),
+cnt AS (SELECT s.id,
+        (SELECT count(*) FROM d1 WHERE d1.id = s.id) AS n1,
+        (SELECT count(*) FROM d2 WHERE d2.id = s.id) AS n2
+        FROM seeds s)
+SELECT id, (n1 + n2)::BIGINT AS n_reached, (n1 + 2 * n2)::BIGINT AS sum_dist,
+       CASE WHEN n1 + 2 * n2 > 0
+            THEN round((n1 + n2) / (n1 + 2.0 * n2), 6) ELSE 0.0 END AS closeness
+FROM cnt
+"""
+
+
 def q_graph_ppr_3iter(spark, sf_dir):
     """Personalized PageRank (reference random_walk_with_restart_kernel,
     ``reference src/ega/algorithms/graph_kernels.py:72-79``): the real
@@ -1679,6 +1718,43 @@ def q_text_features(spark, sf_dir):
     )
 
 
+def q_corpus_sample(spark, sf_dir):
+    """Training-corpus prep gate: quality filter then per-language
+    deterministic hash sampling — the whole pipeline is row-local
+    column expressions in the scan stage (zero shuffle at any scale);
+    the kept set is a pure function of (doc_id, seed), bit-identical
+    in the SQL oracle."""
+    from efficient_graph_algorithms_spark.functions.text import quality_score
+    from efficient_graph_algorithms_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qualified = docs.where(quality_score(F.col("text")) >= 400)
+    return stratified_sample(
+        qualified, {"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.125, seed=7
+    ).select("doc_id", "stratum")
+
+
+def _corpus_sample_sql(qmin: int = 400, seed: int = 7) -> str:
+    from efficient_graph_algorithms_spark.functions.text import (
+        duck_lang_id,
+        duck_quality_score,
+    )
+    from efficient_graph_algorithms_spark.operators.sampling import rate_threshold
+
+    h = f"(('0x' || substr(md5('smpl:{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+    thr = (
+        f"CASE {duck_lang_id('text')} "
+        f"WHEN 'de' THEN {rate_threshold(0.25)} "
+        f"WHEN 'en' THEN {rate_threshold(0.5)} "
+        f"WHEN 'fr' THEN {rate_threshold(0.25)} "
+        f"ELSE {rate_threshold(0.125)} END"
+    )
+    return (
+        f"SELECT doc_id, {duck_lang_id('text')} AS stratum FROM documents "
+        f"WHERE {duck_quality_score('text')} >= {qmin} AND {h} < {thr}"
+    )
+
+
 def _text_features_sql() -> str:
     from efficient_graph_algorithms_spark.functions.text import (
         duck_bpe_token_count,
@@ -1734,6 +1810,16 @@ def q_dedup_simhash(spark, sf_dir):
     from efficient_graph_algorithms_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end dedup: minhash-LSH pairs -> connected components over
+    the pair graph -> one kept representative (min doc_id) per cluster.
+    One row per document; the oracle closes the same pair table
+    transitively with a recursive CTE."""
+    from efficient_graph_algorithms_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(spark, _dup_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -1997,14 +2083,17 @@ WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= {threshold}
 """
 
 
-def _dedup_minhash_sql(threshold: float = 0.5) -> str:
+def _minhash_sims_cte() -> str:
+    """The shared minhash-LSH CTE chain (shingle hashes -> signatures ->
+    band keys -> candidates -> signature similarity); used verbatim by
+    the pairs oracle and the clusters oracle so both close over the
+    IDENTICAL pair table."""
     from efficient_graph_algorithms_spark.functions.hashing import minhash_seeds
 
     seeds = minhash_seeds(MINHASH_K, 42)
     perm_rows = ", ".join(f"({i}, {s})" for i, s in enumerate(seeds))
     rows_per_band = MINHASH_K // LSH_BANDS
-    return f"""
-WITH {_shingle_sql(_DUP_DOCS_SQL)},
+    return f"""{_shingle_sql(_DUP_DOCS_SQL)},
 hs AS (SELECT doc_id AS id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
 perms(perm, pseed) AS (VALUES {perm_rows}),
 sig AS (SELECT id, perm, min(xor(h, pseed)) AS mh FROM hs CROSS JOIN perms GROUP BY id, perm),
@@ -2017,8 +2106,35 @@ sims AS (SELECT c.a, c.b,
          round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS sig_sim
          FROM cand c JOIN sig sa ON sa.id = c.a
          JOIN sig sb ON sb.id = c.b AND sb.perm = sa.perm
-         GROUP BY c.a, c.b)
+         GROUP BY c.a, c.b)"""
+
+
+def _dedup_minhash_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_sims_cte()}
 SELECT a, b, sig_sim FROM sims WHERE sig_sim >= {threshold}
+"""
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    """Transitive closure of the minhash pair table by recursive CTE
+    (clusters are tiny at oracle scale), rep = min id per component —
+    the union-find semantics of operators/components.py."""
+    return f"""
+WITH RECURSIVE {_minhash_sims_cte()},
+prs AS (SELECT a, b FROM sims WHERE sig_sim >= {threshold}),
+ed AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u WHERE e.v <> r.u
+),
+rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM reach GROUP BY u),
+alldocs AS ({_DUP_DOCS_SQL})
+SELECT d.doc_id,
+       coalesce(r.rep_id, d.doc_id) AS rep_id,
+       CASE WHEN coalesce(r.rep_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep
+FROM alldocs d LEFT JOIN rep r ON r.doc_id = d.doc_id
 """
 
 
@@ -2123,21 +2239,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_graph": q_graph_host_graph,
         "graph_kcore3": q_graph_kcore3,
         "graph_anf2": q_graph_anf2,
+        "graph_closeness2": q_graph_closeness2,
         "graph_ktruss2": q_graph_ktruss2,
         "graph_scc": q_graph_scc,
         "graph_walks2": q_graph_walks2,
         "graph_webstats": q_graph_webstats,
         # relational operators
-        "rel_onehot_mask": q_rel_onehot_mask,
-        "rel_stats": q_rel_stats,
-        "rel_zscore": q_rel_zscore,
         "rel_interp_metrics": q_rel_interp_metrics,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
+        "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_cosine_pairs": q_sim_cosine_pairs,
@@ -2157,7 +2273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # get driver rows. See README "Driver-row rotation".
         # rel_groupby_sum / rel_join_agg / rel_window_argmax joined the
         # rotation tail when graph_anf2 / graph_ktruss2 / graph_scc
-        # landed (all hash-green r1-r3).
+        # landed (all hash-green r1-r3); rel_onehot_mask / rel_stats /
+        # rel_zscore when dedup_clusters / corpus_sample /
+        # graph_closeness2 landed (hash-green r1-r3).
+        "rel_onehot_mask": q_rel_onehot_mask,
+        "rel_stats": q_rel_stats,
+        "rel_zscore": q_rel_zscore,
         "rel_groupby_sum": q_rel_groupby_sum,
         "rel_join_agg": q_rel_join_agg,
         "rel_window_argmax": q_rel_window_argmax,
@@ -2192,6 +2313,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_lpa": _lpa_oracle_sql(),
         "graph_kcore3": _kcore_oracle_sql(),
         "graph_anf2": _anf2_oracle_sql(),
+        "graph_closeness2": _closeness2_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),
@@ -2344,9 +2466,11 @@ SELECT k AS nation_without_partners FROM (
 """,
         # text / dedup / similarity / events
         "text_features": _text_features_sql(),
+        "corpus_sample": _corpus_sample_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "dedup_ngram_jaccard": _dedup_ngram_sql(),
         "dedup_minhash_lsh": _dedup_minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _dedup_simhash_sql(),
         "sim_cosine_topk": _sim_topk_sql(),
         # exhaustive-probe IVF provably equals brute force (pytest); the

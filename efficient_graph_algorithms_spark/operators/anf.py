@@ -250,3 +250,97 @@ def _sketch(spark, e, verts, max_radius, m, sp, info):
         )
     return out, info
 
+
+
+def truncated_closeness(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_radius: int = 2,
+    sources: DataFrame | None = None,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Exact truncated closeness centrality for selected sources.
+
+    result: (id, n_reached, sum_dist, closeness) per source, where over
+    targets v with 0 < d(id, v) <= max_radius:
+        n_reached = count(v),  sum_dist = sum d(id, v),
+        closeness = round(n_reached / sum_dist, 6)   (0.0 if no reach).
+
+    Level-synchronous multi-source BFS carrying FIRST-HIT distances:
+    state (id, m, d) grows one frontier per round — each round is one
+    equi-join (frontier x out-edges) plus one anti-join against the
+    visited set, both key-partitioned; no driver transfer beyond the
+    per-round row-count scalar riding the state cut. The ``sources``
+    sample size is the scale dial (state is bounded by the truncated
+    ball mass of the sampled sources, not |V|^2), the standard
+    sampled-centrality shape for web graphs. ``max_radius`` bounds the
+    rounds; past the true eccentricity extra rounds are no-ops, so the
+    pinned-rounds output an unrolled SQL oracle needs is the default.
+    """
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().repartition(sp, "src").persist()
+    e.count()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    src_ids = (sources.select("id") if sources is not None else verts).distinct()
+
+    info: dict[str, Any] = {"rounds": 0, "frontier_sizes": []}
+    with StateCutter(spark, "trunc_closeness") as cut:
+        state = src_ids.select("id", F.col("id").alias("m"), F.lit(0).alias("d"))
+        state, got = cut.observe(state, n=F.count(F.lit(1)))
+        prev_total = int(got["n"] or 0)
+        frontier = state
+        for r in range(1, max_radius + 1):
+            grown = (
+                frontier.join(e, frontier["m"] == e["src"])
+                .select("id", F.col("dst").alias("m"))
+                .distinct()
+            )
+            new = grown.join(state.select("id", "m"), ["id", "m"], "left_anti").select(
+                "id", "m", F.lit(r).alias("d")
+            )
+            # one cut pins BOTH faces of the round: the union (next
+            # visited set) and the frontier slice read from it
+            state, got = cut.observe(state.unionByName(new), n=F.count(F.lit(1)))
+            frontier = state.where(F.col("d") == r)
+            total = int(got["n"] or 0)
+            n_new = total - prev_total
+            prev_total = total
+            info["rounds"] = r
+            info["frontier_sizes"].append(n_new)
+            if n_new == 0:
+                break
+        agg = (
+            state.where(F.col("d") > 0)
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum("d").cast("long").alias("sum_dist"),
+            )
+        )
+        out = (
+            src_ids.join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+                F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias("sum_dist"),
+                F.when(
+                    F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
+                    F.round(F.col("n_reached") / F.col("sum_dist"), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("closeness"),
+            )
+            .localCheckpoint(eager=True)  # pin before the cut dir drops
+        )
+    e.unpersist()
+    return out, info

@@ -288,3 +288,53 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
     return cand.select(
         "a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup endgame: near-dup PAIRS -> CLUSTERS -> one kept
+    representative per cluster. Returns one row per input document:
+
+        (doc_id, rep_id, keep)   rep_id = min doc_id in the document's
+                                 near-dup cluster (itself if unpaired),
+                                 keep = 1 iff doc_id == rep_id.
+
+    ``pairs``: any (a, b, ...) near-dup pair table — defaults to
+    ``minhash_lsh_pairs(docs, threshold)``. Pair tables are NOT
+    transitive, so dropping one side of each pair independently
+    over-deletes (a~b, b~c kills b AND c); the correct semantics is
+    connected components over the pair graph, then keep exactly one
+    doc per component. Reuses the hash-to-min + pointer-jumping CC
+    fixpoint (operators/components.py) whose component id is already
+    "min reachable id" — exactly the representative wanted here.
+
+    Scale shape: pair generation is the banded LSH equi-join (never
+    all-pairs); the CC loop runs on the PAIR graph only — near-dup
+    clusters are tiny and near-cliques in practice, so the fixpoint
+    converges in O(log max_cluster_diameter) rounds on a table far
+    smaller than the corpus; unpaired docs never enter the loop and
+    join back in one left join.
+    """
+    from efficient_graph_algorithms_spark.operators.components import (
+        connected_components,
+    )
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, threshold, id_col=id_col, text_col=text_col)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    labels, _ = connected_components(spark, edges)
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("rep_id"),
+        )
+        .withColumn("keep", (F.col("doc_id") == F.col("rep_id")).cast("int"))
+    )

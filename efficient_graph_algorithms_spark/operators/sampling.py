@@ -1,0 +1,82 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Primitives over a ``documents(doc_id, text, ...)`` table:
+
+- ``hash_sample``       reproducible Bernoulli(rate): keep rows whose
+                        portable 60-bit hash of (seed, id) falls below
+                        ``floor(rate * 2^60)`` — an exact integer
+                        compare, no floats, no rand().
+- ``stratified_sample`` the same threshold test with a per-stratum
+                        rate (e.g. per language id) — the standard
+                        corpus-mixing knob for LLM training data.
+
+Why not ``df.sample``: Spark's sampler draws from a per-partition RNG
+stream, so the kept set changes under repartitioning, AQE coalescing,
+or any task retry reordering — unacceptable for a reproducible corpus.
+The hash gate is a pure function of (id, seed): the same document
+makes the same cut on any engine, any partitioning, any cluster size,
+and the SQL oracle reproduces it bit-for-bit.
+
+Scale shape: ZERO shuffle — the gate is a pure column expression
+evaluated in the scan stage (whole-stage codegen; the md5 and the
+stratum regexes are JVM built-ins), so sampling 100 TB costs one
+read pass with the filter pushed to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.text import lang_id
+
+_SCALE = 1 << 60
+
+
+def rate_threshold(rate: float) -> int:
+    """floor(rate * 2^60) as an exact Python int — the integer gate both
+    engines compare against. rate=1.0 keeps everything, 0.0 nothing."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return min(_SCALE, int(rate * _SCALE))
+
+
+def sample_hash60(id_col: Column, seed: int) -> Column:
+    """Portable 60-bit hash of 'smpl:<seed>:<id>' (functions/hashing.py
+    md5-prefix family; same value via md5 in any engine)."""
+    key = F.concat(F.lit(f"smpl:{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff hash60(seed, id) < floor(rate * 2^60).
+    Unbiased for unique ids (the md5 prefix is uniform on [0, 2^60))
+    and a pure row-local predicate — no shuffle, no state."""
+    return df.where(sample_hash60(F.col(id_col), seed) < F.lit(rate_threshold(rate)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    stratum: Column | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling. ``stratum`` defaults to
+    ``lang_id(text)``; ``rates`` maps stratum value -> keep rate;
+    strata not listed fall back to ``default_rate``.
+
+    Returns the input rows that make the cut, plus the computed
+    ``stratum`` column. One scan, zero shuffle: the per-row threshold
+    is a CASE expression over integer literals.
+    """
+    st = stratum if stratum is not None else lang_id(F.col("text"))
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(st == value, F.lit(rate_threshold(rate))).otherwise(thr)
+    return docs.withColumn("stratum", st).where(
+        sample_hash60(F.col(id_col), seed) < thr
+    )

@@ -110,3 +110,58 @@ def test_validation(spark):
         neighborhood_function(spark, edges, mode="bogus")
     with pytest.raises(ValueError, match="registers"):
         neighborhood_function(spark, edges, mode="sketch", registers=48)
+
+
+def _bfs_distances(pairs, radius, directed=False):
+    """{v: {u: d(v,u)}} truncated at radius, excluding v itself."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set())
+        if not directed:
+            adj[b].add(a)
+    dists = {}
+    for v in adj:
+        d = {v: 0}
+        frontier = [v]
+        for r in range(1, radius + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in d:
+                        d[w] = r
+                        nxt.append(w)
+            frontier = nxt
+        dists[v] = {u: r for u, r in d.items() if r > 0}
+    return dists
+
+
+def test_truncated_closeness_matches_bfs(spark):
+    from efficient_graph_algorithms_spark.operators.anf import truncated_closeness
+
+    edges, pairs = _random_edges(spark, n=80, m=260, seed=3)
+    res, info = truncated_closeness(spark, edges, max_radius=3)
+    want = _bfs_distances(pairs, 3)
+    got = {r.id: (r.n_reached, r.sum_dist, r.closeness) for r in res.collect()}
+    assert set(got) == set(want)
+    for v, dd in want.items():
+        n, s = len(dd), sum(dd.values())
+        cl = round(n / s, 6) if s else 0.0
+        assert got[v] == (n, s, cl), v
+    assert info["rounds"] <= 3 and info["frontier_sizes"][0] > 0
+
+
+def test_truncated_closeness_sources_and_directed(spark):
+    from efficient_graph_algorithms_spark.operators.anf import truncated_closeness
+
+    # path 0 -> 1 -> 2 -> 3, directed: closeness differs per direction
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (3,)], "id long")
+    res, _ = truncated_closeness(
+        spark, edges, max_radius=2, sources=srcs, directed=True
+    )
+    got = {r.id: (r.n_reached, r.sum_dist, r.closeness) for r in res.collect()}
+    # 0 reaches 1 (d1) and 2 (d2); 3 reaches nothing downstream
+    assert got == {0: (2, 3, round(2 / 3, 6)), 3: (0, 0, 0.0)}

@@ -161,3 +161,38 @@ def test_quality_score_monotone_in_length(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
     assert got[1] > got[0]
+
+
+def test_dedup_clusters_transitive(spark):
+    """Pair tables are not transitive; clusters must be. Chain
+    0~1, 1~2 plus island pair 5~6: reps are the component minima and
+    exactly one doc per cluster is kept."""
+    from efficient_graph_algorithms_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    out = {
+        r["doc_id"]: (r["rep_id"], r["keep"])
+        for r in dedup_clusters(spark, docs, pairs=pairs).collect()
+    }
+    assert out == {
+        0: (0, 1), 1: (0, 0), 2: (0, 0),   # chain collapses to min 0
+        3: (3, 1), 4: (4, 1),              # unpaired keep themselves
+        5: (5, 1), 6: (5, 0), 7: (7, 1),
+    }
+
+
+def test_dedup_clusters_keep_counts(spark, docs_df):
+    """End-to-end on the shared fixture: every doc appears exactly once,
+    keeps = number of distinct clusters, and every rep is kept."""
+    from efficient_graph_algorithms_spark.operators.dedup import dedup_clusters
+
+    rows = dedup_clusters(spark, docs_df, threshold=0.5).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(d[0] for d in DOCS)
+    reps = {r["rep_id"] for r in rows}
+    kept = {r["doc_id"] for r in rows if r["keep"] == 1}
+    assert reps == kept

@@ -80,11 +80,13 @@ def test_driver_row_window_covers_rotated_queries():
                       "sim_ivf_topk", "graph_hits", "graph_host_graph",
                       "video_frame_stats", "graph_kcore3", "graph_anf2",
                       "graph_ktruss2", "graph_scc", "graph_walks2",
-                      "graph_webstats"):
+                      "graph_webstats", "dedup_clusters", "corpus_sample",
+                      "graph_closeness2"):
         assert must_have in window, f"{must_have} rotated out of the 50-row window"
     outside = set(names[50:])
     assert outside <= {"rel_scalar_math", "rel_date_filter", "rel_distinct",
                        "rel_histogram", "rel_union_except", "rel_topk",
                        "rel_semi_anti", "rel_percentiles", "rel_minplus_join",
                        "rel_groupby_sum", "rel_join_agg", "rel_window_argmax",
-                       "rel_window_rank", "rel_set_ops"}, outside
+                       "rel_window_rank", "rel_set_ops",
+                       "rel_onehot_mask", "rel_stats", "rel_zscore"}, outside
