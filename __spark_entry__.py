@@ -530,6 +530,50 @@ def _anf2_oracle_sql() -> str:
     return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+COCITE_CAP = 64
+COCITE_MIN = 2
+COCITE_K = 20
+
+
+def q_graph_cocitation(spark, sf_dir):
+    """Top-20 most co-cited page pairs (shared in-link sources, Small
+    1973) with the hub degree cap that bounds pair volume at scale;
+    total order (n_common desc, a, b) makes the top-k deterministic."""
+    from efficient_graph_algorithms_spark.operators.cocite import cocitation_topk
+
+    out, _ = cocitation_topk(
+        _graph_edges(spark, sf_dir), k=COCITE_K,
+        min_count=COCITE_MIN, degree_cap=COCITE_CAP,
+    )
+    return out
+
+
+def q_graph_coupling(spark, sf_dir):
+    """Top-20 bibliographic-coupling pairs (shared out-link targets,
+    Kessler 1963) — the dual wedge join, capped on target in-degree."""
+    from efficient_graph_algorithms_spark.operators.cocite import cocitation_topk
+
+    out, _ = cocitation_topk(
+        _graph_edges(spark, sf_dir), k=COCITE_K,
+        min_count=COCITE_MIN, degree_cap=COCITE_CAP, mode="coupling",
+    )
+    return out
+
+
+def _cocite_oracle_sql(key: str, item: str) -> str:
+    """Shared-key pair counts with the hub cap, deterministic top-k."""
+    return f"""
+WITH e AS ({_E_SQL}),
+base AS (SELECT DISTINCT {key} AS k, {item} AS it FROM e),
+hot AS (SELECT k FROM base GROUP BY k HAVING count(*) > {COCITE_CAP}),
+cold AS (SELECT * FROM base WHERE k NOT IN (SELECT k FROM hot)),
+pairs AS (SELECT x.it AS a, y.it AS b, count(*) AS n_common
+          FROM cold x JOIN cold y ON x.k = y.k AND x.it < y.it
+          GROUP BY x.it, y.it HAVING count(*) >= {COCITE_MIN})
+SELECT a, b, n_common FROM pairs ORDER BY n_common DESC, a, b LIMIT {COCITE_K}
+"""
+
+
 def q_graph_closeness2(spark, sf_dir):
     """Truncated closeness centrality (engine extension — the sampled
     centrality statistic of web-graph analysis) from the same sampled
@@ -2240,12 +2284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore3": q_graph_kcore3,
         "graph_anf2": q_graph_anf2,
         "graph_closeness2": q_graph_closeness2,
+        "graph_cocitation": q_graph_cocitation,
         "graph_ktruss2": q_graph_ktruss2,
         "graph_scc": q_graph_scc,
         "graph_walks2": q_graph_walks2,
         "graph_webstats": q_graph_webstats,
-        # relational operators
-        "rel_interp_metrics": q_rel_interp_metrics,
         # text / dedup / similarity / streaming / multimodal
         "text_features": q_text_features,
         "corpus_sample": q_corpus_sample,
@@ -2274,8 +2317,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rel_groupby_sum / rel_join_agg / rel_window_argmax joined the
         # rotation tail when graph_anf2 / graph_ktruss2 / graph_scc
         # landed (all hash-green r1-r3); rel_onehot_mask / rel_stats /
-        # rel_zscore when dedup_clusters / corpus_sample /
-        # graph_closeness2 landed (hash-green r1-r3).
+        # rel_zscore / rel_interp_metrics when dedup_clusters /
+        # corpus_sample / graph_closeness2 / graph_cocitation landed
+        # (hash-green r1-r3). graph_coupling (the dual wedge join of the
+        # driver-rowed graph_cocitation) ships tail-side with the same
+        # oracle shape — check_parity is its evidence of record.
+        "graph_coupling": q_graph_coupling,
+        "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
         "rel_zscore": q_rel_zscore,
@@ -2314,6 +2362,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_kcore3": _kcore_oracle_sql(),
         "graph_anf2": _anf2_oracle_sql(),
         "graph_closeness2": _closeness2_oracle_sql(),
+        "graph_cocitation": _cocite_oracle_sql("src", "dst"),
+        "graph_coupling": _cocite_oracle_sql("dst", "src"),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

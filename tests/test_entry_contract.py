@@ -69,8 +69,10 @@ def test_driver_row_window_covers_rotated_queries():
     round-4 rotation: the entries that historically fell outside the
     window (multimodal_features, the streaming queries) plus the new
     events_sessionize, sim_ivf_topk, graph_hits and graph_host_graph
-    must sit INSIDE the first 50, and only rows with 3+ consecutive
-    green rounds (CORRECTNESS_r01-r03 all-true) may sit outside."""
+    must sit INSIDE the first 50; outside may sit only rows with 3+
+    consecutive green rounds (CORRECTNESS_r01-r03 all-true) plus
+    graph_coupling, the documented tail-side dual of the driver-rowed
+    graph_cocitation (README 'Driver-row rotation')."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
@@ -81,7 +83,7 @@ def test_driver_row_window_covers_rotated_queries():
                       "video_frame_stats", "graph_kcore3", "graph_anf2",
                       "graph_ktruss2", "graph_scc", "graph_walks2",
                       "graph_webstats", "dedup_clusters", "corpus_sample",
-                      "graph_closeness2"):
+                      "graph_closeness2", "graph_cocitation"):
         assert must_have in window, f"{must_have} rotated out of the 50-row window"
     outside = set(names[50:])
     assert outside <= {"rel_scalar_math", "rel_date_filter", "rel_distinct",
@@ -89,4 +91,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_semi_anti", "rel_percentiles", "rel_minplus_join",
                        "rel_groupby_sum", "rel_join_agg", "rel_window_argmax",
                        "rel_window_rank", "rel_set_ops",
-                       "rel_onehot_mask", "rel_stats", "rel_zscore"}, outside
+                       "rel_onehot_mask", "rel_stats", "rel_zscore",
+                       "rel_interp_metrics", "graph_coupling"}, outside
