@@ -196,3 +196,20 @@ def test_dedup_clusters_keep_counts(spark, docs_df):
     reps = {r["rep_id"] for r in rows}
     kept = {r["doc_id"] for r in rows if r["keep"] == 1}
     assert reps == kept
+
+
+def test_dedup_clusters_no_pairs(spark):
+    """A corpus with no near-dups: every doc keeps itself (the CC loop
+    degenerates gracefully on an empty pair graph)."""
+    from efficient_graph_algorithms_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique text {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([], "a long, b long")
+    rows = sorted(
+        (r["doc_id"], r["rep_id"], r["keep"])
+        for r in dedup_clusters(spark, docs, pairs=pairs).collect()
+    )
+    assert rows == [(i, i, 1) for i in range(5)]
