@@ -530,6 +530,51 @@ def _anf2_oracle_sql() -> str:
     return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+WPR_ALPHA = 0.85
+WPR_STEPS = 3
+
+
+def q_graph_wpr3(spark, sf_dir):
+    """3 pinned steps of weighted personalized PageRank (damped walk
+    over the weight-normalized transition — anchor/link-weighted
+    ranking). Weights synthesized deterministically from the edge key;
+    seeds = ids divisible by 50."""
+    from efficient_graph_algorithms_spark.operators.kernels import (
+        damped_weighted_walk,
+    )
+
+    e = _graph_edges(spark, sf_dir).withColumn(
+        "wt", (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 5).cast("long")
+    )
+    field = _vertices(e).select(
+        "id", F.when(F.col("id") % 50 == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value")
+    )
+    out = damped_weighted_walk(e, field, alpha=WPR_ALPHA, k=WPR_STEPS, weight_col="wt")
+    return out.select("id", F.round("value", 9).alias("value"))
+
+
+def _wpr3_oracle_sql() -> str:
+    """WPR_STEPS unrolled damped weighted-walk rounds; the (1.0 - 0.85)
+    subtraction is written out so both engines produce the identical
+    IEEE double coefficient."""
+    lines = [
+        f"WITH e AS (SELECT src, dst, 1 + (src * 7 + dst * 13) % 5 AS wt FROM ({_E_SQL})),",
+        f"v AS ({_V_SQL}),",
+        "tw AS (SELECT src, sum(wt)::DOUBLE AS t FROM e GROUP BY src),",
+        "p AS (SELECT e.src, e.dst, e.wt / tw.t AS w FROM e JOIN tw ON e.src = tw.src),",
+        "x0 AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1.0 ELSE 0.0 END AS x FROM v),",
+    ]
+    for i in range(1, WPR_STEPS + 1):
+        prv = i - 1
+        lines.append(
+            f"x{i} AS (SELECT x0.id, (1.0 - {WPR_ALPHA}) * x0.x + {WPR_ALPHA} * coalesce(mv.m, 0.0) AS x "
+            f"FROM x0 LEFT JOIN (SELECT p.dst AS id, sum(p.w * x{prv}.x) AS m "
+            f"FROM p JOIN x{prv} ON x{prv}.id = p.src GROUP BY p.dst) mv ON mv.id = x0.id),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + f"\nSELECT id, round(x, 9) AS value FROM x{WPR_STEPS}"
+
+
 COCITE_CAP = 64
 COCITE_MIN = 2
 COCITE_K = 20
@@ -2323,6 +2368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-rowed graph_cocitation) ships tail-side with the same
         # oracle shape — check_parity is its evidence of record.
         "graph_coupling": q_graph_coupling,
+        # graph_wpr3 (weighted damped walk, the anchor-weighted ranking
+        # extension of graph_ppr_3iter) ships tail-side likewise.
+        "graph_wpr3": q_graph_wpr3,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2364,6 +2412,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_closeness2": _closeness2_oracle_sql(),
         "graph_cocitation": _cocite_oracle_sql("src", "dst"),
         "graph_coupling": _cocite_oracle_sql("dst", "src"),
+        "graph_wpr3": _wpr3_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

@@ -133,3 +133,61 @@ def heat_kernel_diffusion(
         )
     sym.unpersist()
     return acc
+
+
+def weighted_transition(edges: DataFrame, weight_col: str) -> DataFrame:
+    """(src, dst, w) with w = weight / Σ weight over src — the
+    row-normalized WEIGHTED transition (anchor/link weights)."""
+    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("wt"))
+    tot = e.groupBy("src").agg(F.sum("wt").alias("tw"))
+    return e.join(tot, "src").select(
+        "src", "dst", (F.col("wt") / F.col("tw")).alias("w")
+    )
+
+
+def damped_weighted_walk(
+    edges: DataFrame,
+    field: DataFrame,
+    alpha: float = 0.85,
+    k: int = 3,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """k pinned steps of x ← (1-α)·x₀ + α·P_wᵀx — the personalized-
+    PageRank iteration over the weighted transition, the web-tier
+    extension of ``k_step_random_walk`` (anchor/link-weighted ranking;
+    same shape as the reference's rwr kernel, ``reference
+    src/ega/algorithms/graph_kernels.py:72-79``, plus edge weights).
+
+    weight_col None → uniform 1/out_deg (identical P to
+    ``k_step_random_walk``). Walk mass entering dangling vertices is
+    NOT redistributed (the reference's column-normalized convention);
+    use ``operators/pagerank.py`` when full dangling/teleport PageRank
+    semantics are wanted. One gather-scatter shuffle per step; the
+    field table stays orders of magnitude smaller than edges.
+    """
+    p = (
+        weighted_transition(edges, weight_col)
+        if weight_col
+        else _out_transition(edges)
+    ).persist()
+    x0 = field.select("id", F.col("value").alias("v0"))
+    x = field
+    for _ in range(k):
+        mv = (
+            p.join(x, p["src"] == x["id"])
+            .groupBy(p["dst"].alias("id"))
+            .agg(F.sum(F.col("w") * F.col("value")).alias("mv"))
+        )
+        x = (
+            x0.join(mv, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - alpha) * F.col("v0")
+                    + F.lit(alpha) * F.coalesce(F.col("mv"), F.lit(0.0))
+                ).alias("value"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    p.unpersist()
+    return x

@@ -92,4 +92,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_groupby_sum", "rel_join_agg", "rel_window_argmax",
                        "rel_window_rank", "rel_set_ops",
                        "rel_onehot_mask", "rel_stats", "rel_zscore",
-                       "rel_interp_metrics", "graph_coupling"}, outside
+                       "rel_interp_metrics", "graph_coupling",
+                       "graph_wpr3"}, outside

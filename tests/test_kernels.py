@@ -97,3 +97,65 @@ def test_heat_kernel_weighted(spark):
     assert np.allclose(got, exp, atol=1e-9)
     exp_u = oracle.heat_kernel_diffusion(edges, n, f, t=0.3, k=4)
     assert not np.allclose(got, exp_u, atol=1e-6)  # weights actually matter
+
+
+def test_damped_weighted_walk_matches_numpy(spark):
+    """3 damped steps over a weighted transition vs dense NumPy."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.kernels import (
+        damped_weighted_walk,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = sorted(
+        {(int(a), int(b)) for a, b in zip(rng.integers(0, n, 160), rng.integers(0, n, 160)) if a != b}
+    )
+    wts = {e: 1 + (e[0] * 7 + e[1] * 13) % 5 for e in edges}
+    edf = spark.createDataFrame(
+        [(a, b, wts[(a, b)]) for a, b in edges], "src long, dst long, wt long"
+    )
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    x0 = np.array([1.0 if v % 5 == 0 else 0.0 for v in ids])
+    P = np.zeros((len(ids), len(ids)))
+    for (a, b), w in wts.items():
+        P[idx[a], idx[b]] = w
+    row = P.sum(axis=1, keepdims=True)
+    P = np.divide(P, row, out=np.zeros_like(P), where=row > 0)
+    alpha = 0.85
+    x = x0.copy()
+    for _ in range(3):
+        x = (1.0 - alpha) * x0 + alpha * (P.T @ x)
+
+    field = spark.createDataFrame(
+        [(v, 1.0 if v % 5 == 0 else 0.0) for v in ids], "id long, value double"
+    )
+    got = {
+        r["id"]: r["value"]
+        for r in damped_weighted_walk(edf, field, alpha=alpha, k=3, weight_col="wt").collect()
+    }
+    assert set(got) == set(ids)
+    np.testing.assert_allclose(
+        np.array([got[v] for v in ids]), x, rtol=0, atol=1e-12
+    )
+
+
+def test_damped_weighted_walk_uniform_matches_rw(spark):
+    """weight_col=None at alpha=1 with one step equals one pure
+    random-walk step (P identical to k_step_random_walk's)."""
+    from efficient_graph_algorithms_spark.operators.kernels import (
+        damped_weighted_walk,
+        k_step_random_walk,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0)], "src long, dst long"
+    )
+    field = spark.createDataFrame(
+        [(0, 1.0), (1, 0.5), (2, 0.25)], "id long, value double"
+    )
+    a = {r["id"]: r["value"] for r in damped_weighted_walk(edges, field, alpha=1.0, k=1).collect()}
+    b = {r["id"]: r["value"] for r in k_step_random_walk(edges, field, k=1).collect()}
+    assert a == b

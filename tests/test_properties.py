@@ -115,3 +115,36 @@ def test_sessionize_batch_matches_reference(spark, data, gap):
         [(uid, off, v / 2.0) for uid, off, v in data], gap
     )
     assert got == want
+
+
+@given(
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_hash_sample_threshold_monotone(r1, r2, seed):
+    """The hash gate is monotone in rate: every id kept at the lower
+    rate is kept at the higher one (same seed) — the property that lets
+    a pipeline re-run with a larger budget keep its old sample as a
+    strict subset. Pure-Python face of operators/sampling.py (the Spark
+    expression computes the identical md5 integers; tests/test_sampling
+    pins that equivalence)."""
+    import hashlib
+
+    from efficient_graph_algorithms_spark.operators.sampling import rate_threshold
+
+    lo, hi = sorted((r1, r2))
+    t_lo, t_hi = rate_threshold(lo), rate_threshold(hi)
+    assert t_lo <= t_hi
+    kept = {
+        i
+        for i in range(300)
+        if int(hashlib.md5(f"smpl:{seed}:{i}".encode()).hexdigest()[:15], 16) < t_lo
+    }
+    kept_hi = {
+        i
+        for i in range(300)
+        if int(hashlib.md5(f"smpl:{seed}:{i}".encode()).hexdigest()[:15], 16) < t_hi
+    }
+    assert kept <= kept_hi
