@@ -47,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
-                 "kcore", "ktruss", "anf", "scc", "walks", "stats"):
+                 "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
+                 "closeness"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -87,12 +88,38 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--registers", type=int, default=64)
             p.add_argument("--top", type=int, default=5,
                            help="print the top-N vertices by harmonic centrality")
+        if name == "cocite":
+            p.add_argument("--mode", default="cocitation",
+                           choices=["cocitation", "coupling"])
+            p.add_argument("--k", type=int, default=20)
+            p.add_argument("--cap", type=int, default=256,
+                           help="drop hubs above this degree from pair generation")
+            p.add_argument("--min-count", type=int, default=2)
+        if name == "closeness":
+            p.add_argument("--max-radius", type=int, default=3)
+            p.add_argument("--sample-mod", type=int, default=100,
+                           help="sources = vertices with id %% mod == 0")
+            p.add_argument("--top", type=int, default=5)
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
     d.add_argument("--method", default="minhash",
                    choices=["minhash", "exact", "simhash", "ngram"])
+    d.add_argument("--clusters", action="store_true",
+                   help="close the pair graph transitively and keep one "
+                        "representative per cluster (pair methods only)")
     d.add_argument("--out")
+
+    sm = sub.add_parser("sample")
+    sm.add_argument("--docs", required=True)
+    sm.add_argument("--rate", type=float, default=0.1)
+    sm.add_argument("--by-lang", default=None,
+                    help="per-language rates, e.g. en=0.5,de=0.25 "
+                         "(others fall back to --rate)")
+    sm.add_argument("--qmin", type=int, default=0,
+                    help="drop docs with quality_score below this first")
+    sm.add_argument("--seed", type=int, default=42)
+    sm.add_argument("--out")
 
     k = sub.add_parser("knn")
     k.add_argument("--embeddings", required=True)
@@ -143,11 +170,56 @@ def main(argv: list[str] | None = None) -> int:
         fn = {"minhash": minhash_lsh_pairs, "exact": exact_duplicates,
               "simhash": simhash_pairs, "ngram": ngram_jaccard_pairs}[args.method]
         pairs = fn(docs)
+        if args.clusters:
+            if args.method == "exact":
+                raise SystemExit("--clusters needs a pair method "
+                                 "(minhash/simhash/ngram); exact already "
+                                 "yields one keep_id per group")
+            from efficient_graph_algorithms_spark.operators.dedup import (
+                dedup_clusters)
+
+            labeled = dedup_clusters(spark, docs, pairs=pairs)
+            if args.out:
+                labeled.write.mode("overwrite").parquet(args.out)
+                labeled = spark.read.parquet(args.out)
+            kept = labeled.agg(F.sum("keep").alias("k"),
+                               F.count("*").alias("n")).first()
+            print(json.dumps({"cmd": "dedup", "method": args.method,
+                              "clusters": True, "docs": int(kept["n"]),
+                              "kept": int(kept["k"]),
+                              "removed": int(kept["n"] - kept["k"]),
+                              "sec": round(time.time() - t0, 2)}))
+            return 0
         if args.out:
             pairs.write.mode("overwrite").parquet(args.out)
             pairs = spark.read.parquet(args.out)
         print(json.dumps({"cmd": "dedup", "method": args.method,
                           "docs": docs.count(), "pairs": pairs.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "sample":
+        from efficient_graph_algorithms_spark.functions.text import quality_score
+        from efficient_graph_algorithms_spark.operators.sampling import (
+            hash_sample, stratified_sample)
+
+        docs = spark.read.parquet(args.docs)
+        n_in = docs.count()
+        if args.qmin > 0:
+            docs = docs.where(quality_score(F.col("text")) >= args.qmin)
+        if args.by_lang:
+            rates = {kv.split("=")[0]: float(kv.split("=")[1])
+                     for kv in args.by_lang.split(",")}
+            out = stratified_sample(docs, rates, default_rate=args.rate,
+                                    seed=args.seed)
+        else:
+            out = hash_sample(docs, args.rate, seed=args.seed)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        print(json.dumps({"cmd": "sample", "rate": args.rate,
+                          "by_lang": args.by_lang, "qmin": args.qmin,
+                          "docs_in": n_in, "docs_kept": out.count(),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
@@ -284,6 +356,40 @@ def main(argv: list[str] | None = None) -> int:
             "clustering": row["clustering"], **info,
             "sec": round(time.time() - t0, 2),
         }))
+        return 0
+
+    if args.cmd == "cocite":
+        from efficient_graph_algorithms_spark.operators.cocite import (
+            cocitation_topk)
+
+        out, info = cocitation_topk(edges, k=args.k, min_count=args.min_count,
+                                    degree_cap=args.cap, mode=args.mode)
+        rows = [(r["a"], r["b"], r["n_common"]) for r in out.collect()]
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "cocite", **info, "n_pairs": len(rows),
+                          "top": rows[:5],
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "closeness":
+        from efficient_graph_algorithms_spark.operators.anf import (
+            truncated_closeness)
+
+        srcs = vertices.where(F.col("id") % args.sample_mod == 0)
+        res, info = truncated_closeness(spark, edges,
+                                        max_radius=args.max_radius,
+                                        sources=srcs)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+        top = [
+            {"id": r["id"], "closeness": r["closeness"],
+             "n_reached": r["n_reached"]}
+            for r in res.orderBy(F.desc("closeness"), "id").limit(args.top).collect()
+        ]
+        print(json.dumps({"cmd": "closeness", "radius": args.max_radius,
+                          "sources": srcs.count(), "rounds": info["rounds"],
+                          "top": top, "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "walks":
