@@ -1844,6 +1844,29 @@ def _corpus_sample_sql(qmin: int = 400, seed: int = 7) -> str:
     )
 
 
+CAP_PER_SOURCE = 10  # sources carry 25 docs each at sf0.01 — the cap bites
+
+
+def q_corpus_cap_source(spark, sf_dir):
+    """Per-source corpus quota: keep at most CAP_PER_SOURCE docs per
+    source, chosen deterministically by hash order — the per-domain
+    mixing rule of corpus prep (one key shuffle + in-partition rank)."""
+    from efficient_graph_algorithms_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_key(docs, "source", CAP_PER_SOURCE, seed=42)
+
+
+def _corpus_cap_source_sql(n: int = CAP_PER_SOURCE, seed: int = 42) -> str:
+    h = f"(('0x' || substr(md5('smpl:{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+    return (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER ("
+        f"PARTITION BY source ORDER BY {h}, doc_id) AS rn FROM documents) "
+        f"WHERE rn <= {n}"
+    )
+
+
 def _text_features_sql() -> str:
     from efficient_graph_algorithms_spark.functions.text import (
         duck_bpe_token_count,
@@ -2371,6 +2394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_wpr3 (weighted damped walk, the anchor-weighted ranking
         # extension of graph_ppr_3iter) ships tail-side likewise.
         "graph_wpr3": q_graph_wpr3,
+        # corpus_cap_source (per-domain quota face of corpus_sample)
+        # likewise ships tail-side with check_parity evidence.
+        "corpus_cap_source": q_corpus_cap_source,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2566,6 +2592,7 @@ SELECT k AS nation_without_partners FROM (
         # text / dedup / similarity / events
         "text_features": _text_features_sql(),
         "corpus_sample": _corpus_sample_sql(),
+        "corpus_cap_source": _corpus_cap_source_sql(),
         "dedup_exact": _dedup_exact_sql(),
         "dedup_ngram_jaccard": _dedup_ngram_sql(),
         "dedup_minhash_lsh": _dedup_minhash_sql(),

@@ -80,3 +80,35 @@ def stratified_sample(
     return docs.withColumn("stratum", st).where(
         sample_hash60(F.col(id_col), seed) < thr
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key_col`` value — per-domain /
+    per-source corpus quotas, the other standard mixing rule. Rows are
+    chosen deterministically by the 60-bit hash order of (seed, id)
+    with the id as tie-break, so the kept set is again a pure function
+    of (ids, seed) — stable across runs, partitionings, and engines.
+
+    Plan: one shuffle on the key + a rank within each key partition
+    (row_number window). A skewed key ranks its rows in one partition,
+    but carries no joins and no state beyond the running counter —
+    at 10^12 docs the quota pass is shuffle-bound, not memory-bound.
+    """
+    from pyspark.sql import Window
+
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    w = Window.partitionBy(key_col).orderBy(
+        sample_hash60(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -71,3 +71,40 @@ def test_stratified_sample_per_stratum_rates(spark, docs):
     assert sorted(r["doc_id"] for r in out) == want
     # strata are real: at least two distinct languages present in the keep set
     assert len({r["stratum"] for r in out}) >= 2
+
+
+def test_cap_per_key_matches_python_oracle(spark):
+    from efficient_graph_algorithms_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"src{i % 7}", f"text {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r["doc_id"], r["source"])
+        for r in cap_per_key(df, "source", 5, seed=3).collect()
+    )
+    by_key: dict[str, list[int]] = {}
+    for i, s, _ in rows:
+        by_key.setdefault(s, []).append(i)
+    want = sorted(
+        (i, s)
+        for s, ids in by_key.items()
+        for i in sorted(ids, key=lambda x: (_h60(3, x), x))[:5]
+    )
+    assert got == want
+    # every key capped exactly (all keys have >5 members here)
+    from collections import Counter
+
+    assert set(Counter(s for _, s in got).values()) == {5}
+
+
+def test_cap_per_key_stable_under_repartitioning(spark):
+    from efficient_graph_algorithms_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"s{i % 3}", "t") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = sorted(r["doc_id"] for r in cap_per_key(df, "source", 7).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_key(df.repartition(11, "doc_id"), "source", 7).collect()
+    )
+    assert a == b
