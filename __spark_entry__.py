@@ -349,6 +349,55 @@ FROM v LEFT JOIN mut m ON m.mv = v.id GROUP BY v.id
 """
 
 
+def q_graph_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition (WWW 2000) on the same
+    hash-sparsified graph as graph_scc: CORE / IN / OUT / TEND / DISC
+    per vertex. Full convergence — every constituent fixpoint (SCC,
+    reachability, weak components) is schedule-independent, so the
+    oracle is recursive-CTE closures, no round pinning."""
+    from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+    e = _graph_edges(spark, sf_dir).where(
+        (F.col("src") * 31 + F.col("dst") * 7) % SCC_EDGE_MOD == 0
+    )
+    labels, _ = bowtie_classes(spark, e)
+    return labels.select("id", "scc", "cls")
+
+
+def _bowtie_oracle_sql() -> str:
+    """scc labels via the mutual-closure CTE (as _scc_oracle_sql), then
+    single-column frontier closures from the core member set along
+    forward / backward / undirected edges."""
+    return f"""
+WITH RECURSIVE e0 AS ({_E_SQL}),
+e AS (SELECT src, dst FROM e0 WHERE (src * 31 + dst * 7) % {SCC_EDGE_MOD} = 0),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mut AS (SELECT r1.a AS mv, r1.b AS mu FROM reach r1
+        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+scc AS (SELECT v.id, least(v.id, coalesce(min(m.mu), v.id)) AS scc
+        FROM v LEFT JOIN mut m ON m.mv = v.id GROUP BY v.id),
+core AS (SELECT scc FROM (SELECT scc, count(*) AS n FROM scc GROUP BY scc
+         ORDER BY n DESC, scc LIMIT 1)),
+corev AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core)),
+fwd(id) AS (SELECT id FROM corev UNION SELECT e.dst FROM fwd f JOIN e ON e.src = f.id),
+bwd(id) AS (SELECT id FROM corev UNION SELECT e.src FROM bwd b JOIN e ON e.dst = b.id),
+ue AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+weak(id) AS (SELECT id FROM corev UNION SELECT ue.dst FROM weak w JOIN ue ON ue.src = w.id)
+SELECT s.id, s.scc,
+  CASE WHEN s.scc = (SELECT scc FROM core) THEN 'CORE'
+       WHEN s.id IN (SELECT id FROM bwd) THEN 'IN'
+       WHEN s.id IN (SELECT id FROM fwd) THEN 'OUT'
+       WHEN s.id IN (SELECT id FROM weak) THEN 'TEND'
+       ELSE 'DISC' END AS cls
+FROM scc s
+"""
+
+
 def q_graph_webstats(spark, sf_dir):
     """Whole-graph web statistics (engine extension, no reference
     counterpart): reciprocity, degree assortativity, global clustering
@@ -2397,6 +2446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_cap_source (per-domain quota face of corpus_sample)
         # likewise ships tail-side with check_parity evidence.
         "corpus_cap_source": q_corpus_cap_source,
+        # graph_bowtie (Broder decomposition over the graph_scc
+        # sparsified graph) likewise tail-side, check_parity evidence.
+        "graph_bowtie": q_graph_bowtie,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2439,6 +2491,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_cocitation": _cocite_oracle_sql("src", "dst"),
         "graph_coupling": _cocite_oracle_sql("dst", "src"),
         "graph_wpr3": _wpr3_oracle_sql(),
+        "graph_bowtie": _bowtie_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

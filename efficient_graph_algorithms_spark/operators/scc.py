@@ -235,3 +235,109 @@ def strongly_connected_components(
     info["converged"] = converged
     e0.unpersist()
     return labels, info
+
+
+def _reach_fixpoint(spark, e: DataFrame, seeds: DataFrame, name: str) -> DataFrame:
+    """Vertex set reachable from ``seeds`` (inclusive) along directed
+    edges e(src, dst): level-synchronous frontier BFS to fixpoint, one
+    equi-join + one anti-join per hop, visited set through bounded
+    state cuts. Returns (id)."""
+    with StateCutter(spark, name, keep=3) as cut:
+        state, got = cut.observe(seeds.select("id").distinct(), n=F.count(F.lit(1)))
+        prev = int(got["n"] or 0)
+        frontier = state
+        while True:
+            grown = (
+                frontier.join(e, frontier["id"] == e["src"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            new = grown.join(state, "id", "left_anti")
+            state, got = cut.observe(state.unionByName(new), n=F.count(F.lit(1)))
+            total = int(got["n"] or 0)
+            if total == prev:
+                break
+            # next frontier = exactly the newly added ids; pin it (its
+            # lineage reads the PREVIOUS cut generation, which keep=3
+            # rotation may delete before the next hop consumes it)
+            frontier = new.localCheckpoint(eager=True)
+            prev = total
+        out = state.localCheckpoint(eager=True)  # outlives the cutter
+    return out
+
+
+def bowtie_classes(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Broder bowtie decomposition of a directed link graph
+    (Broder et al., "Graph structure in the Web", WWW 2000):
+
+        CORE  the largest SCC (ties broken by min scc label)
+        IN    reaches the core, not in it
+        OUT   reachable from the core, not in it
+        TEND  weakly connected to the core but none of the above
+              (tendrils + tubes)
+        DISC  everything else (other weak components)
+
+    Returns (labels(id, scc, cls), info with class counts). Everything
+    is a composition of fixpoints already shipped: SCC (min-label),
+    forward/backward frontier BFS from the core member set, and the
+    undirected hash-to-min components for the weak-connectivity split —
+    all schedule-independent, so the result admits a recursive-CTE
+    oracle with no round pinning.
+    """
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    labels, scc_info = strongly_connected_components(
+        spark, edges, num_partitions=sp
+    )
+    sizes = labels.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+    core_row = sizes.orderBy(F.desc("n"), "scc").first()
+    if core_row is None:  # edgeless input
+        empty = spark.createDataFrame([], "id long, scc long, cls string")
+        return empty, {"core_scc": None, **scc_info}
+    core_label = int(core_row["scc"])
+    core = labels.where(F.col("scc") == core_label).select("id")
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(sp, "src")
+        .persist()
+    )
+    e.count()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = _reach_fixpoint(spark, e, core, "bowtie_fwd")     # core ∪ OUT
+    bwd = _reach_fixpoint(spark, rev, core, "bowtie_bwd")   # core ∪ IN
+
+    from efficient_graph_algorithms_spark.operators.components import (
+        connected_components,
+    )
+
+    weak, _ = connected_components(spark, e, num_partitions=sp)
+    core_weak = int(
+        weak.join(core.limit(1), "id").select("component").first()["component"]
+    )
+
+    out = (
+        labels.join(fwd.select("id", F.lit(1).alias("_f")), "id", "left")
+        .join(bwd.select("id", F.lit(1).alias("_b")), "id", "left")
+        .join(weak, "id")
+        .select(
+            "id",
+            "scc",
+            F.when(F.col("scc") == core_label, F.lit("CORE"))
+            .when(F.col("_b").isNotNull(), F.lit("IN"))
+            .when(F.col("_f").isNotNull(), F.lit("OUT"))
+            .when(F.col("component") == core_weak, F.lit("TEND"))
+            .otherwise(F.lit("DISC"))
+            .alias("cls"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    counts = {r["cls"]: r["n"] for r in
+              out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    return out, {"core_scc": core_label, "class_counts": counts, **scc_info}

@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
-                 "closeness"):
+                 "closeness", "bowtie"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -390,6 +390,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "closeness", "radius": args.max_radius,
                           "sources": srcs.count(), "rounds": info["rounds"],
                           "top": top, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "bowtie":
+        from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+        labels, info = bowtie_classes(spark, edges)
+        if args.out:
+            labels.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "bowtie", "core_scc": info["core_scc"],
+                          "class_counts": info["class_counts"],
+                          "outer_rounds": info["outer_rounds"],
+                          "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "walks":

@@ -93,4 +93,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_window_rank", "rel_set_ops",
                        "rel_onehot_mask", "rel_stats", "rel_zscore",
                        "rel_interp_metrics", "graph_coupling",
-                       "graph_wpr3", "corpus_cap_source"}, outside
+                       "graph_wpr3", "corpus_cap_source",
+                       "graph_bowtie"}, outside

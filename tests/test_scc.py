@@ -118,3 +118,92 @@ def test_dag_is_all_singletons(spark):
 def test_self_loops_ignored(spark):
     got, _, _ = _run(spark, [(0, 0), (0, 1), (1, 0), (2, 2)])
     assert got == {0: 0, 1: 0}  # pure-self-loop vertex 2 never enters
+
+
+def _bowtie_oracle(pairs):
+    """Pure-Python Broder classification via closures."""
+    verts = {v for e in pairs for v in e}
+    adj, radj, uadj = {}, {}, {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        radj.setdefault(b, set()).add(a)
+        uadj.setdefault(a, set()).add(b)
+        uadj.setdefault(b, set()).add(a)
+
+    def reach(seeds, g):
+        seen, frontier = set(seeds), list(seeds)
+        while frontier:
+            nxt = [w for u in frontier for w in g.get(u, ()) if w not in seen]
+            seen.update(nxt)
+            frontier = nxt
+        return seen
+
+    sccs = {}
+    for v in verts:
+        fwd, bwd = reach({v}, adj), reach({v}, radj)
+        sccs[v] = min(fwd & bwd)
+    from collections import Counter
+
+    cnt = Counter(sccs.values())
+    core_label = min(
+        (lbl for lbl in cnt if cnt[lbl] == max(cnt.values()))
+    )
+    core = {v for v, l in sccs.items() if l == core_label}
+    fwd, bwd = reach(core, adj), reach(core, radj)
+    weak = reach(core, uadj)
+    out = {}
+    for v in verts:
+        if v in core:
+            out[v] = "CORE"
+        elif v in bwd:
+            out[v] = "IN"
+        elif v in fwd:
+            out[v] = "OUT"
+        elif v in weak:
+            out[v] = "TEND"
+        else:
+            out[v] = "DISC"
+    return sccs, out
+
+
+def test_bowtie_hand_built(spark):
+    """Core 3-cycle, IN chain, OUT chain, tendril off IN, island."""
+    from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+    pairs = [
+        (10, 11), (11, 12), (12, 10),   # CORE
+        (1, 2), (2, 10),                # IN chain
+        (12, 20), (20, 21),             # OUT chain
+        (2, 30),                        # tendril hanging off IN
+        (40, 41),                       # disconnected island
+    ]
+    edf = spark.createDataFrame(pairs, "src long, dst long")
+    labels, info = bowtie_classes(spark, edf)
+    got = {r["id"]: r["cls"] for r in labels.collect()}
+    assert got == {
+        10: "CORE", 11: "CORE", 12: "CORE",
+        1: "IN", 2: "IN",
+        20: "OUT", 21: "OUT",
+        30: "TEND",
+        40: "DISC", 41: "DISC",
+    }
+    assert info["core_scc"] == 10
+    assert info["class_counts"] == {"CORE": 3, "IN": 2, "OUT": 2,
+                                    "TEND": 1, "DISC": 2}
+
+
+def test_bowtie_random_matches_closure_oracle(spark):
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+    rng = np.random.default_rng(29)
+    n, m = 60, 140
+    pairs = sorted(
+        {(int(a), int(b)) for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m)) if a != b}
+    )
+    edf = spark.createDataFrame(pairs, "src long, dst long")
+    labels, _ = bowtie_classes(spark, edf)
+    got = {r["id"]: (r["scc"], r["cls"]) for r in labels.collect()}
+    sccs, cls = _bowtie_oracle(pairs)
+    assert got == {v: (sccs[v], cls[v]) for v in sccs}
