@@ -26,7 +26,7 @@ Decode status per modality:
   histogram). ``encode_y4m`` closes the round-trip for tests. Any
   ``video`` row whose payload carries a YUV4MPEG2 magic takes this
   path unconditionally.
-* **compressed image/video/audio (PNG/JPEG/MP4/MP3…) — STUBBED**
+* **compressed image/video/audio (JPEG/MP4/MP3…) — STUBBED** (PNG\n  decodes for REAL: stdlib zlib inflate + NumPy unfiltering)
   (PIL/ffmpeg/librosa are not in this container): ``decode_media``
   raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
   which case it produces seeded fake features so the distributed
@@ -248,6 +248,124 @@ def encode_bmp24(img: np.ndarray) -> bytes:
     return hdr + body
 
 
+def _is_png(payload: bytes) -> bool:
+    return payload[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PNG → (width, height, pixels float32[h, w, 3] RGB in
+    [0, 1]) with stdlib ``zlib`` only — no PIL.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA —
+    alpha dropped), no interlacing. All five row filters (None/Sub/Up/
+    Average/Paeth) are undone; Sub's in-row prefix dependence is
+    vectorized as a per-byte-lane cumulative sum mod 256, Average and
+    Paeth fall back to an in-row scan. Chunk CRCs are verified
+    (zlib.crc32) so corrupt payloads fail loudly as ValueError."""
+    import zlib
+
+    if not _is_png(payload):
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("PNG chunk truncated")
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
+            "not supported (8-bit gray/RGB/RGBA, no interlace)"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    arr = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 1:  # Sub: prefix sum per byte lane mod 256
+            cur = np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (r + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: in-row scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    cur[x] = (r[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (r[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG bad filter byte {f}")
+        out[y], prev = cur, cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        img = np.repeat(px, 3, axis=2)
+    elif ctype == 2:
+        img = px
+    else:
+        img = px[:, :, :3]
+    return w, h, img.astype(np.float32) / 255.0
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 or float[0,1] RGB (h, w, 3) → 8-bit RGB PNG (filter 0
+    rows). Round-trip partner of ``decode_png``."""
+    import zlib
+
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    h, w, _ = a.shape
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _image_features(w: int, h: int, img: np.ndarray) -> tuple[int, int, np.ndarray]:
     """Real image features, FEATURE_DIM wide:
     [mean_r, mean_g, mean_b, std_luminance, 12-bin luminance histogram
@@ -378,16 +496,19 @@ def _video_features(fps: float, frames: np.ndarray) -> tuple[int, int, np.ndarra
 
 
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """Audio WAV, image BMP and video Y4M payloads decode for REAL
-    (pure-NumPy parsers above); compressed formats need PIL/ffmpeg —
-    not in this container — so they are stubbed behind
-    ``deterministic_fake``. Swap in prod."""
+    """Audio WAV, image BMP + PNG and video Y4M payloads decode for
+    REAL (pure-NumPy parsers above; PNG via stdlib zlib); the remaining
+    compressed formats (JPEG/MP4/MP3) need codec libraries not in this
+    container, so they are stubbed behind ``deterministic_fake``. Swap
+    in prod."""
     try:
         if kind == "audio" and _is_wav(payload):
             rate, _n_ch, samples = decode_wav(payload)
             return _audio_features(rate, samples)
         if kind == "image" and _is_bmp(payload):
             return _image_features(*decode_bmp(payload))
+        if kind == "image" and _is_png(payload):
+            return _image_features(*decode_png(payload))
         if kind == "video" and _is_y4m(payload):
             return _video_features(*decode_y4m(payload))
     except (ValueError, NotImplementedError):
@@ -400,7 +521,7 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV/BMP/Y4M media decode requires image/audio libraries not "
+        "non-WAV/BMP/PNG/Y4M media decode requires codec libraries not "
         "present in this environment; pass deterministic_fake=True to "
         "exercise the pipeline"
     )

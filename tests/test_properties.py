@@ -148,3 +148,115 @@ def test_hash_sample_threshold_monotone(r1, r2, seed):
         if int(hashlib.md5(f"smpl:{seed}:{i}".encode()).hexdigest()[:15], 16) < t_hi
     }
     assert kept <= kept_hi
+
+
+def _png_forward_filter(img, filters):
+    """Test-side forward filtering (the encoder's dual): produce the
+    raw scanline stream for the given per-row filter types."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) % 256
+        out.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    return b"".join(out)
+
+
+def _png_wrap(w, h, ctype, raw):
+    import zlib
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_all_filters_decode():
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) undone exactly."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 7, 3)).astype(np.uint8)
+    raw = _png_forward_filter(img, filters=[0, 1, 2, 3, 4])
+    w, h, out = decode_png(_png_wrap(7, 10, 2, raw))
+    assert (w, h) == (7, 10)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_png_gray_and_rgba():
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(4)
+    gray = rng.integers(0, 256, (5, 6, 1)).astype(np.uint8)
+    w, h, out = decode_png(_png_wrap(6, 5, 0, _png_forward_filter(gray, [0, 2])))
+    assert out.shape == (5, 6, 3)
+    np.testing.assert_allclose(out[:, :, 0], gray[:, :, 0] / 255.0, atol=1e-7)
+    np.testing.assert_allclose(out[:, :, 1], out[:, :, 0])  # replicated
+
+    rgba = rng.integers(0, 256, (4, 3, 4)).astype(np.uint8)
+    w, h, out = decode_png(_png_wrap(3, 4, 6, _png_forward_filter(rgba, [1, 4])))
+    np.testing.assert_allclose(out, rgba[:, :, :3] / 255.0, atol=1e-7)  # alpha dropped
+
+
+def test_png_malformed_fails_loudly():
+    import pytest as _pytest
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_png, encode_png)
+    import numpy as np
+
+    good = encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt IHDR payload -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_png, encode_png)
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    ww, hh, out = decode_png(encode_png(img))
+    assert (ww, hh) == (w, h)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-7)
