@@ -661,3 +661,40 @@ def test_knn_graph_exact_and_lsh_recall(spark):
     found = len(planted & lsh) / len(planted)
     assert found >= 0.9
     df.unpersist()
+
+
+def test_real_png_through_spark_pipeline(spark):
+    """End-to-end: real PNG bytes (stdlib-zlib encode) flow through
+    extract_media_features' mapInPandas path with deterministic_fake
+    OFF — the features are measurements of the decoded pixels, checked
+    against computing them on the source array directly."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _image_features,
+        encode_png,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(12)
+    rows, want = [], {}
+    for i in range(6):
+        img = rng.integers(0, 256, (8 + i, 11 + i, 3)).astype(np.uint8)
+        rows.append((i, "image", encode_png(img), {}))
+        w, h, feats = _image_features(
+            img.shape[1], img.shape[0], img.astype(np.float32) / 255.0
+        )
+        want[i] = (w, h, feats)
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    ).repartition(2)
+    out = {r["media_id"]: r for r in
+           extract_media_features(media, deterministic_fake=False).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[i]
+        w, h, feats = want[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert len(r["features"]) == FEATURE_DIM
+        np.testing.assert_allclose(r["features"], feats, rtol=0, atol=1e-6)
