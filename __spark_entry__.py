@@ -668,6 +668,45 @@ SELECT a, b, n_common FROM pairs ORDER BY n_common DESC, a, b LIMIT {COCITE_K}
 """
 
 
+_MIRROR_DOCS_SQL = (
+    "SELECT doc_id, text, source FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text, 'mirror-' || source AS source "
+    "FROM documents WHERE doc_id < 60"
+)
+
+
+def q_mirror_sources(spark, sf_dir):
+    """Mirror / template detection: pairs of sources sharing >= 2 exact
+    content fingerprints (site-level dedup face). Documents are
+    augmented with a planted mirror of the first 60 docs under
+    'mirror-<source>' names — same CTE in both engines."""
+    from efficient_graph_algorithms_spark.operators.cocite import mirror_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = d.unionByName(
+        d.where(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text",
+            F.concat(F.lit("mirror-"), F.col("source")).alias("source"),
+        )
+    )
+    return mirror_pairs(docs, min_shared=2)
+
+
+def _mirror_sources_sql(min_shared: int = 2, df_cap: int = 256) -> str:
+    from efficient_graph_algorithms_spark.functions.text import duck_fingerprint60
+
+    return f"""
+WITH md AS ({_MIRROR_DOCS_SQL}),
+bip AS (SELECT DISTINCT {duck_fingerprint60('text')} AS fp, source FROM md),
+hot AS (SELECT fp FROM bip GROUP BY fp HAVING count(*) > {df_cap}),
+cold AS (SELECT * FROM bip WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT x.source AS a, y.source AS b, count(*) AS n_common
+FROM cold x JOIN cold y ON x.fp = y.fp AND x.source < y.source
+GROUP BY x.source, y.source HAVING count(*) >= {min_shared}
+"""
+
+
 def q_graph_closeness2(spark, sf_dir):
     """Truncated closeness centrality (engine extension — the sampled
     centrality statistic of web-graph analysis) from the same sampled
@@ -2449,6 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_bowtie (Broder decomposition over the graph_scc
         # sparsified graph) likewise tail-side, check_parity evidence.
         "graph_bowtie": q_graph_bowtie,
+        # mirror_sources (site-level dedup face, fingerprint-bipartite
+        # pair counts) likewise tail-side, check_parity evidence.
+        "mirror_sources": q_mirror_sources,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2492,6 +2534,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_coupling": _cocite_oracle_sql("dst", "src"),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
+        "mirror_sources": _mirror_sources_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

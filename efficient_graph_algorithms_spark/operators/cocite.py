@@ -95,3 +95,29 @@ def cocitation_topk(
         raise ValueError(f"mode must be 'cocitation' or 'coupling', got {mode!r}")
     out = pairs.orderBy(F.desc("n_common"), "a", "b").limit(k)
     return out, {"mode": mode, "k": k, "degree_cap": degree_cap}
+
+
+def mirror_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    df_cap: int | None = 256,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mirror / template detection: (a, b, n_common) pairs of sources
+    (hosts, feeds) sharing >= min_shared exact content fingerprints —
+    the site-level face of dedup (a near-complete overlap means one
+    source mirrors the other; a moderate one, a shared page template).
+
+    Pure composition: fingerprint60 over the text column turns
+    documents into a (fingerprint, source) bipartite table, and the
+    co-citation pair counter does the rest — fingerprints shared by
+    more than ``df_cap`` sources are dropped exactly like hot hubs
+    (boilerplate pages carry no mirroring signal and cost O(d^2)
+    pairs)."""
+    from efficient_graph_algorithms_spark.functions.text import fingerprint60
+
+    bip = docs.select(
+        fingerprint60(F.col(text_col)).alias("fp"), F.col(key_col).alias("src_key")
+    )
+    return _pair_counts(bip, "fp", "src_key", min_shared, df_cap)

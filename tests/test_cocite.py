@@ -68,3 +68,25 @@ def test_topk_total_order_deterministic(spark):
     assert info["mode"] == "cocitation"
     with pytest.raises(ValueError):
         cocitation_topk(edges, mode="nope")
+
+
+def test_mirror_pairs(spark):
+    """Two sources sharing 3 identical texts pair with n_common=3;
+    normalization-insensitive (fingerprint60 is whitespace/case
+    collapsed); singletons and sub-threshold overlaps drop out."""
+    from efficient_graph_algorithms_spark.operators.cocite import mirror_pairs
+
+    rows = [
+        (0, "alpha beta gamma", "s1"), (1, "delta epsilon", "s1"),
+        (2, "zeta eta", "s1"),
+        (10, "Alpha  Beta   GAMMA", "s2"),     # normalized dup of 0
+        (11, "delta epsilon", "s2"), (12, "zeta eta", "s2"),
+        (20, "alpha beta gamma", "s3"),        # only ONE shared with s1/s2
+        (21, "unique to s3", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in mirror_pairs(docs, min_shared=2).collect()
+    }
+    assert got == {("s1", "s2"): 3}
