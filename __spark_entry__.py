@@ -1955,6 +1955,74 @@ def _corpus_cap_source_sql(n: int = CAP_PER_SOURCE, seed: int = 42) -> str:
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The end-to-end corpus-prep accounting query a data team runs:
+    near-dup clustering keeps one representative per cluster, a quality
+    floor drops junk, per-language deterministic sampling sets the mix,
+    and the output is the per-language doc and BPE-token budget of the
+    resulting corpus. Every stage is exact integer arithmetic, so the
+    whole pipeline composes into one exact SQL oracle."""
+    from efficient_graph_algorithms_spark.functions.text import (
+        bpe_token_count,
+        quality_score,
+    )
+    from efficient_graph_algorithms_spark.operators.dedup import dedup_clusters
+    from efficient_graph_algorithms_spark.operators.sampling import stratified_sample
+
+    docs = _dup_docs(spark, sf_dir)
+    keep = dedup_clusters(spark, docs, threshold=0.5).where(F.col("keep") == 1)
+    kept_docs = docs.join(keep.select("doc_id"), "doc_id")
+    qualified = kept_docs.where(quality_score(F.col("text")) >= 300)
+    sampled = stratified_sample(
+        qualified, {"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.125, seed=11
+    )
+    return (
+        sampled.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _corpus_pipeline_sql(qmin: int = 300, seed: int = 11) -> str:
+    from efficient_graph_algorithms_spark.functions.text import (
+        duck_bpe_token_count,
+        duck_lang_id,
+        duck_quality_score,
+    )
+    from efficient_graph_algorithms_spark.operators.sampling import rate_threshold
+
+    h = f"(('0x' || substr(md5('smpl:{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+    thr = (
+        f"CASE {duck_lang_id('text')} "
+        f"WHEN 'de' THEN {rate_threshold(0.25)} "
+        f"WHEN 'en' THEN {rate_threshold(0.5)} "
+        f"WHEN 'fr' THEN {rate_threshold(0.25)} "
+        f"ELSE {rate_threshold(0.125)} END"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_sims_cte()},
+prs AS (SELECT a, b FROM sims WHERE sig_sim >= 0.5),
+ed AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(u, v) AS (
+  SELECT u, v FROM ed
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u WHERE e.v <> r.u
+),
+rep AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM reach GROUP BY u),
+alldocs AS ({_DUP_DOCS_SQL}),
+kept AS (SELECT d.doc_id, d.text FROM alldocs d LEFT JOIN rep r ON r.doc_id = d.doc_id
+         WHERE coalesce(r.rep_id, d.doc_id) = d.doc_id),
+qual AS (SELECT doc_id, text FROM kept WHERE {duck_quality_score('text')} >= {qmin}),
+sampled AS (SELECT doc_id, text, {duck_lang_id('text')} AS stratum
+            FROM qual WHERE {h} < {thr})
+SELECT stratum, count(*) AS n_docs,
+       sum({duck_bpe_token_count('text')})::BIGINT AS n_bpe_tokens
+FROM sampled GROUP BY stratum
+"""
+
+
 def _text_features_sql() -> str:
     from efficient_graph_algorithms_spark.functions.text import (
         duck_bpe_token_count,
@@ -2491,6 +2559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirror_sources (site-level dedup face, fingerprint-bipartite
         # pair counts) likewise tail-side, check_parity evidence.
         "mirror_sources": q_mirror_sources,
+        # corpus_pipeline (the end-to-end dedup→quality→sample→token
+        # accounting composition) likewise tail-side.
+        "corpus_pipeline": q_corpus_pipeline,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2535,6 +2606,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

@@ -94,4 +94,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_onehot_mask", "rel_stats", "rel_zscore",
                        "rel_interp_metrics", "graph_coupling",
                        "graph_wpr3", "corpus_cap_source",
-                       "graph_bowtie", "mirror_sources"}, outside
+                       "graph_bowtie", "mirror_sources",
+                       "corpus_pipeline"}, outside
