@@ -108,3 +108,21 @@ def test_cap_per_key_stable_under_repartitioning(spark):
         for r in cap_per_key(df.repartition(11, "doc_id"), "source", 7).collect()
     )
     assert a == b
+
+
+def test_cap_per_key_monotone_in_n(spark):
+    """Quota monotonicity: the kept set at cap n is a subset of the
+    kept set at any larger cap (rank order is fixed by (hash, id)), so
+    raising a per-domain budget only ADDS documents — the same
+    stability property the rate gate has."""
+    from efficient_graph_algorithms_spark.operators.sampling import cap_per_key
+
+    rows = [(i, f"s{i % 5}", "t") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = {
+        n: {r["doc_id"] for r in cap_per_key(df, "source", n, seed=2).collect()}
+        for n in (0, 3, 10, 30, 100)
+    }
+    assert kept[0] == set()
+    assert kept[3] <= kept[10] <= kept[30] <= kept[100]
+    assert len(kept[3]) == 15 and len(kept[10]) == 50  # 5 keys x min(n, 30)
