@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
                         "representative per cluster (pair methods only)")
     d.add_argument("--out")
 
+    mi = sub.add_parser("mirror")
+    mi.add_argument("--docs", required=True)
+    mi.add_argument("--min-shared", type=int, default=2)
+    mi.add_argument("--key", default="source",
+                    help="grouping column paired by shared fingerprints")
+    mi.add_argument("--out")
+
     sm = sub.add_parser("sample")
     sm.add_argument("--docs", required=True)
     sm.add_argument("--rate", type=float, default=0.1)
@@ -195,6 +202,23 @@ def main(argv: list[str] | None = None) -> int:
             pairs = spark.read.parquet(args.out)
         print(json.dumps({"cmd": "dedup", "method": args.method,
                           "docs": docs.count(), "pairs": pairs.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "mirror":
+        from efficient_graph_algorithms_spark.operators.cocite import mirror_pairs
+
+        docs = spark.read.parquet(args.docs)
+        pairs = mirror_pairs(docs, min_shared=args.min_shared, key_col=args.key)
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            pairs = spark.read.parquet(args.out)
+        top = [
+            (r["a"], r["b"], r["n_common"])
+            for r in pairs.orderBy(F.desc("n_common"), "a", "b").limit(5).collect()
+        ]
+        print(json.dumps({"cmd": "mirror", "min_shared": args.min_shared,
+                          "n_pairs": pairs.count(), "top": top,
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
