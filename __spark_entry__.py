@@ -2306,21 +2306,79 @@ def q_video_frame_stats(spark, sf_dir):
     )
 
 
+def q_text_decontam(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing a word-6-gram
+    with a probe set. The probe set is synthesized deterministically
+    (identically in the SQL oracle): every doc with doc_id % 41 == 7
+    contributes its first 8 normalized tokens as one probe row. The
+    corpus side never self-joins — probes broadcast."""
+    from efficient_graph_algorithms_spark.functions.text import normalized_text
+    from efficient_graph_algorithms_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(normalized_text(F.col("text")), " ")
+    probes = d.where((F.col("doc_id") % 41 == 7) & (F.size(toks) >= 8)).select(
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text")
+    )
+    return decontaminate(d, probes, width=6)
+
+
+def q_text_pii(spark, sf_dir):
+    """PII detection/redaction with deterministically planted spans
+    (emails on doc_id % 7, IPv4s on doc_id % 11 — same construction in
+    the SQL oracle): per-doc span counts + redacted-text fingerprint."""
+    from efficient_graph_algorithms_spark.operators.pii import pii_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 200).cast("string"),
+                F.lit(".3."),
+                (did % 250).cast("string"),
+                F.lit(" up"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_features(d.select("doc_id", planted.alias("text")))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document."""
+    from efficient_graph_algorithms_spark.operators.repetition import (
+        repetition_features,
+    )
+
+    return repetition_features(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle builders for dedup/similarity
 # ---------------------------------------------------------------------------
 
-def _shingle_sql(docs_cte: str) -> str:
-    """Shingle CTEs over `dd(doc_id, text)`."""
+def _shingle_sql(docs_cte: str, width: int = 3) -> str:
+    """Shingle CTEs over `dd(doc_id, text)` (word-``width``-grams,
+    lockstep with operators/dedup.py shingles())."""
+    gram = " || ' ' || ".join(["w[i]"] + [f"w[i+{j}]" for j in range(1, width)])
     return f"""
 dd AS ({docs_cte}),
 nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM dd),
 tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
-    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-    ELSE list_transform(generate_series(1, len(w) - 2),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END)) AS shingle
+    CASE WHEN len(w) < {width} THEN [array_to_string(w, ' ')]
+    ELSE list_transform(generate_series(1, len(w) - {width - 1}),
+                        i -> {gram}) END)) AS shingle
   FROM tk)"""
 
 
@@ -2348,6 +2406,57 @@ SELECT c.a, c.b,
   round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
 FROM com c JOIN sizes sa ON sa.id = c.a JOIN sizes sb ON sb.id = c.b
 WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= {threshold}
+"""
+
+
+def _decontam_sql() -> str:
+    """Width-6 shingles over all documents; probes are the first 8
+    normalized tokens of every doc_id % 41 == 7 document (3 width-6
+    grams each), deduplicated — lockstep with q_text_decontam."""
+    return f"""
+WITH {_shingle_sql("SELECT doc_id, text FROM documents", width=6)},
+psh AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, 3),
+      i -> array_to_string(list_slice(w, i, i + 5), ' '))) AS shingle
+  FROM tk WHERE doc_id % 41 = 7 AND len(w) >= 8)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s JOIN psh USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+def _pii_sql() -> str:
+    from efficient_graph_algorithms_spark.operators.pii import duck_pii_sql
+
+    return f"""
+WITH dd AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0
+        THEN ' host 10.' || (doc_id % 200)::VARCHAR || '.3.'
+             || (doc_id % 250)::VARCHAR || ' up' ELSE '' END) AS text
+  FROM documents)
+SELECT doc_id, {duck_pii_sql('text')} FROM dd
+"""
+
+
+def _repetition_sql() -> str:
+    return """
+WITH dd AS (SELECT doc_id, text FROM documents),
+nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM dd),
+tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+ts AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       round(1 - 1.0 * len(list_distinct(w)) / len(w), 6) AS dup_token_frac FROM tk),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       i -> w[i] || ' ' || w[i+1])) AS bigram FROM tk WHERE len(w) >= 2),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+bs AS (SELECT doc_id, round(1.0 * max(c) / sum(c), 6) AS top_bigram_frac
+       FROM bc GROUP BY doc_id)
+SELECT ts.doc_id, ts.n_tokens, ts.dup_token_frac,
+       coalesce(bs.top_bigram_frac, 0.0)::DOUBLE AS top_bigram_frac
+FROM ts LEFT JOIN bs USING (doc_id)
 """
 
 
@@ -2562,6 +2671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus_pipeline (the end-to-end dedup→quality→sample→token
         # accounting composition) likewise tail-side.
         "corpus_pipeline": q_corpus_pipeline,
+        # text_decontam / text_pii / text_repetition (benchmark n-gram
+        # decontamination, PII detect+redact, Gopher-style repetition
+        # metrics) likewise tail-side, check_parity evidence.
+        "text_decontam": q_text_decontam,
+        "text_pii": q_text_pii,
+        "text_repetition": q_text_repetition,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2607,6 +2722,9 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "text_decontam": _decontam_sql(),
+        "text_pii": _pii_sql(),
+        "text_repetition": _repetition_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

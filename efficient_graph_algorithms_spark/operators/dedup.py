@@ -41,9 +41,14 @@ def _tokens(text_col) -> F.Column:
     return F.split(normalized_text(text_col), " ")
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle string) — distinct word-SHINGLE_W-grams per doc.
-    Docs shorter than SHINGLE_W words contribute their full text.
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = SHINGLE_W,
+) -> DataFrame:
+    """(id, shingle string) — distinct word-``width``-grams per doc.
+    Docs shorter than ``width`` words contribute their full text.
 
     The token array is PROJECTED once per row before the shingle
     transform: inlining ``split(normalized_text(..))`` into the lambda
@@ -55,12 +60,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
     toks = F.col("_toks")
     sh = F.when(
-        F.size(toks) < SHINGLE_W, F.array(F.concat_ws(" ", toks))
+        F.size(toks) < width, F.array(F.concat_ws(" ", toks))
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
+            F.sequence(F.lit(0), F.size(toks) - width),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                " ", *[F.element_at(toks, i + j) for j in range(1, width + 1)]
             ),
         )
     )

@@ -140,6 +140,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--gap-sec", type=int, default=1800)
     s.add_argument("--out")
 
+    dc = sub.add_parser("decontam")
+    dc.add_argument("--docs", required=True)
+    dc.add_argument("--probes", required=True,
+                    help="parquet of benchmark rows with a text column")
+    dc.add_argument("--width", type=int, default=6,
+                    help="words per overlap n-gram")
+    dc.add_argument("--out")
+
+    pi = sub.add_parser("pii")
+    pi.add_argument("--docs", required=True)
+    pi.add_argument("--out")
+
+    rp = sub.add_parser("repetition")
+    rp.add_argument("--docs", required=True)
+    rp.add_argument("--out")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"ega-{args.cmd}")
     t0 = time.time()
@@ -244,6 +260,55 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "sample", "rate": args.rate,
                           "by_lang": args.by_lang, "qmin": args.qmin,
                           "docs_in": n_in, "docs_kept": out.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "decontam":
+        from efficient_graph_algorithms_spark.operators.decontam import decontaminate
+
+        docs = spark.read.parquet(args.docs)
+        probes = spark.read.parquet(args.probes)
+        hits = decontaminate(docs, probes, width=args.width)
+        if args.out:
+            hits.write.mode("overwrite").parquet(args.out)
+            hits = spark.read.parquet(args.out)
+        print(json.dumps({"cmd": "decontam", "width": args.width,
+                          "docs": docs.count(), "flagged": hits.count(),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "pii":
+        from efficient_graph_algorithms_spark.operators.pii import pii_features
+
+        docs = spark.read.parquet(args.docs)
+        out = pii_features(docs)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.sum("n_emails").alias("e"), F.sum("n_ips").alias("i"),
+                      F.sum((F.col("n_emails") + F.col("n_ips") > 0).cast("long")
+                            ).alias("d")).first()
+        print(json.dumps({"cmd": "pii", "docs": out.count(),
+                          "docs_with_pii": int(agg["d"] or 0),
+                          "emails": int(agg["e"] or 0), "ips": int(agg["i"] or 0),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "repetition":
+        from efficient_graph_algorithms_spark.operators.repetition import (
+            repetition_features)
+
+        docs = spark.read.parquet(args.docs)
+        out = repetition_features(docs)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.avg("dup_token_frac").alias("ad"),
+                      F.avg("top_bigram_frac").alias("ab")).first()
+        print(json.dumps({"cmd": "repetition", "docs": int(agg["n"]),
+                          "avg_dup_token_frac": round(float(agg["ad"] or 0), 6),
+                          "avg_top_bigram_frac": round(float(agg["ab"] or 0), 6),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 

@@ -1,0 +1,129 @@
+"""Decontamination, PII and repetition operators vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.operators.decontam import decontaminate
+from efficient_graph_algorithms_spark.operators.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    pii_features,
+)
+from efficient_graph_algorithms_spark.operators.repetition import repetition_features
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "alpha beta gamma delta epsilon zeta different tail here now"),
+    (2, "no overlap with anything else in this corpus at all truly"),
+    (3, "spam spam spam spam spam spam spam spam spam spam"),
+    (4, "one two one two one two one two one two one two"),
+    (5, "tiny doc"),
+]
+
+PROBES = [
+    # first 6-gram of doc 0/1's shared prefix -> contaminates both
+    ("alpha beta gamma delta epsilon zeta",),
+    # matches nothing
+    ("purple monkey dishwasher quantum flux capacitor",),
+]
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t.strip().lower())
+
+
+def _grams(t: str, w: int) -> set[str]:
+    toks = _norm(t).split(" ")
+    if len(toks) < w:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_decontaminate_matches_python(spark, docs_df):
+    probes_df = spark.createDataFrame(PROBES, "text string")
+    got = {
+        (r["doc_id"], r["n_hits"])
+        for r in decontaminate(docs_df, probes_df, width=6).collect()
+    }
+    probe_grams = set().union(*(_grams(p, 6) for (p,) in PROBES))
+    exp = set()
+    for i, t in DOCS:
+        hits = len(_grams(t, 6) & probe_grams)
+        if hits:
+            exp.add((i, hits))
+    assert got == exp
+    assert got, "planted contamination must be detected"
+    assert {i for i, _ in got} == {0, 1}
+
+
+def test_decontaminate_broadcasts_probes(spark, docs_df):
+    probes_df = spark.createDataFrame(PROBES, "text string")
+    plan = decontaminate(docs_df, probes_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "probe side must broadcast, never shuffle the corpus"
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "write to alice.smith@example.org or bob@test.co today"),
+        (1, "server at 10.1.2.3 and fallback 192.168.0.254 up"),
+        (2, "mixed: carol+x@a.io from 8.8.8.8"),
+        (3, "nothing sensitive here"),
+        (4, "not an ip 1234.5.6.7890 half"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_features(df).collect()}
+    for i, t in rows:
+        assert got[i]["n_emails"] == len(re.findall(EMAIL_RE, t)), (i, t)
+        assert got[i]["n_ips"] == len(re.findall(IPV4_RE, t)), (i, t)
+    assert got[0]["n_emails"] == 2 and got[0]["n_ips"] == 0
+    assert got[1]["n_ips"] == 2 and got[1]["n_emails"] == 0
+    assert got[2]["n_emails"] == 1 and got[2]["n_ips"] == 1
+    assert got[3]["n_emails"] == 0 and got[3]["n_ips"] == 0
+    # \b can't sit between two digits, so 1234.5.6.7890 yields no match
+    # in either engine
+    assert got[4]["n_ips"] == 0
+
+
+def test_pii_redacted_fingerprint_changes_only_pii_docs(spark):
+    rows = [(0, "mail me at x@y.zz now"), (1, "plain text only")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from efficient_graph_algorithms_spark.functions.text import fingerprint60
+
+    out = {r["doc_id"]: r["redacted_fp"] for r in pii_features(df).collect()}
+    raw = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint60(F.col("text")).alias("fp")).collect()
+    }
+    assert out[0] != raw[0], "redaction must change the fingerprint of PII docs"
+    assert out[1] == raw[1], "non-PII docs must keep their fingerprint"
+
+
+def test_repetition_matches_python(spark, docs_df):
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(docs_df).collect()}
+    for i, t in DOCS:
+        toks = _norm(t).split(" ")
+        assert got[i]["n_tokens"] == len(toks)
+        exp_dup = round(1.0 - len(set(toks)) / len(toks), 6)
+        assert got[i]["dup_token_frac"] == pytest.approx(exp_dup, abs=1e-9)
+        if len(toks) >= 2:
+            bg = Counter(
+                " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+            )
+            exp_top = round(max(bg.values()) / sum(bg.values()), 6)
+        else:
+            exp_top = 0.0
+        assert got[i]["top_bigram_frac"] == pytest.approx(exp_top, abs=1e-9)
+    # the pathological repeats score at the top
+    assert got[3]["dup_token_frac"] > 0.8 and got[3]["top_bigram_frac"] == 1.0
+    assert got[4]["top_bigram_frac"] > 0.4
+    assert got[2]["dup_token_frac"] == 0.0
