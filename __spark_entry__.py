@@ -2123,6 +2123,16 @@ def q_sim_cosine_pairs(spark, sf_dir):
     return cosine_pairs(emb, threshold=COS_THRESHOLD)
 
 
+def q_sem_dedup(spark, sf_dir):
+    """SemDeDup in its exhaustive configuration (n_centroids=1 =
+    brute-force pairs, so the keep-first rule has an exact SQL oracle);
+    the clustered scale path is pytest-verified (kept-set supersets)."""
+    from efficient_graph_algorithms_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return semantic_dedup(emb, threshold=COS_THRESHOLD, n_centroids=1)
+
+
 LSH_PAIR_PLANES = 6
 LSH_PAIR_THRESHOLD = 0.25
 
@@ -2566,6 +2576,22 @@ WHERE x.vec_id < 200 AND y.vec_id < 200 AND round({_COS_EXPR}, 4) >= {threshold}
 """
 
 
+def _sem_dedup_sql(threshold: float = COS_THRESHOLD) -> str:
+    """Exhaustive-face SemDeDup oracle: brute-force pairs + the
+    non-recursive keep-first rule (drop b iff it is the higher id of
+    any qualifying pair) — lockstep with q_sem_dedup."""
+    return f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM emb x JOIN emb y ON x.vec_id < y.vec_id
+  WHERE round({_COS_EXPR}, 4) >= {threshold})
+SELECT e.vec_id, 0::BIGINT AS list_id,
+  (CASE WHEN e.vec_id IN (SELECT b FROM pairs) THEN 0 ELSE 1 END)::BIGINT AS keep
+FROM emb e
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2677,6 +2703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontam": q_text_decontam,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
+        # sem_dedup (SemDeDup embedding-level dedup, exhaustive face
+        # oracled exactly; clustered scale path pytest-verified)
+        # likewise tail-side, check_parity evidence.
+        "sem_dedup": q_sem_dedup,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2725,6 +2755,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_decontam": _decontam_sql(),
         "text_pii": _pii_sql(),
         "text_repetition": _repetition_sql(),
+        "sem_dedup": _sem_dedup_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

@@ -180,3 +180,69 @@ def cosine_pairs_lsh(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), ROUND_DP).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    semantic deduplication. Returns (vec_id, list_id, keep) — keep=0
+    iff some LOWER-id vector in the same coarse cluster has cosine >=
+    threshold (the deterministic keep-first rule; non-recursive, so the
+    kept set is a pure function of the pair table and replayable in
+    plain SQL).
+
+    Scale shape — the SemDeDup trick: the exact pairwise cosine runs
+    ONLY inside coarse k-means clusters (one equi-join keyed on
+    list_id), so the quadratic term is bounded by cluster size, never
+    corpus size; cross-cluster near-dups are missed BY DESIGN (the
+    documented recall trade-off — raising n_centroids tightens cost and
+    loosens recall). Cluster assignment is a pure scan-stage expression
+    over broadcast centroid literals (operators/ann.py Lloyd quantizer,
+    driver state = n_centroids x dim floats). n_centroids=1 is the
+    exhaustive face: exact brute-force dedup, the SQL-oracle config.
+    """
+    from efficient_graph_algorithms_spark.operators.ann import (
+        _ivf_assign_expr,
+        ivf_centroids,
+    )
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    if n_centroids > 1:
+        if centroids is None:
+            centroids = ivf_centroids(
+                vectors, n_centroids, n_iter, seed, id_col, vec_col
+            )
+        assign = _ivf_assign_expr(F.col("_v"), centroids)
+    else:
+        assign = F.lit(0)
+    assigned = v.select("vec_id", "_v", assign.cast("long").alias("list_id"))
+    a = assigned.select(
+        F.col("vec_id").alias("a"), F.col("_v").alias("_va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b"), F.col("_v").alias("_vb"), "list_id"
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), ROUND_DP) >= threshold)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        F.when(F.col("_drop").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )

@@ -156,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--docs", required=True)
     rp.add_argument("--out")
 
+    sd = sub.add_parser("semdedup")
+    sd.add_argument("--embeddings", required=True)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("--centroids", type=int, default=16,
+                    help="coarse clusters (1 = exhaustive brute force)")
+    sd.add_argument("--seed", type=int, default=42)
+    sd.add_argument("--out")
+
     args = ap.parse_args(argv)
     spark = get_spark(f"ega-{args.cmd}")
     t0 = time.time()
@@ -309,6 +317,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "repetition", "docs": int(agg["n"]),
                           "avg_dup_token_frac": round(float(agg["ad"] or 0), 6),
                           "avg_top_bigram_frac": round(float(agg["ab"] or 0), 6),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "semdedup":
+        from efficient_graph_algorithms_spark.operators.similarity import (
+            semantic_dedup)
+
+        emb = spark.read.parquet(args.embeddings)
+        out = semantic_dedup(emb, threshold=args.threshold,
+                             n_centroids=args.centroids, seed=args.seed)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"), F.sum("keep").alias("k")).first()
+        print(json.dumps({"cmd": "semdedup", "threshold": args.threshold,
+                          "centroids": args.centroids, "vectors": int(agg["n"]),
+                          "kept": int(agg["k"]), "removed": int(agg["n"] - agg["k"]),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 

@@ -127,3 +127,88 @@ def test_repetition_matches_python(spark, docs_df):
     assert got[3]["dup_token_frac"] > 0.8 and got[3]["top_bigram_frac"] == 1.0
     assert got[4]["top_bigram_frac"] > 0.4
     assert got[2]["dup_token_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (embedding-level semantic dedup)
+# ---------------------------------------------------------------------------
+
+def _semdedup_vectors():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(10, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dups: 10+i is a tiny perturbation of i (cos ~ 1)
+    for i in range(3):
+        pert = base[i] + rng.normal(scale=1e-3, size=8)
+        rows.append((10 + i, [float(x) for x in pert]))
+    return rows
+
+
+def _keep_oracle(rows, threshold):
+    import numpy as np
+
+    ids = [i for i, _ in rows]
+    vecs = {i: np.asarray(v) for i, v in rows}
+    keep = {}
+    for x in ids:
+        drop = False
+        for y in ids:
+            if y < x:
+                vx, vy = vecs[x], vecs[y]
+                c = round(float(vx @ vy / (np.linalg.norm(vx) * np.linalg.norm(vy))), 4)
+                if c >= threshold:
+                    drop = True
+                    break
+        keep[x] = 0 if drop else 1
+    return keep
+
+
+def test_semantic_dedup_exhaustive_matches_python(spark):
+    from efficient_graph_algorithms_spark.operators.similarity import semantic_dedup
+
+    rows = _semdedup_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(df, threshold=0.95, n_centroids=1).collect()
+    }
+    assert got == _keep_oracle(rows, 0.95)
+    # the three planted dups are dropped, their originals kept
+    assert all(got[10 + i] == 0 for i in range(3))
+    assert all(got[i] == 1 for i in range(3))
+
+
+def test_semantic_dedup_clustering_only_under_deletes(spark):
+    """The clustered scale path misses only CROSS-cluster pairs, so its
+    kept set must be a superset of the exhaustive kept set."""
+    from efficient_graph_algorithms_spark.operators.similarity import semantic_dedup
+
+    rows = _semdedup_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exhaustive = {
+        r["vec_id"]
+        for r in semantic_dedup(df, threshold=0.95, n_centroids=1).collect()
+        if r["keep"] == 1
+    }
+    clustered = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.95, n_centroids=4, n_iter=3
+        ).collect()
+        if r["keep"] == 1
+    }
+    assert clustered >= exhaustive
+
+
+def test_semantic_dedup_deterministic(spark):
+    from efficient_graph_algorithms_spark.operators.similarity import semantic_dedup
+
+    rows = _semdedup_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r1 = sorted(map(tuple, semantic_dedup(df, n_centroids=4, seed=9).collect()))
+    r2 = sorted(map(tuple, semantic_dedup(df, n_centroids=4, seed=9).collect()))
+    assert r1 == r2
