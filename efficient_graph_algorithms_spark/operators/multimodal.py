@@ -26,11 +26,20 @@ Decode status per modality:
   histogram). ``encode_y4m`` closes the round-trip for tests. Any
   ``video`` row whose payload carries a YUV4MPEG2 magic takes this
   path unconditionally.
-* **compressed image/video/audio (JPEG/MP4/MP3…) — STUBBED** (PNG\n  decodes for REAL: stdlib zlib inflate + NumPy unfiltering)
-  (PIL/ffmpeg/librosa are not in this container): ``decode_media``
-  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
-  which case it produces seeded fake features so the distributed
-  pipeline is exercised end-to-end.
+* **image/PNG — REAL.** stdlib ``zlib`` inflate + NumPy row
+  unfiltering (all five filters), chunk CRCs verified.
+* **image/JPEG — REAL.** ``decode_jpeg`` is a pure-NumPy baseline
+  sequential DCT decoder (marker parse, canonical Huffman, dequant,
+  zigzag, float IDCT, chroma upsample, YCbCr→RGB); grayscale and
+  YCbCr with sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0).
+  ``encode_jpeg`` closes the round-trip for tests (in-stream DHT/DQT,
+  so any baseline decoder reads its output). Progressive/arithmetic/
+  restart-interval streams raise NotImplementedError.
+* **compressed video/audio (MP4/MP3…) — STUBBED** (ffmpeg/librosa are
+  not in this container): ``decode_media`` raises
+  ``NotImplementedError`` unless ``deterministic_fake=True``, in which
+  case it produces seeded fake features so the distributed pipeline is
+  exercised end-to-end.
 
 Pattern: media rows are large (MBs) — the operators keep batches small
 via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and never collect
@@ -366,6 +375,425 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — pure NumPy, no libjpeg/PIL
+# ---------------------------------------------------------------------------
+
+def _is_jpeg(payload: bytes) -> bool:
+    return payload[:3] == b"\xff\xd8\xff"
+
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_mat() -> np.ndarray:
+    n = np.arange(8)
+    k = n.reshape(8, 1)
+    m = np.cos((2 * n + 1) * k * np.pi / 16.0) * 0.5
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m  # orthonormal: block_dct = M @ b @ M.T; inverse = M.T @ B @ M
+
+
+_DCT_M = _dct_mat()
+
+
+class _BitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment (0xFF00
+    byte-stuffing already removed by the caller)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            self.bitbuf = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical JPEG assignment (Annex C)."""
+    table = {}
+    code = 0
+    it = iter(symbols)
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = next(it)
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Parse a baseline sequential JPEG (SOF0) → (width, height, pixels
+    float32[h, w, 3] RGB in [0, 1]) with NumPy only — no PIL/libjpeg.
+
+    Supported: 8-bit precision, 1 component (grayscale) or 3 (JFIF
+    YCbCr) with arbitrary sampling factors up to 2 (4:4:4, 4:2:2,
+    4:2:0; chroma upsampled by pixel repetition), one scan, standard
+    Huffman entropy coding. Progressive (SOF2), arithmetic coding,
+    and restart intervals raise NotImplementedError."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        ln = int.from_bytes(payload[pos + 2: pos + 4], "big")
+        seg = payload[pos + 4: pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = np.frombuffer(seg[p + 1: p + 65], dtype=np.uint8).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1: p + 17])
+                nsym = sum(counts)
+                syms = seg[p + 17: p + 17 + nsym]
+                huff[(tc, th)] = _build_huff(counts, syms)
+                p += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{marker - 0xC0} not baseline")
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[0:2], "big") != 0:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            scan = (scomps, payload[pos + 2 + ln:])
+            break
+        pos += 2 + ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = frame
+    scomps, raw = scan
+    # strip byte stuffing, stop at EOI / restart markers
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                out.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("JPEG restart markers")
+            break  # EOI or next marker
+        out.append(b)
+        i += 1
+    br = _BitReader(bytes(out))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+    order = {sc["id"]: sc for sc in scomps}
+    pred = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                sc = order[c["id"]]
+                dctab = huff[(0, sc["dc"])]
+                actab = huff[(1, sc["ac"])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(br, dctab)
+                        diff = _extend(br.read_bits(s), s)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, actab)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coef[k] = _extend(br.read_bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coef * q[np.arange(64)]  # dequant in zigzag order
+                        blk = block.reshape(8, 8)
+                        pix = _DCT_M.T @ blk @ _DCT_M + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0: y0 + 8, x0: x0 + 8] = pix
+    # upsample to full res and crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, hmax // c["h"], axis=1), vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        ycc = np.stack([full[0]] * 3, axis=2)
+        rgb = ycc
+    else:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    return w, h, (np.clip(rgb, 0.0, 255.0) / 255.0).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+# simple VALID canonical Huffman tables (carried in-stream via DHT, so
+# any decoder reads them): 12 DC symbols at length 4; the 162 legal AC
+# symbols (EOB, ZRL, run 0-15 x size 1-10) at length 8 (Kraft: 12/16
+# and 162/256, both <= 1; every DHT count byte < 256)
+_ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_SYMS = bytes(range(12))
+_AC_SYMBOLS = sorted(
+    {0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_ENC_AC_COUNTS = [0] * 7 + [len(_AC_SYMBOLS)] + [0] * 8
+_ENC_AC_SYMS = bytes(_AC_SYMBOLS)
+
+
+def _enc_codes(counts, syms):
+    table = {}
+    code = 0
+    it = iter(syms)
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[next(it)] = (length, code)
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1, subsample: bool = False) -> bytes:
+    """uint8 or float[0,1] RGB (h, w, 3) or gray (h, w) → baseline JPEG.
+
+    ``quant`` is a single uniform quantization step (1 = near-lossless,
+    larger = lossier); ``subsample=True`` emits 4:2:0 (chroma = 2x2
+    mean), else 4:4:4. Round-trip partner of ``decode_jpeg`` for tests;
+    tables are written in-stream so any baseline decoder reads it."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0
+        cr = 0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0
+        if subsample:
+            hp = h + (h % 2)
+            wp = w + (w % 2)
+            cbp = np.pad(cb, ((0, hp - h), (0, wp - w)), mode="edge")
+            crp = np.pad(cr, ((0, hp - h), (0, wp - w)), mode="edge")
+            cb = cbp.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad each plane to its MCU-aligned size
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+        padded.append(np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"))
+    qtab = np.full(64, quant, dtype=np.int32)
+    dc_codes = _enc_codes(_ENC_DC_COUNTS, _ENC_DC_SYMS)
+    ac_codes = _enc_codes(_ENC_AC_COUNTS, _ENC_AC_SYMS)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0: y0 + 8, x0: x0 + 8] - 128.0
+                        co = _DCT_M @ blk @ _DCT_M.T
+                        ql = np.round(co.reshape(64) / qtab).astype(np.int64)
+                        zz = ql[ZIGZAG]  # natural order -> zigzag stream order
+                        # DC
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = _csize(diff)
+                        ln, code = dc_codes[s]
+                        bw.write(code, ln)
+                        if s:
+                            v = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.write(v, s)
+                        # AC
+                        run = 0
+                        last = 63
+                        while last > 0 and zz[last] == 0:
+                            last -= 1
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_codes[0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _csize(v)
+                            ln, code = ac_codes[(run << 4) | s]
+                            bw.write(code, ln)
+                            vv = v if v >= 0 else v + (1 << s) - 1
+                            bw.write(vv, s)
+                            run = 0
+                        if last < 63:
+                            ln, code = ac_codes[0x00]  # EOB
+                            bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_qtab = np.zeros(64, dtype=np.uint8)
+    zz_qtab[:] = qtab[ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + zz_qtab.tobytes())
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_SYMS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_SYMS)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += data + b"\xff\xd9"
+    return out
+
+
 def _image_features(w: int, h: int, img: np.ndarray) -> tuple[int, int, np.ndarray]:
     """Real image features, FEATURE_DIM wide:
     [mean_r, mean_g, mean_b, std_luminance, 12-bin luminance histogram
@@ -496,11 +924,11 @@ def _video_features(fps: float, frames: np.ndarray) -> tuple[int, int, np.ndarra
 
 
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
-    """Audio WAV, image BMP + PNG and video Y4M payloads decode for
-    REAL (pure-NumPy parsers above; PNG via stdlib zlib); the remaining
-    compressed formats (JPEG/MP4/MP3) need codec libraries not in this
-    container, so they are stubbed behind ``deterministic_fake``. Swap
-    in prod."""
+    """Audio WAV, image BMP + PNG + JPEG and video Y4M payloads decode
+    for REAL (pure-NumPy parsers above; PNG via stdlib zlib, JPEG via
+    the baseline-DCT decoder); the remaining compressed formats
+    (MP4/MP3) need codec libraries not in this container, so they are
+    stubbed behind ``deterministic_fake``. Swap in prod."""
     try:
         if kind == "audio" and _is_wav(payload):
             rate, _n_ch, samples = decode_wav(payload)
@@ -509,6 +937,8 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
             return _image_features(*decode_bmp(payload))
         if kind == "image" and _is_png(payload):
             return _image_features(*decode_png(payload))
+        if kind == "image" and _is_jpeg(payload):
+            return _image_features(*decode_jpeg(payload))
         if kind == "video" and _is_y4m(payload):
             return _video_features(*decode_y4m(payload))
     except (ValueError, NotImplementedError):
@@ -521,9 +951,9 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV/BMP/PNG/Y4M media decode requires codec libraries not "
-        "present in this environment; pass deterministic_fake=True to "
-        "exercise the pipeline"
+        "non-WAV/BMP/PNG/JPEG/Y4M media decode requires codec libraries "
+        "not present in this environment; pass deterministic_fake=True "
+        "to exercise the pipeline"
     )
 
 

@@ -260,3 +260,112 @@ def test_png_roundtrip_property(w, h, seed):
     ww, hh, out = decode_png(encode_png(img))
     assert (ww, hh) == (w, h)
     np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (pure-NumPy baseline DCT)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_flat_field_exact():
+    """A flat field has zero AC energy: DC-only round-trip at quant=1
+    reconstructs the exact level."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    flat = np.full((16, 24), 128, dtype=np.uint8)
+    w, h, img = decode_jpeg(encode_jpeg(flat, quant=1))
+    assert (w, h) == (24, 16)
+    np.testing.assert_allclose(img, 128.0 / 255.0, atol=1e-6)
+
+
+def test_jpeg_near_lossless_roundtrip_444():
+    """quant=1 4:4:4: only YCbCr rounding + float DCT error remains —
+    every channel within 3/255 of the source."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    w, h, img = decode_jpeg(encode_jpeg(a, quant=1))
+    assert (w, h) == (17, 24)
+    assert np.abs(img * 255.0 - a.astype(np.float64)).max() < 3.0
+
+
+def test_jpeg_grayscale_roundtrip():
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    w, h, img = decode_jpeg(encode_jpeg(g, quant=1))
+    assert (w, h) == (13, 9)
+    assert img.shape == (9, 13, 3)
+    assert np.abs(img[:, :, 0] * 255.0 - g).max() < 2.0
+    np.testing.assert_allclose(img[:, :, 0], img[:, :, 1])  # replicated
+
+
+def test_jpeg_420_subsampled_luma_bounded():
+    """4:2:0 decode: luma (not subsampled) stays within quantization
+    error of the source luma; the MCU interleave (4 Y blocks + Cb +
+    Cr) is exercised on a non-multiple-of-16 image."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    w, h, img = decode_jpeg(encode_jpeg(a, quant=2, subsample=True))
+    assert (w, h) == (17, 24)
+    got_y = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    src_y = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]) / 255.0
+    # clipping after chroma upsample can push decoded luma a few levels
+    assert np.abs(got_y - src_y).max() * 255.0 < 20.0
+    assert np.abs(got_y - src_y).mean() * 255.0 < 3.0
+
+
+def test_jpeg_malformed_fails_loudly():
+    import numpy as np
+    import pytest as _pytest
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[:20])  # truncated before SOS
+    # progressive SOF2 must be rejected, not mis-decoded
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_roundtrip_property(w, h, seed):
+    """Any size (including non-multiples of 8, 1-pixel edges): decode
+    returns the exact declared dimensions and stays within the
+    near-lossless quant=1 error bound."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    ww, hh, out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert (ww, hh) == (w, h)
+    assert np.abs(out * 255.0 - img.astype(np.float64)).max() < 3.0

@@ -698,3 +698,41 @@ def test_real_png_through_spark_pipeline(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert len(r["features"]) == FEATURE_DIM
         np.testing.assert_allclose(r["features"], feats, rtol=0, atol=1e-6)
+
+
+def test_real_jpeg_through_spark_pipeline(spark):
+    """End-to-end: real baseline-JPEG bytes flow through
+    extract_media_features' mapInPandas path with deterministic_fake
+    OFF — features are measurements of the DECODED pixels, checked
+    against decoding the same payload driver-side (decode is lossy, so
+    the oracle is the decoder output, not the source array)."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _image_features,
+        decode_jpeg,
+        encode_jpeg,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(21)
+    rows, want = [], {}
+    for i in range(4):
+        img = rng.integers(0, 256, (8 + i, 11 + i, 3)).astype(np.uint8)
+        payload = encode_jpeg(img, quant=2, subsample=(i % 2 == 1))
+        rows.append((i, "image", payload, {}))
+        w, h, px = decode_jpeg(payload)
+        want[i] = _image_features(w, h, px)
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    ).repartition(2)
+    out = {r["media_id"]: r for r in
+           extract_media_features(media, deterministic_fake=False).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        r = out[i]
+        w, h, feats = want[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert len(r["features"]) == FEATURE_DIM
+        np.testing.assert_allclose(r["features"], feats, rtol=0, atol=1e-6)
