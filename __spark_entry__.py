@@ -2316,6 +2316,53 @@ def q_video_frame_stats(spark, sf_dir):
     )
 
 
+def q_image_jpeg_stats(spark, sf_dir):
+    """REAL JPEG decode, hash-verified: doc_id % 5 == 2 rows carry a
+    flat-field grayscale baseline JPEG (level (doc_id*29) % 256, dims
+    doc_id-derived multiples of 8) synthesized by encode_jpeg and
+    decoded end-to-end by the pure-NumPy baseline-DCT decoder inside
+    extract_media_features. A flat field has zero AC energy, so the
+    quant=1 decode is EXACT (pytest test_jpeg_flat_field_exact) and the
+    oracle reproduces width/height/luma as pure arithmetic on doc_id —
+    the same flat-field pattern as video_frame_stats."""
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 2)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_jpeg,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w = 8 + (did % 4) * 8
+                h = 8 + (did % 3) * 8
+                img = np.full((h, w), (did * 29) % 256, dtype=np.uint8)
+                rows.append((did, "image", encode_jpeg(img, quant=1)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    feats = extract_media_features(media, deterministic_fake=False)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(F.element_at("features", 1) * 255)
+        .cast("long")
+        .alias("luma255"),
+    )
+
+
 def q_text_decontam(spark, sf_dir):
     """Benchmark decontamination: flag documents sharing a word-6-gram
     with a probe set. The probe set is synthesized deterministically
@@ -2707,6 +2754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled exactly; clustered scale path pytest-verified)
         # likewise tail-side, check_parity evidence.
         "sem_dedup": q_sem_dedup,
+        # image_jpeg_stats (real baseline-DCT JPEG decode, flat-field
+        # exact-arithmetic oracle) likewise tail-side.
+        "image_jpeg_stats": q_image_jpeg_stats,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2756,6 +2806,13 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_pii": _pii_sql(),
         "text_repetition": _repetition_sql(),
         "sem_dedup": _sem_dedup_sql(),
+        "image_jpeg_stats": """
+SELECT doc_id AS media_id,
+  (8 + (doc_id % 4) * 8)::BIGINT AS width,
+  (8 + (doc_id % 3) * 8)::BIGINT AS height,
+  ((doc_id * 29) % 256)::BIGINT AS luma255
+FROM documents WHERE doc_id % 5 = 2
+""",
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),
