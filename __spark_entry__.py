@@ -2363,6 +2363,20 @@ def q_image_jpeg_stats(spark, sf_dir):
     )
 
 
+SHARD_TOKENS = 2048
+
+
+def q_corpus_shards(spark, sf_dir):
+    """Fixed-token training-shard packing via the distributed prefix
+    sum (operators/sampling.py assign_shards); the oracle is the
+    equivalent GLOBAL window cumsum — equality proves the range-
+    partitioned two-phase sum reproduces the serial semantics."""
+    from efficient_graph_algorithms_spark.operators.sampling import assign_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return assign_shards(d, shard_tokens=SHARD_TOKENS, seed=42)
+
+
 def q_text_decontam(spark, sf_dir):
     """Benchmark decontamination: flag documents sharing a word-6-gram
     with a probe set. The probe set is synthesized deterministically
@@ -2463,6 +2477,23 @@ SELECT c.a, c.b,
   round(c.common / (sa.sz + sb.sz - c.common), 6) AS jaccard
 FROM com c JOIN sizes sa ON sa.id = c.a JOIN sizes sb ON sb.id = c.b
 WHERE round(c.common / (sa.sz + sb.sz - c.common), 6) >= {threshold}
+"""
+
+
+def _corpus_shards_sql(shard_tokens: int = 2048, seed: int = 42) -> str:
+    """Global-window cumsum oracle for the distributed shard packer."""
+    from efficient_graph_algorithms_spark.functions.text import duck_token_count
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, ({duck_token_count("text")})::BIGINT AS n_tok,
+    ('0x' || substr(md5('shrd:{seed}:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, n_tok,
+  ((sum(n_tok) OVER (ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+   // {shard_tokens})::BIGINT AS shard_id
+FROM t
 """
 
 
@@ -2757,6 +2788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_jpeg_stats (real baseline-DCT JPEG decode, flat-field
         # exact-arithmetic oracle) likewise tail-side.
         "image_jpeg_stats": q_image_jpeg_stats,
+        # corpus_shards (fixed-token training-shard packing; the
+        # distributed two-phase prefix sum vs a global-window oracle)
+        # likewise tail-side.
+        "corpus_shards": q_corpus_shards,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2813,6 +2848,7 @@ SELECT doc_id AS media_id,
   ((doc_id * 29) % 256)::BIGINT AS luma255
 FROM documents WHERE doc_id % 5 = 2
 """,
+        "corpus_shards": _corpus_shards_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

@@ -112,3 +112,88 @@ def cap_per_key(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def shard_hash60(id_col: Column, seed: int) -> Column:
+    """Portable 60-bit hash of 'shrd:<seed>:<id>' — the deterministic
+    global packing order (same value via md5 in any engine)."""
+    key = F.concat(F.lit(f"shrd:{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def assign_shards(
+    docs: DataFrame,
+    tokens: Column | None = None,
+    shard_tokens: int = 1 << 20,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Pack the corpus into fixed-token training shards: (doc_id,
+    n_tok, shard_id) with shard_id = floor(start_offset / shard_tokens)
+    where start_offset is the EXCLUSIVE prefix sum of token counts in
+    deterministic (hash, id) order — each document belongs to the shard
+    its first token lands in, so every shard except the last holds at
+    least shard_tokens tokens once its boundary document is counted.
+
+    Scale shape — distributed prefix sum: a global window cumsum would
+    serialize the whole corpus through ONE task, so instead the
+    operator (1) range-partitions on the order key (one shuffle),
+    (2) aggregates per-range token sums — n_ranges rows — and
+    prefix-sums those scalars on the driver, (3) broadcasts the
+    exclusive range offsets back and finishes with a window cumsum
+    PER RANGE. Every stage is parallel; driver state is n_ranges
+    integers. The result is independent of where the range boundaries
+    fall (offsets + within-range cumsums reproduce the global cumsum
+    for ANY contiguous partitioning of the order), which
+    test_assign_shards_partition_invariant pins.
+
+    ``tokens`` defaults to the whitespace token count of ``text``.
+    """
+    from pyspark.sql import Window
+
+    from efficient_graph_algorithms_spark.functions.text import token_count
+
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    tok = tokens if tokens is not None else token_count(F.col("text"))
+    base = docs.select(
+        F.col(id_col),
+        tok.cast("long").alias("n_tok"),
+        shard_hash60(F.col(id_col), seed).alias("_h"),
+    )
+    rp = (
+        base.repartitionByRange(n_ranges, F.col("_h"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # eager pin: the per-range sums below and the final cumsum must
+        # see the SAME range boundaries (repartitionByRange samples
+        # boundaries per job otherwise)
+        .localCheckpoint(eager=True)
+    )
+    part_sums = {
+        r["_pid"]: r["s"]
+        for r in rp.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    off, offsets = 0, []
+    for pid in sorted(part_sums):
+        offsets.append((pid, off))
+        off += int(part_sums[pid])
+    offs = docs.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rp.join(F.broadcast(offs), "_pid")
+        .withColumn("_cum", F.col("_off") + F.sum("n_tok").over(w))
+        .select(
+            F.col(id_col),
+            "n_tok",
+            F.floor((F.col("_cum") - F.col("n_tok")) / F.lit(shard_tokens))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )

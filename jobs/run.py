@@ -156,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--docs", required=True)
     rp.add_argument("--out")
 
+    sh = sub.add_parser("shards")
+    sh.add_argument("--docs", required=True)
+    sh.add_argument("--shard-tokens", type=int, default=1 << 20)
+    sh.add_argument("--seed", type=int, default=42)
+    sh.add_argument("--out")
+
     sd = sub.add_parser("semdedup")
     sd.add_argument("--embeddings", required=True)
     sd.add_argument("--threshold", type=float, default=0.95)
@@ -317,6 +323,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "repetition", "docs": int(agg["n"]),
                           "avg_dup_token_frac": round(float(agg["ad"] or 0), 6),
                           "avg_top_bigram_frac": round(float(agg["ab"] or 0), 6),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "shards":
+        from efficient_graph_algorithms_spark.operators.sampling import assign_shards
+
+        docs = spark.read.parquet(args.docs)
+        out = assign_shards(docs, shard_tokens=args.shard_tokens, seed=args.seed)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t"),
+                      (F.max("shard_id") + 1).alias("s")).first()
+        print(json.dumps({"cmd": "shards", "shard_tokens": args.shard_tokens,
+                          "docs": int(agg["n"]), "tokens": int(agg["t"]),
+                          "shards": int(agg["s"]),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 

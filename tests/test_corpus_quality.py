@@ -212,3 +212,71 @@ def test_semantic_dedup_deterministic(spark):
     r1 = sorted(map(tuple, semantic_dedup(df, n_centroids=4, seed=9).collect()))
     r2 = sorted(map(tuple, semantic_dedup(df, n_centroids=4, seed=9).collect()))
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# Training-shard packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def _shard_docs():
+    return [(i, " ".join(["w"] * (5 + (i * 7) % 23))) for i in range(60)]
+
+
+def _shard_oracle(rows, shard_tokens, seed=42):
+    import hashlib
+
+    def h60(i):
+        return int(hashlib.md5(f"shrd:{seed}:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(rows, key=lambda r: (h60(r[0]), r[0]))
+    out, cum = {}, 0
+    for i, t in order:
+        n = len(t.split())
+        out[i] = (n, cum // shard_tokens)
+        cum += n
+    return out
+
+
+def test_assign_shards_matches_python(spark):
+    from efficient_graph_algorithms_spark.operators.sampling import assign_shards
+
+    rows = _shard_docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["shard_id"])
+        for r in assign_shards(df, shard_tokens=100).collect()
+    }
+    assert got == _shard_oracle(rows, 100)
+    # shards are contiguous 0..max with every shard boundary respected
+    sizes = {}
+    for n, s in got.values():
+        sizes[s] = sizes.get(s, 0) + n
+    assert set(sizes) == set(range(max(sizes) + 1))
+
+
+def test_assign_shards_partition_invariant(spark):
+    """The scale-correctness property: the two-phase prefix sum gives
+    the IDENTICAL packing for any range count (1 range = the serial
+    global cumsum; 7 and 32 exercise real multi-range offsets)."""
+    from efficient_graph_algorithms_spark.operators.sampling import assign_shards
+
+    rows = _shard_docs()
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    packs = [
+        sorted(
+            map(
+                tuple,
+                assign_shards(df, shard_tokens=100, n_ranges=p).collect(),
+            )
+        )
+        for p in (1, 7, 32)
+    ]
+    assert packs[0] == packs[1] == packs[2]
+
+
+def test_assign_shards_rejects_bad_size(spark):
+    from efficient_graph_algorithms_spark.operators.sampling import assign_shards
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        assign_shards(df, shard_tokens=0)
