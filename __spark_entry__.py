@@ -707,6 +707,51 @@ GROUP BY x.source, y.source HAVING count(*) >= {min_shared}
 """
 
 
+def q_graph_betweenness2(spark, sf_dir):
+    """Truncated-Brandes betweenness (engine extension — the sampled
+    dependency-accumulation estimator, Brandes 2001 / Bader et al.
+    2007) from the same sampled sources as graph_anf2/closeness2,
+    radius 2: forward sigma counting + backward delta accumulation,
+    both level-synchronous; oracle is the unrolled 2-level Brandes
+    recurrence in SQL."""
+    from efficient_graph_algorithms_spark.operators.betweenness import betweenness
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = _vertices(e).where(F.col("id") % ANF_SEED_MOD == 0)
+    res, _ = betweenness(spark, e, sources=seeds, max_radius=ANF_SQL_RADIUS)
+    return res
+
+
+def _betweenness2_oracle_sql() -> str:
+    """Unrolled radius-2 Brandes on the symmetrized simple graph:
+    sigma1(s,v) = 1 per distinct 1-hop neighbor; sigma2(s,w) = number
+    of 1-hop predecessors of each strictly-2-hop vertex; with the
+    deepest level's delta pinned to 0 by truncation, only level-1
+    vertices accumulate: delta1(s,v) = sum over 2-hop successors w of
+    1/sigma2(s,w); bc(v) = round(sum over s of delta1, 6)."""
+    return f"""
+WITH e AS ({_E_SQL}),
+sym AS (SELECT src, dst FROM e WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM e WHERE src <> dst),
+seeds AS (SELECT DISTINCT src AS id FROM sym WHERE src % {ANF_SEED_MOD} = 0),
+n1 AS (SELECT DISTINCT s.id, y.dst AS v FROM seeds s JOIN sym y ON y.src = s.id
+       WHERE y.dst <> s.id),
+n2 AS (
+  SELECT d.id, y.dst AS w, count(*) AS sigma2
+  FROM n1 d JOIN sym y ON y.src = d.v
+  WHERE y.dst <> d.id
+    AND NOT EXISTS (SELECT 1 FROM n1 x WHERE x.id = d.id AND x.v = y.dst)
+  GROUP BY d.id, y.dst),
+d1 AS (
+  SELECT d.id, d.v, sum(1.0 / n2.sigma2) AS delta
+  FROM n1 d JOIN sym y ON y.src = d.v
+  JOIN n2 ON n2.id = d.id AND n2.w = y.dst
+  GROUP BY d.id, d.v)
+SELECT v AS id, round(sum(delta), 6) AS bc FROM d1 GROUP BY v
+HAVING round(sum(delta), 6) > 0
+"""
+
+
 def q_graph_closeness2(spark, sf_dir):
     """Truncated closeness centrality (engine extension — the sampled
     centrality statistic of web-graph analysis) from the same sampled
@@ -2792,6 +2837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed two-phase prefix sum vs a global-window oracle)
         # likewise tail-side.
         "corpus_shards": q_corpus_shards,
+        # graph_betweenness2 (truncated-Brandes sampled betweenness,
+        # unrolled 2-level SQL oracle) likewise tail-side.
+        "graph_betweenness2": q_graph_betweenness2,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2849,6 +2897,7 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id % 5 = 2
 """,
         "corpus_shards": _corpus_shards_sql(),
+        "graph_betweenness2": _betweenness2_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

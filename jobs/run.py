@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
-                 "closeness", "bowtie"):
+                 "closeness", "bowtie", "betweenness"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--min-count", type=int, default=2)
         if name == "closeness":
             p.add_argument("--max-radius", type=int, default=3)
+            p.add_argument("--sample-mod", type=int, default=100,
+                           help="sources = vertices with id %% mod == 0")
+            p.add_argument("--top", type=int, default=5)
+        if name == "betweenness":
+            p.add_argument("--max-radius", type=int, default=2)
             p.add_argument("--sample-mod", type=int, default=100,
                            help="sources = vertices with id %% mod == 0")
             p.add_argument("--top", type=int, default=5)
@@ -526,6 +531,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "closeness", "radius": args.max_radius,
                           "sources": srcs.count(), "rounds": info["rounds"],
                           "top": top, "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "betweenness":
+        from efficient_graph_algorithms_spark.operators.betweenness import (
+            betweenness)
+
+        srcs = vertices.where(F.col("id") % args.sample_mod == 0)
+        res, info = betweenness(spark, edges, sources=srcs,
+                                max_radius=args.max_radius)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+        top = [
+            {"id": r["id"], "bc": r["bc"]}
+            for r in res.orderBy(F.desc("bc"), "id").limit(args.top).collect()
+        ]
+        print(json.dumps({"cmd": "betweenness", "radius": args.max_radius,
+                          "sources": srcs.count(), "rounds": info["rounds"],
+                          "scored": res.count(), "top": top,
+                          "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "bowtie":

@@ -95,4 +95,9 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_interp_metrics", "graph_coupling",
                        "graph_wpr3", "corpus_cap_source",
                        "graph_bowtie", "mirror_sources",
-                       "corpus_pipeline"}, outside
+                       "corpus_pipeline",
+                       # late-round-4 additions, each check_parity-green
+                       # on landing (README 'Driver-row rotation')
+                       "text_decontam", "text_pii", "text_repetition",
+                       "sem_dedup", "image_jpeg_stats", "corpus_shards",
+                       "graph_betweenness2"}, outside

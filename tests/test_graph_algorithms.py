@@ -263,3 +263,67 @@ def test_hash_determinism():
     assert not np.array_equal(hash_u64(42, idx), hash_u64(43, idx))
     u = uniform01(42, idx)
     assert (u >= 0).all() and (u < 1).all()
+
+
+def test_betweenness_matches_brandes_oracle(spark):
+    """Truncated-Brandes betweenness vs an exact pure-Python Brandes
+    (BFS sigma counting + dependency accumulation with the deepest
+    level's delta pinned to 0): radii 2 and 3, full and sampled
+    sources, on a random 25-vertex digraph (symmetrized)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.betweenness import betweenness
+
+    rng = np.random.default_rng(11)
+    E = set()
+    while len(E) < 60:
+        a, b = rng.integers(0, 25, 2)
+        if a != b:
+            E.add((int(a), int(b)))
+    E = sorted(E)
+
+    def oracle(sources, R):
+        adj = defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        bc = defaultdict(float)
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            levels = [[s]]
+            for d in range(1, R + 1):
+                nxt = defaultdict(float)
+                for v in levels[d - 1]:
+                    for w in adj[v]:
+                        if w not in dist:
+                            nxt[w] += sigma[v]
+                if not nxt:
+                    break
+                for w, sg in nxt.items():
+                    dist[w] = d
+                    sigma[w] = sg
+                levels.append(sorted(nxt))
+            delta = defaultdict(float)
+            for d in range(len(levels) - 2, 0, -1):
+                for v in levels[d]:
+                    for w in adj[v]:
+                        if dist.get(w) == d + 1:
+                            delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                    bc[v] += delta[v]
+        return {v: round(x, 6) for v, x in bc.items() if round(x, 6) > 0}
+
+    edf = spark.createDataFrame(E, "src long, dst long")
+    for R in (2, 3):
+        for mod in (1, 5):
+            srcs = sorted({v for e in E for v in e if v % mod == 0})
+            sdf = spark.createDataFrame([(v,) for v in srcs], "id long")
+            res, info = betweenness(spark, edf, sources=sdf, max_radius=R)
+            got = {r["id"]: r["bc"] for r in res.collect()}
+            exp = oracle(srcs, R)
+            assert set(got) == set(exp), (R, mod)
+            for k, v in exp.items():
+                assert abs(got[k] - v) < 1e-9, (R, mod, k, got[k], v)
+            assert info["rounds"] >= 1
