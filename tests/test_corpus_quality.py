@@ -280,3 +280,11 @@ def test_assign_shards_rejects_bad_size(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         assign_shards(df, shard_tokens=0)
+
+
+def test_pii_plan_is_scan_stage_only(spark):
+    """The scale claim in docs/SCALE.md: PII detect+redact is pure
+    codegen column work — ZERO exchanges in the executed plan."""
+    df = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
+    plan = pii_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
