@@ -456,6 +456,66 @@ def q_graph_walks2(spark, sf_dir):
     return corpus.select("walk", "step", "id")
 
 
+N2V_WEIGHTS = (1, 4, 2)  # (w_return, w_in, w_out) ~ p=4, q=2
+
+
+def q_graph_n2v2(spark, sf_dir):
+    """node2vec-biased walk corpus (the second-order extension of the
+    driver-rowed graph_walks2): 2 steps, integer weights (1, 4, 2) —
+    weighted sampling as argmin over an integer-replicated candidate
+    set, so the SQL oracle replays the biased corpus bit-for-bit."""
+    from efficient_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    e = _graph_edges(spark, sf_dir)
+    wr, wi, wo = N2V_WEIGHTS
+    corpus, _ = node2vec_walks(
+        spark,
+        e,
+        walk_length=WALKS_SQL_STEPS,
+        w_return=wr,
+        w_in=wi,
+        w_out=wo,
+        walks_per_vertex=1,
+        seed=WALKS_SEED,
+    )
+    return corpus.select("walk", "step", "id")
+
+
+def _n2v_oracle_sql() -> str:
+    """Replay of the biased hash-argmin walk: candidate weights by the
+    node2vec CASE (return / in-neighborhood / outward), each candidate
+    replicated weight times as (dst, j), argmin choice hash with dst as
+    tie-break — the exact semantics of operators.walks.node2vec_walks
+    (prev initialized to the start, making step 1 the degenerate
+    all-w_in uniform case in both engines)."""
+    from efficient_graph_algorithms_spark.operators.walks import n2v_choice_duck_sql
+
+    wr, wi, wo = N2V_WEIGHTS
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "s0 AS (SELECT id AS walk, id AS prev, id AS cur FROM v),",
+    ]
+    selects = ["SELECT walk, 0 AS step, cur AS id FROM s0"]
+    for t in range(1, WALKS_SQL_STEPS + 1):
+        h = n2v_choice_duck_sql("walk", t, "dst", "j", WALKS_SEED)
+        lines += [
+            f"w{t} AS (SELECT s.walk, s.cur, e.dst, "
+            f"CASE WHEN e.dst = s.prev THEN {wr} "
+            f"WHEN EXISTS (SELECT 1 FROM e pe WHERE pe.src = s.prev "
+            f"AND pe.dst = e.dst) THEN {wi} ELSE {wo} END AS w "
+            f"FROM s{t-1} s JOIN e ON e.src = s.cur),",
+            f"x{t} AS (SELECT walk, cur, dst, "
+            f"unnest(generate_series(0, w - 1)) AS j FROM w{t} WHERE w > 0),",
+            f"c{t} AS (SELECT walk, cur, dst, row_number() OVER "
+            f"(PARTITION BY walk ORDER BY {h}, dst) AS rn FROM x{t}),",
+            f"s{t} AS (SELECT walk, cur AS prev, dst AS cur FROM c{t} WHERE rn = 1),",
+        ]
+        selects.append(f"SELECT walk, {t} AS step, cur AS id FROM s{t}")
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _walks_oracle_sql() -> str:
     """Replay of the hash-argmin walk: at step t the walker at ``cur``
     moves to the out-neighbor with the smallest choice hash (dst as
@@ -2840,6 +2900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph_betweenness2 (truncated-Brandes sampled betweenness,
         # unrolled 2-level SQL oracle) likewise tail-side.
         "graph_betweenness2": q_graph_betweenness2,
+        # graph_n2v2 (node2vec-biased walk corpus, integer-replicated
+        # weighted argmin replay oracle) likewise tail-side.
+        "graph_n2v2": q_graph_n2v2,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2898,6 +2961,7 @@ FROM documents WHERE doc_id % 5 = 2
 """,
         "corpus_shards": _corpus_shards_sql(),
         "graph_betweenness2": _betweenness2_oracle_sql(),
+        "graph_n2v2": _n2v_oracle_sql(),
         "graph_ktruss2": _ktruss_oracle_sql(),
         "graph_scc": _scc_oracle_sql(),
         "graph_walks2": _walks_oracle_sql(),

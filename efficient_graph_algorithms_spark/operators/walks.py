@@ -153,3 +153,171 @@ def random_walks(
             .select("walk", F.col("s.id").alias("path"))
         )
     return corpus, info
+
+
+def _n2v_choice_hash(walk, step: int, cand, j, seed: int):
+    """Choice hash for the biased (node2vec) walk: includes the weight
+    replica index j so integer-weighted sampling stays exact."""
+    expr = spark_md5_60bit_sql(
+        f"concat_ws(':', 'n2v', CAST({walk} AS STRING), '{step}', "
+        f"CAST({cand} AS STRING), CAST({j} AS STRING), 'w{seed}')"
+    )
+    return F.expr(expr)
+
+
+def n2v_choice_duck_sql(walk: str, step: int, cand: str, j: str, seed: int) -> str:
+    """DuckDB expression computing the identical biased-choice hash."""
+    from efficient_graph_algorithms_spark.functions.hashing import duckdb_md5_60bit_sql
+
+    return duckdb_md5_60bit_sql(
+        f"concat_ws(':', 'n2v', CAST({walk} AS VARCHAR), '{step}', "
+        f"CAST({cand} AS VARCHAR), CAST({j} AS VARCHAR), 'w{seed}')"
+    )
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int,
+    w_return: int = 1,
+    w_in: int = 4,
+    w_out: int = 2,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    sources: DataFrame | None = None,
+    as_paths: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016)
+    with the same reproducibility contract as ``random_walks``.
+
+    A candidate v stepping from ``cur`` with predecessor ``prev``
+    weighs (node2vec's 1/p, 1, 1/q rescaled to small non-negative
+    INTEGERS — exactness beats normalization, which cancels in the
+    choice anyway):
+
+        v == prev            -> w_return   (backtrack, ~1/p)
+        edge(prev, v) exists -> w_in       (stay near prev, ~1)
+        otherwise            -> w_out      (explore outward, ~1/q)
+
+    Exact weighted sampling without floats: candidate v is replicated
+    w times as (v, j) for j < w and the walker takes the argmin choice
+    hash over the replicated set — a weight-w candidate holds w lottery
+    tickets, so P(pick v) = w_v / sum(w), and the draw is replayable
+    bit-for-bit in ANSI SQL (n2v_choice_duck_sql). A weight of 0 drops
+    the move entirely (w_return=0 gives non-backtracking walks).
+
+    ``prev`` is initialized to the start vertex, so step 1 is uniform
+    (every out-neighbor of the start is at distance 1 from prev=cur —
+    both engines replay the same degenerate CASE).
+
+    Cost vs the uniform walk: one extra equi-join per step (the
+    edge(prev, v) membership probe, keyed on prev) and a candidate
+    blow-up bounded by max(w) — both linear, no new shuffle shape.
+    """
+    for nm, w in (("w_return", w_return), ("w_in", w_in), ("w_out", w_out)):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"{nm} must be a non-negative int, got {w!r}")
+    if w_in + w_out + w_return == 0:
+        raise ValueError("at least one weight must be positive")
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_vertex < 1:
+        raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(sp, "src")
+        .persist()
+    )
+    e.count()
+    starts = (
+        sources.select("id")
+        if sources is not None
+        else e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        )
+    ).distinct()
+
+    k = walks_per_vertex
+    state = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("walk_no"), "id"
+    ).select(
+        (F.col("id") * k + F.col("walk_no")).alias("walk"),
+        F.col("id").alias("prev"),
+        F.col("id").alias("cur"),
+    )
+
+    pe = e.select(F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"))
+    info: dict[str, Any] = {"steps_run": 0, "live_walks": []}
+    parts: list[DataFrame] = []
+    with StateCutter(spark, "n2v_walks", keep=3) as cut:
+        state, got = cut.observe(state, n=F.count(F.lit(1)))
+        info["n_walks"] = int(got["n"] or 0)
+        parts.append(
+            state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+        for t in range(1, walk_length + 1):
+            cand = state.join(e, state["cur"] == e["src"], "inner").select(
+                "walk", "prev", "cur", F.col("dst")
+            )
+            flagged = cand.join(
+                pe,
+                (cand["prev"] == pe["_psrc"]) & (cand["dst"] == pe["_pdst"]),
+                "left",
+            ).select(
+                "walk",
+                "cur",
+                "dst",
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_pdst").isNotNull(), F.lit(w_in))
+                .otherwise(F.lit(w_out))
+                .alias("_w"),
+            )
+            expl = flagged.where(F.col("_w") > 0).select(
+                "walk",
+                "cur",
+                "dst",
+                F.explode(F.sequence(F.lit(0), F.col("_w") - 1)).alias("_j"),
+            )
+            nxt = (
+                expl.select(
+                    "walk",
+                    "cur",
+                    "dst",
+                    _n2v_choice_hash("walk", t, "dst", "_j", seed).alias("h"),
+                )
+                .groupBy("walk", "cur")
+                .agg(F.min(F.struct("h", "dst")).alias("pick"))
+                .select(
+                    "walk",
+                    F.col("cur").alias("prev"),
+                    F.col("pick.dst").alias("cur"),
+                )
+            )
+            state, got = cut.observe(nxt, n=F.count(F.lit(1)))
+            live = int(got["n"] or 0)
+            info["steps_run"] = t
+            info["live_walks"].append(live)
+            parts.append(
+                state.select("walk", F.lit(t).alias("step"), F.col("cur").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+            if live == 0:
+                break
+    e.unpersist()
+
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    if as_paths:
+        corpus = (
+            corpus.groupBy("walk")
+            .agg(F.sort_array(F.collect_list(F.struct("step", "id"))).alias("s"))
+            .select("walk", F.col("s.id").alias("path"))
+        )
+    return corpus, info

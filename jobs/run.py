@@ -82,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--seed", type=int, default=42)
             p.add_argument("--paths", action="store_true",
                            help="emit (walk, path array) instead of long form")
+            p.add_argument("--biased", action="store_true",
+                           help="node2vec second-order bias (integer weights)")
+            p.add_argument("--w-return", type=int, default=1)
+            p.add_argument("--w-in", type=int, default=4)
+            p.add_argument("--w-out", type=int, default=2)
         if name == "anf":
             p.add_argument("--max-radius", type=int, default=16)
             p.add_argument("--mode", default="sketch", choices=["sketch", "exact"])
@@ -565,13 +570,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "walks":
-        from efficient_graph_algorithms_spark.operators.walks import random_walks
+        from efficient_graph_algorithms_spark.operators.walks import (
+            node2vec_walks, random_walks)
 
-        corpus, info = random_walks(
-            spark, edges, walk_length=args.length,
-            walks_per_vertex=args.per_vertex, seed=args.seed,
-            as_paths=args.paths,
-        )
+        if args.biased:
+            corpus, info = node2vec_walks(
+                spark, edges, walk_length=args.length,
+                w_return=args.w_return, w_in=args.w_in, w_out=args.w_out,
+                walks_per_vertex=args.per_vertex, seed=args.seed,
+                as_paths=args.paths,
+            )
+        else:
+            corpus, info = random_walks(
+                spark, edges, walk_length=args.length,
+                walks_per_vertex=args.per_vertex, seed=args.seed,
+                as_paths=args.paths,
+            )
         if args.out:
             corpus.write.mode("overwrite").parquet(args.out)
         print(json.dumps({

@@ -100,4 +100,4 @@ def test_driver_row_window_covers_rotated_queries():
                        # on landing (README 'Driver-row rotation')
                        "text_decontam", "text_pii", "text_repetition",
                        "sem_dedup", "image_jpeg_stats", "corpus_shards",
-                       "graph_betweenness2"}, outside
+                       "graph_betweenness2", "graph_n2v2"}, outside

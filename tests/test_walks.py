@@ -90,3 +90,109 @@ def test_validation(spark):
         random_walks(spark, edges, walk_length=-1)
     with pytest.raises(ValueError, match="walks_per_vertex"):
         random_walks(spark, edges, walk_length=1, walks_per_vertex=0)
+
+
+# ---------------------------------------------------------------------------
+# node2vec-biased walks
+# ---------------------------------------------------------------------------
+
+def _n2v_python_replay(E, starts, steps, wr, wi, wo, seed=42):
+    """Exact replica of node2vec_walks: integer-replicated candidates,
+    argmin md5 hash, dst tie-break, prev initialized to the start."""
+    from collections import defaultdict
+
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit
+
+    adj = defaultdict(set)
+    for a, b in E:
+        if a != b:
+            adj[a].add(b)
+    rows = []
+    for s in starts:
+        prev, cur = s, s
+        rows.append((s, 0, s))
+        for t in range(1, steps + 1):
+            best = None
+            for dst in adj[cur]:
+                w = wr if dst == prev else (wi if dst in adj[prev] else wo)
+                for j in range(w):
+                    h = md5_60bit(f"n2v:{s}:{t}:{dst}:{j}:w{seed}")
+                    if best is None or (h, dst) < best:
+                        best = (h, dst)
+            if best is None:
+                break
+            prev, cur = cur, best[1]
+            rows.append((s, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_replay(spark):
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    rng = np.random.default_rng(17)
+    E = sorted({(int(a), int(b)) for a, b in rng.integers(0, 18, (70, 2)) if a != b})
+    edf = spark.createDataFrame(E, "src long, dst long")
+    corpus, info = node2vec_walks(
+        spark, edf, walk_length=4, w_return=1, w_in=4, w_out=2, seed=42
+    )
+    got = sorted((r["walk"], r["step"], r["id"]) for r in corpus.collect())
+    starts = sorted({v for e in E for v in e})
+    assert got == _n2v_python_replay(E, starts, 4, 1, 4, 2)
+    assert info["n_walks"] == len(starts)
+
+
+def test_node2vec_zero_return_weight_never_backtracks(spark):
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    rng = np.random.default_rng(23)
+    E = sorted({(int(a), int(b)) for a, b in rng.integers(0, 12, (60, 2)) if a != b})
+    # symmetrize so backtracking is always on offer
+    E = sorted(set(E) | {(b, a) for a, b in E})
+    edf = spark.createDataFrame(E, "src long, dst long")
+    corpus, _ = node2vec_walks(
+        spark, edf, walk_length=5, w_return=0, w_in=1, w_out=1, seed=7
+    )
+    paths = {}
+    for r in corpus.collect():
+        paths.setdefault(r["walk"], {})[r["step"]] = r["id"]
+    assert paths
+    for p in paths.values():
+        seq = [p[t] for t in sorted(p)]
+        for i in range(2, len(seq)):
+            assert seq[i] != seq[i - 2], f"backtracked: {seq}"
+
+
+def test_node2vec_bias_frequencies(spark):
+    """Empirical check of the lottery-ticket weights: from c with
+    prev=p the candidates are p (return, w=1), a (in prev's
+    neighborhood, w=4), b (outward, w=2) — frequencies over many walk
+    replicas approach 1/7, 4/7, 2/7."""
+    from efficient_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    p, c, a, b = 0, 1, 2, 3
+    E = [(p, c), (c, p), (c, a), (c, b), (p, a)]
+    edf = spark.createDataFrame(E, "src long, dst long")
+    srcs = spark.createDataFrame([(p,)], "id long")
+    k = 600
+    corpus, _ = node2vec_walks(
+        spark, edf, walk_length=2, w_return=1, w_in=4, w_out=2,
+        walks_per_vertex=k, sources=srcs, seed=13,
+    )
+    paths = {}
+    for r in corpus.collect():
+        paths.setdefault(r["walk"], {})[r["step"]] = r["id"]
+    # among walks that went p -> c, count the step-2 choice
+    counts = {p: 0, a: 0, b: 0}
+    n = 0
+    for pth in paths.values():
+        if pth.get(1) == c and 2 in pth:
+            counts[pth[2]] += 1
+            n += 1
+    assert n > 200  # ~half the replicas step to c first
+    assert abs(counts[p] / n - 1 / 7) < 0.07
+    assert abs(counts[a] / n - 4 / 7) < 0.09
+    assert abs(counts[b] / n - 2 / 7) < 0.08
