@@ -2639,9 +2639,12 @@ def _repetition_sql() -> str:
     return """
 WITH dd AS (SELECT doc_id, text FROM documents),
 nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM dd),
-tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+tk AS (SELECT doc_id,
+       CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS w FROM nd),
 ts AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
-       round(1 - 1.0 * len(list_distinct(w)) / len(w), 6) AS dup_token_frac FROM tk),
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE round(1 - 1.0 * len(list_distinct(w)) / len(w), 6)
+       END AS dup_token_frac FROM tk),
 bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
        i -> w[i] || ' ' || w[i+1])) AS bigram FROM tk WHERE len(w) >= 2),
 bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),

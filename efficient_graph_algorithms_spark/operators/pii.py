@@ -25,7 +25,9 @@ from efficient_graph_algorithms_spark.functions.text import fingerprint60
 
 # RE2-safe (and Java-regex-identical) patterns. Kept simple on purpose:
 # the point is the cross-engine-exact pipeline shape, not RFC 5322.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (?i) is honored identically by Java regex and RE2, so mixed-case
+# addresses neither leak nor get partially mangled.
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
@@ -36,17 +38,22 @@ def pii_features(
     counts plus the 60-bit fingerprint of the redacted text (emails →
     ``<EMAIL>``, IPv4s → ``<IP>``). The fingerprint lets a downstream
     exact-dedup pass run on redacted content without materializing it,
-    and doubles as a byte-exact redaction check against the oracle."""
+    and doubles as a byte-exact redaction check against the oracle.
+
+    Counts mirror the sequential redaction exactly: emails are counted
+    on the original text, IPs on the EMAIL-REDACTED text — so n_emails
+    and n_ips always equal the number of ``<EMAIL>``/``<IP>``
+    placeholders actually placed (an IP-shaped local part like
+    ``1.2.3.4@x.com`` is one email, zero IPs, in counts AND output)."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-    )
+    email_red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(email_red, IPV4_RE, "<IP>")
     return docs.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        F.size(F.regexp_extract_all(email_red, F.lit(IPV4_RE), F.lit(0)))
         .cast("long")
         .alias("n_ips"),
         fingerprint60(redacted).alias("redacted_fp"),
@@ -61,14 +68,12 @@ def duck_pii_sql(text_expr: str) -> str:
     # patterns embed verbatim.
     email = EMAIL_RE
     ip = IPV4_RE
-    redacted = (
-        f"regexp_replace(regexp_replace({text_expr}, '{email}', '<EMAIL>', 'g'),"
-        f" '{ip}', '<IP>', 'g')"
-    )
+    email_red = f"regexp_replace({text_expr}, '{email}', '<EMAIL>', 'g')"
+    redacted = f"regexp_replace({email_red}, '{ip}', '<IP>', 'g')"
     from efficient_graph_algorithms_spark.functions.text import duck_fingerprint60
 
     return (
         f"len(regexp_extract_all({text_expr}, '{email}'))::BIGINT AS n_emails, "
-        f"len(regexp_extract_all({text_expr}, '{ip}'))::BIGINT AS n_ips, "
+        f"len(regexp_extract_all({email_red}, '{ip}'))::BIGINT AS n_ips, "
         f"{duck_fingerprint60(redacted)} AS redacted_fp"
     )

@@ -36,17 +36,28 @@ def repetition_features(
     """(doc_id, n_tokens, dup_token_frac, top_bigram_frac), fractions
     rounded to 6 decimals (same cross-engine convention as the dedup
     Jaccard scores). Documents with < 2 tokens get top_bigram_frac 0."""
+    # empty/whitespace-only docs: split('') yields [''], so gate on the
+    # normalized text being non-empty — n_tokens 0, fractions 0.0
+    # (lockstep with functions/text.py's token_count empty convention)
     base = docs.select(
         F.col(id_col),
-        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+        F.when(
+            normalized_text(F.col(text_col)) == "", F.array().cast("array<string>")
+        )
+        .otherwise(F.split(normalized_text(F.col(text_col)), " "))
+        .alias("_toks"),
     )
     toks = F.col("_toks")
     tok_stats = base.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
-        ).alias("dup_token_frac"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 6
+            )
+        )
+        .alias("dup_token_frac"),
     )
     bigrams = base.where(F.size(toks) >= 2).select(
         F.col(id_col),

@@ -288,3 +288,39 @@ def test_pii_plan_is_scan_stage_only(spark):
     df = spark.createDataFrame([(0, "x@y.zz")], "doc_id long, text string")
     plan = pii_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pii_mixed_case_and_ip_local_part(spark):
+    """Review fixes pinned: (a) mixed-case emails match via (?i) in
+    both engines; (b) an IP-shaped email local part counts as one
+    email and ZERO ips — counts always equal the placeholders the
+    sequential redaction actually places."""
+    rows = [
+        (0, "Contact Bob@Example.COM today"),
+        (1, "from 1.2.3.4@example.com ok"),
+        (2, "plain 1.2.3.4 host"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_features(df).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_ips"] == 0
+    assert got[1]["n_emails"] == 1 and got[1]["n_ips"] == 0
+    assert got[2]["n_emails"] == 0 and got[2]["n_ips"] == 1
+    from efficient_graph_algorithms_spark.functions.text import fingerprint60
+
+    raw = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint60(F.col("text")).alias("fp")).collect()
+    }
+    assert got[0]["redacted_fp"] != raw[0], "mixed-case email must be redacted"
+
+
+def test_repetition_empty_doc_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    for i in (0, 1):
+        assert got[i]["n_tokens"] == 0
+        assert got[i]["dup_token_frac"] == 0.0
+        assert got[i]["top_bigram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 3
