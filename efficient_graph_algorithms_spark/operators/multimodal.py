@@ -941,7 +941,14 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
             return _image_features(*decode_jpeg(payload))
         if kind == "video" and _is_y4m(payload):
             return _video_features(*decode_y4m(payload))
-    except (ValueError, NotImplementedError):
+    except (
+        ValueError,
+        NotImplementedError,
+        KeyError,  # JPEG: SOS referencing a DHT/DQT table never defined
+        IndexError,  # truncated segment bodies (short SOF/SOS/zlib stream)
+        StopIteration,  # DHT counts exceeding the symbol bytes present
+        ZeroDivisionError,  # SOF sampling factor of 0
+    ):
         # header looked WAV/BMP/Y4M but the body is unsupported or malformed
         # (e.g. 24-bit PCM, truncated data chunk): in fake mode degrade to
         # the deterministic fake instead of aborting the whole Spark job;

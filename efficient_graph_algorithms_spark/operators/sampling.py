@@ -192,7 +192,10 @@ def assign_shards(
         .select(
             F.col(id_col),
             "n_tok",
-            F.floor((F.col("_cum") - F.col("n_tok")) / F.lit(shard_tokens))
+            # exact LONG division (`div`), not double `/` + floor: past
+            # 2^53 cumulative tokens the double cast loses integer
+            # exactness and a boundary doc could land in the wrong shard
+            F.expr(f"(_cum - n_tok) div {int(shard_tokens)}")
             .cast("long")
             .alias("shard_id"),
         )

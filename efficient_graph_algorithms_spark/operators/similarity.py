@@ -217,10 +217,20 @@ def semantic_dedup(
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     if n_centroids > 1:
         if centroids is None:
-            centroids = ivf_centroids(
-                vectors, n_centroids, n_iter, seed, id_col, vec_col
-            )
-        assign = _ivf_assign_expr(F.col("_v"), centroids)
+            try:
+                centroids = ivf_centroids(
+                    vectors, n_centroids, n_iter, seed, id_col, vec_col
+                )
+            except ValueError:
+                # fewer vectors than centroids (tiny/empty corpus):
+                # the quadratic bound the clustering buys is moot at
+                # this size — fall back to the exhaustive face
+                centroids = None
+        assign = (
+            _ivf_assign_expr(F.col("_v"), centroids)
+            if centroids is not None
+            else F.lit(0)
+        )
     else:
         assign = F.lit(0)
     assigned = v.select("vec_id", "_v", assign.cast("long").alias("list_id"))

@@ -58,6 +58,92 @@ def walk_choice_duck_sql(walk: str, step: int, cand: str, seed: int) -> str:
     )
 
 
+def _drive_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int,
+    sources: DataFrame | None,
+    as_paths: bool,
+    num_partitions: int | None,
+    name: str,
+    with_prev: bool,
+    make_step,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Shared level-synchronous walk driver (uniform + biased walkers).
+
+    ``make_step(state, e, t)`` returns the next walk state with the same
+    columns as ``state`` (``walk``, [``prev``,] ``cur``). Everything
+    else — edge prep, walk-id scheme, StateCutter/observe loop,
+    early-exit, corpus assembly, as_paths rollup — lives once here so
+    the two public walkers cannot drift."""
+    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(sp, "src")
+        .persist()
+    )
+    e.count()
+    try:
+        starts = (
+            sources.select("id")
+            if sources is not None
+            else e.select(F.col("src").alias("id")).unionByName(
+                e.select(F.col("dst").alias("id"))
+            )
+        ).distinct()
+
+        k = walks_per_vertex
+        cols = [(F.col("id") * k + F.col("walk_no")).alias("walk")]
+        if with_prev:
+            cols.append(F.col("id").alias("prev"))
+        cols.append(F.col("id").alias("cur"))
+        state = starts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("walk_no"), "id"
+        ).select(*cols)
+
+        info: dict[str, Any] = {"steps_run": 0, "live_walks": []}
+        parts: list[DataFrame] = []
+        with StateCutter(spark, name, keep=3) as cut:
+            state, got = cut.observe(state, n=F.count(F.lit(1)))
+            info["n_walks"] = int(got["n"] or 0)
+            parts.append(
+                state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
+                .localCheckpoint(eager=True)
+            )
+            for t in range(1, walk_length + 1):
+                nxt = make_step(state, e, t)
+                state, got = cut.observe(nxt, n=F.count(F.lit(1)))
+                live = int(got["n"] or 0)
+                info["steps_run"] = t
+                info["live_walks"].append(live)
+                parts.append(
+                    state.select(
+                        "walk", F.lit(t).alias("step"), F.col("cur").alias("id")
+                    ).localCheckpoint(eager=True)
+                )
+                if live == 0:
+                    break
+    finally:
+        # release the pinned edge relation even if a step job dies
+        # (executor loss, scratch-dir write failure mid-loop)
+        e.unpersist()
+
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    if as_paths:
+        corpus = (
+            corpus.groupBy("walk")
+            .agg(F.sort_array(F.collect_list(F.struct("step", "id"))).alias("s"))
+            .select("walk", F.col("s.id").alias("path"))
+        )
+    return corpus, info
+
+
 def random_walks(
     spark: SparkSession,
     edges: DataFrame,
@@ -88,71 +174,21 @@ def random_walks(
         raise ValueError(f"walk_length must be >= 0, got {walk_length}")
     if walks_per_vertex < 1:
         raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
-    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(sp, "src")
-        .persist()
+    def step(state: DataFrame, e: DataFrame, t: int) -> DataFrame:
+        cand = state.join(e, state["cur"] == e["src"], "inner").select(
+            "walk", F.col("dst"), _choice_hash("walk", t, "dst", seed).alias("h")
+        )
+        return (
+            cand.groupBy("walk")
+            .agg(F.min(F.struct("h", "dst")).alias("pick"))
+            .select("walk", F.col("pick.dst").alias("cur"))
+        )
+
+    return _drive_walks(
+        spark, edges, walk_length, walks_per_vertex, sources, as_paths,
+        num_partitions, "walks", False, step,
     )
-    e.count()
-    starts = (
-        sources.select("id")
-        if sources is not None
-        else e.select(F.col("src").alias("id")).unionByName(
-            e.select(F.col("dst").alias("id"))
-        )
-    ).distinct()
-
-    k = walks_per_vertex
-    state = starts.select(
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("walk_no"), "id"
-    ).select(
-        (F.col("id") * k + F.col("walk_no")).alias("walk"), F.col("id").alias("cur")
-    )
-
-    info: dict[str, Any] = {"steps_run": 0, "live_walks": []}
-    parts: list[DataFrame] = []
-    with StateCutter(spark, "walks", keep=3) as cut:
-        state, got = cut.observe(state, n=F.count(F.lit(1)))
-        info["n_walks"] = int(got["n"] or 0)
-        parts.append(
-            state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
-            .localCheckpoint(eager=True)
-        )
-        for t in range(1, walk_length + 1):
-            cand = state.join(e, state["cur"] == e["src"], "inner").select(
-                "walk", F.col("dst"), _choice_hash("walk", t, "dst", seed).alias("h")
-            )
-            nxt = (
-                cand.groupBy("walk")
-                .agg(F.min(F.struct("h", "dst")).alias("pick"))
-                .select("walk", F.col("pick.dst").alias("cur"))
-            )
-            state, got = cut.observe(nxt, n=F.count(F.lit(1)))
-            live = int(got["n"] or 0)
-            info["steps_run"] = t
-            info["live_walks"].append(live)
-            parts.append(
-                state.select("walk", F.lit(t).alias("step"), F.col("cur").alias("id"))
-                .localCheckpoint(eager=True)
-            )
-            if live == 0:
-                break
-    e.unpersist()
-
-    corpus = parts[0]
-    for p in parts[1:]:
-        corpus = corpus.unionByName(p)
-    if as_paths:
-        corpus = (
-            corpus.groupBy("walk")
-            .agg(F.sort_array(F.collect_list(F.struct("step", "id"))).alias("s"))
-            .select("walk", F.col("s.id").alias("path"))
-        )
-    return corpus, info
 
 
 def _n2v_choice_hash(walk, step: int, cand, j, seed: int):
@@ -224,100 +260,48 @@ def node2vec_walks(
         raise ValueError(f"walk_length must be >= 0, got {walk_length}")
     if walks_per_vertex < 1:
         raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
-    sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(sp, "src")
-        .persist()
-    )
-    e.count()
-    starts = (
-        sources.select("id")
-        if sources is not None
-        else e.select(F.col("src").alias("id")).unionByName(
-            e.select(F.col("dst").alias("id"))
+    def step(state: DataFrame, e: DataFrame, t: int) -> DataFrame:
+        pe = e.select(F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"))
+        cand = state.join(e, state["cur"] == e["src"], "inner").select(
+            "walk", "prev", "cur", F.col("dst")
         )
-    ).distinct()
-
-    k = walks_per_vertex
-    state = starts.select(
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("walk_no"), "id"
-    ).select(
-        (F.col("id") * k + F.col("walk_no")).alias("walk"),
-        F.col("id").alias("prev"),
-        F.col("id").alias("cur"),
-    )
-
-    pe = e.select(F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"))
-    info: dict[str, Any] = {"steps_run": 0, "live_walks": []}
-    parts: list[DataFrame] = []
-    with StateCutter(spark, "n2v_walks", keep=3) as cut:
-        state, got = cut.observe(state, n=F.count(F.lit(1)))
-        info["n_walks"] = int(got["n"] or 0)
-        parts.append(
-            state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
-            .localCheckpoint(eager=True)
+        flagged = cand.join(
+            pe,
+            (cand["prev"] == pe["_psrc"]) & (cand["dst"] == pe["_pdst"]),
+            "left",
+        ).select(
+            "walk",
+            "cur",
+            "dst",
+            F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+            .when(F.col("_pdst").isNotNull(), F.lit(w_in))
+            .otherwise(F.lit(w_out))
+            .alias("_w"),
         )
-        for t in range(1, walk_length + 1):
-            cand = state.join(e, state["cur"] == e["src"], "inner").select(
-                "walk", "prev", "cur", F.col("dst")
-            )
-            flagged = cand.join(
-                pe,
-                (cand["prev"] == pe["_psrc"]) & (cand["dst"] == pe["_pdst"]),
-                "left",
-            ).select(
+        expl = flagged.where(F.col("_w") > 0).select(
+            "walk",
+            "cur",
+            "dst",
+            F.explode(F.sequence(F.lit(0), F.col("_w") - 1)).alias("_j"),
+        )
+        return (
+            expl.select(
                 "walk",
                 "cur",
                 "dst",
-                F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
-                .when(F.col("_pdst").isNotNull(), F.lit(w_in))
-                .otherwise(F.lit(w_out))
-                .alias("_w"),
+                _n2v_choice_hash("walk", t, "dst", "_j", seed).alias("h"),
             )
-            expl = flagged.where(F.col("_w") > 0).select(
+            .groupBy("walk", "cur")
+            .agg(F.min(F.struct("h", "dst")).alias("pick"))
+            .select(
                 "walk",
-                "cur",
-                "dst",
-                F.explode(F.sequence(F.lit(0), F.col("_w") - 1)).alias("_j"),
+                F.col("cur").alias("prev"),
+                F.col("pick.dst").alias("cur"),
             )
-            nxt = (
-                expl.select(
-                    "walk",
-                    "cur",
-                    "dst",
-                    _n2v_choice_hash("walk", t, "dst", "_j", seed).alias("h"),
-                )
-                .groupBy("walk", "cur")
-                .agg(F.min(F.struct("h", "dst")).alias("pick"))
-                .select(
-                    "walk",
-                    F.col("cur").alias("prev"),
-                    F.col("pick.dst").alias("cur"),
-                )
-            )
-            state, got = cut.observe(nxt, n=F.count(F.lit(1)))
-            live = int(got["n"] or 0)
-            info["steps_run"] = t
-            info["live_walks"].append(live)
-            parts.append(
-                state.select("walk", F.lit(t).alias("step"), F.col("cur").alias("id"))
-                .localCheckpoint(eager=True)
-            )
-            if live == 0:
-                break
-    e.unpersist()
-
-    corpus = parts[0]
-    for p in parts[1:]:
-        corpus = corpus.unionByName(p)
-    if as_paths:
-        corpus = (
-            corpus.groupBy("walk")
-            .agg(F.sort_array(F.collect_list(F.struct("step", "id"))).alias("s"))
-            .select("walk", F.col("s.id").alias("path"))
         )
-    return corpus, info
+
+    return _drive_walks(
+        spark, edges, walk_length, walks_per_vertex, sources, as_paths,
+        num_partitions, "n2v_walks", True, step,
+    )

@@ -347,8 +347,8 @@ def main(argv: list[str] | None = None) -> int:
         agg = out.agg(F.count("*").alias("n"), F.sum("n_tok").alias("t"),
                       (F.max("shard_id") + 1).alias("s")).first()
         print(json.dumps({"cmd": "shards", "shard_tokens": args.shard_tokens,
-                          "docs": int(agg["n"]), "tokens": int(agg["t"]),
-                          "shards": int(agg["s"]),
+                          "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
+                          "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
@@ -365,7 +365,8 @@ def main(argv: list[str] | None = None) -> int:
         agg = out.agg(F.count("*").alias("n"), F.sum("keep").alias("k")).first()
         print(json.dumps({"cmd": "semdedup", "threshold": args.threshold,
                           "centroids": args.centroids, "vectors": int(agg["n"]),
-                          "kept": int(agg["k"]), "removed": int(agg["n"] - agg["k"]),
+                          "kept": int(agg["k"] or 0),
+                          "removed": int(agg["n"] - (agg["k"] or 0)),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
