@@ -812,6 +812,7 @@ def frt_tree(
         v0 = int(verts.agg(F.min("id")).collect()[0][0])
         d = cut(verts.select("id", F.when(F.col("id") == v0, 0.0).alias("d")))
         hops = 0
+        fixpoint = False
         for _ in range(max_hops):
             hops += 1
             relaxed = (
@@ -828,8 +829,18 @@ def frt_tree(
                 ~F.col("d").eqNullSafe(F.col("d0"))
             ).isEmpty():
                 d = nd
+                fixpoint = True
                 break
             d = nd
+        if not fixpoint:
+            # fail loudly like the disconnection check below: exiting with
+            # distances still relaxing would under-estimate ecc → delta →
+            # r_max and silently truncate the decomposition
+            raise ValueError(
+                f"frt_tree eccentricity relaxation did not reach fixpoint "
+                f"within max_hops={max_hops} (graph hop-diameter exceeds it; "
+                f"raise max_hops)"
+            )
         if not d.where(F.col("d").isNull()).isEmpty():
             raise ValueError("frt_tree requires a connected graph")
         ecc = float(d.agg(F.max("d")).collect()[0][0])
@@ -847,6 +858,7 @@ def frt_tree(
                 ).cast(FRT_CAND_T).alias("cands"),
             )
         )
+        fixpoint = False
         for _ in range(max_hops):
             flat = state.select("id", F.explode("cands").alias("c")).select(
                 "id", F.col("c.pri").alias("pri"), F.col("c.dist").alias("dist"), F.col("c.cid").alias("cid")
@@ -874,7 +886,17 @@ def frt_tree(
             )
             state = new_state
             if changed:
+                fixpoint = True
                 break
+        if not fixpoint:
+            # an incomplete Pareto frontier leaves vertices without a
+            # candidate inside some level radius — phase C would then
+            # emit null cluster ids; fail loudly instead (same posture
+            # as the phase-A checks above)
+            raise ValueError(
+                f"frt_tree frontier relaxation did not reach fixpoint "
+                f"within max_hops={max_hops}; raise max_hops"
+            )
 
         # --- phase C: per-level assignment + cluster-path tree assembly
         levels = list(range(delta, -1, -1))

@@ -157,6 +157,20 @@ def test_frt_tree_matches_oracle(spark):
         assert got == {(i, pa, round(w, 9), d) for i, pa, w, d in exp_rows}
 
 
+def test_frt_tree_fails_loudly_when_max_hops_exhausted(spark):
+    """A hop-diameter larger than max_hops must raise, not silently use a
+    half-relaxed eccentricity/frontier (under-estimated r_max would
+    truncate the decomposition without any signal)."""
+    import pytest
+
+    from efficient_graph_algorithms_spark.operators.trees import frt_tree
+
+    path = [(i, i + 1, 1.0) for i in range(8)]  # hop-diameter 8 > max_hops
+    df = spark.createDataFrame(path, "src long, dst long, w double")
+    with pytest.raises(ValueError, match="fixpoint"):
+        frt_tree(spark, df, seed=7, max_hops=3)
+
+
 def test_frt_tree_dominates_graph_metric(spark):
     """FRT tree distances dominate the graph metric (dist_T >= dist_G)
     — the defining low-stretch-embedding property."""
