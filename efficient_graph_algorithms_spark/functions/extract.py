@@ -122,14 +122,22 @@ def extract_hrefs_udf(html: pd.Series) -> pd.Series:
 # whitespace class is Unicode-aware like Python's — both the \s* around
 # `href=` in the match pattern (an NBSP there would otherwise be missed
 # only by the JVM path) and the strip step (Python str.strip() strips
-# exotic Unicode spaces).
+# exotic Unicode spaces). One residual gap (?U) does NOT close: Python's
+# re \s / str.strip() also treat U+001C-001F (file/group/record/unit
+# separators) as whitespace while Java's White_Space property excludes
+# them — hence the explicit [\s\x1c-\x1f] class everywhere below.
 
-_HREF_SQL_PAT = r"""(?siU)<a\b[^>]*?href\s*=\s*["']([^"']+)["']"""
+_WS_CLS = r"[\s\x1c-\x1f]"
+_HREF_SQL_PAT = (
+    r"""(?siU)<a\b[^>]*?href""" + _WS_CLS + r"""*=""" + _WS_CLS
+    + r"""*["']([^"']+)["']"""
+)
+_STRIP_PAT = rf"(?U)^{_WS_CLS}+|{_WS_CLS}+$"
 
 
 def _normalize_url_col(u):
     """Column-expression mirror of `normalize_url` (same steps, same order)."""
-    u = F.regexp_replace(u, r"(?U)^\s+|\s+$", "")
+    u = F.regexp_replace(u, _STRIP_PAT, "")
     u = F.substring_index(u, "#", 1)
     scheme = F.substring_index(u, "://", 1)
     rest = F.substring(u, F.length(scheme) + 4, F.length(u))
@@ -153,6 +161,6 @@ def extract_hrefs_expr(html) -> "F.Column":
     Spark path has never exercised: ``raw_link_pairs`` passes no base)."""
     s = F.decode(html, "UTF-8")
     raw = F.regexp_extract_all(s, F.lit(_HREF_SQL_PAT), F.lit(1))
-    stripped = F.transform(raw, lambda h: F.regexp_replace(h, r"(?U)^\s+|\s+$", ""))
+    stripped = F.transform(raw, lambda h: F.regexp_replace(h, _STRIP_PAT, ""))
     nonempty = F.filter(stripped, lambda h: h != F.lit(""))
     return F.transform(nonempty, _normalize_url_col)

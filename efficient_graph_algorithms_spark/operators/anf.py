@@ -105,6 +105,9 @@ def neighborhood_function(
     """
     if mode not in ("exact", "sketch"):
         raise ValueError(f"mode must be 'exact' or 'sketch', got {mode!r}")
+    if max_radius < 1:
+        # exact mode would otherwise IndexError on its empty rows list
+        raise ValueError(f"max_radius must be >= 1, got {max_radius}")
     if registers & (registers - 1) or registers < 16:
         raise ValueError(f"registers must be a power of two >= 16, got {registers}")
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -29,10 +29,17 @@ from pyspark.sql import functions as F
 
 
 def _pair_counts(
-    e: DataFrame, key: str, item: str, min_count: int, degree_cap: int | None
+    e: DataFrame,
+    key: str,
+    item: str,
+    min_count: int,
+    degree_cap: int | None,
+    info: dict[str, Any] | None = None,
 ) -> DataFrame:
     """Count pairs of ``item`` values sharing a ``key`` value, after
-    dropping keys whose item-degree exceeds ``degree_cap``."""
+    dropping keys whose item-degree exceeds ``degree_cap``. When an
+    ``info`` dict is passed, the number of capped (dropped) keys is
+    counted into ``info['n_capped_keys']`` (one small aggregate job)."""
     base = e.select(key, item).distinct()
     if degree_cap is not None:
         hot = (
@@ -41,9 +48,16 @@ def _pair_counts(
             .where(F.col("d") > degree_cap)
             .select(key)
         )
+        if info is not None:
+            info["n_capped_keys"] = hot.count()
         base = base.join(hot, key, "left_anti")
+    elif info is not None:
+        info["n_capped_keys"] = 0
     # both wedge sides read base: persist so the scan + distinct + cap
-    # anti-join run once (the triangles.py oriented-edges convention)
+    # anti-join run once (the triangles.py oriented-edges convention).
+    # Deliberately NOT unpersisted here — the returned plan is lazy and
+    # still reads it; Spark's ContextCleaner drops the cached blocks once
+    # the caller releases the result (same lifecycle as triangles.py).
     base = base.persist()
     x = base.select(F.col(key).alias("_k"), F.col(item).alias("a"))
     y = base.select(F.col(key).alias("_k"), F.col(item).alias("b"))
@@ -87,14 +101,19 @@ def cocitation_topk(
     ordered by (n_common desc, a, b) so the result is deterministic.
     The global top-k is a TakeOrderedAndProject (per-partition heaps +
     driver merge of k rows), not a full sort."""
+    info: dict[str, Any] = {"mode": mode, "k": k, "degree_cap": degree_cap}
     if mode == "cocitation":
-        pairs = cocitation_pairs(edges, min_count, degree_cap)
+        pairs = _pair_counts(
+            edges.select("src", "dst"), "src", "dst", min_count, degree_cap, info
+        )
     elif mode == "coupling":
-        pairs = coupling_pairs(edges, min_count, degree_cap)
+        pairs = _pair_counts(
+            edges.select("src", "dst"), "dst", "src", min_count, degree_cap, info
+        )
     else:
         raise ValueError(f"mode must be 'cocitation' or 'coupling', got {mode!r}")
     out = pairs.orderBy(F.desc("n_common"), "a", "b").limit(k)
-    return out, {"mode": mode, "k": k, "degree_cap": degree_cap}
+    return out, info
 
 
 def mirror_pairs(

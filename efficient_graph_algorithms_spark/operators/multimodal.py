@@ -814,15 +814,25 @@ def _image_features(w: int, h: int, img: np.ndarray) -> tuple[int, int, np.ndarr
 
 #: chroma-plane size as a fraction of the luma plane, per Y4M colourspace
 #: family (YUV4MPEG2 spec: C tag; 420 variants share one plane layout)
-_Y4M_CHROMA_FRACTION = {
-    "mono": 0.0,
-    "420": 0.25,
-    "420jpeg": 0.25,
-    "420mpeg2": 0.25,
-    "420paldv": 0.25,
-    "422": 0.5,
-    "444": 1.0,
+# colourspace -> (horizontal, vertical) chroma subsampling divisors;
+# plane size is ceil(w/hdiv) * ceil(h/vdiv), NOT a fraction of w*h —
+# at odd frame dimensions subsampled planes round each axis UP
+_Y4M_CHROMA_DIV = {
+    "mono": None,
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
 }
+
+
+def _y4m_chroma_plane_sz(w: int, h: int, cs: str) -> int:
+    div = _Y4M_CHROMA_DIV[cs]
+    if div is None:
+        return 0
+    return -(-w // div[0]) * -(-h // div[1])
 
 
 def _is_y4m(payload: bytes) -> bool:
@@ -862,11 +872,10 @@ def decode_y4m(payload: bytes) -> tuple[float, np.ndarray]:
         # I (interlacing), A (pixel aspect), X (comment) don't affect layout
     if w <= 0 or h <= 0 or fps_num <= 0 or fps_den <= 0:
         raise ValueError(f"bad Y4M header: W={w} H={h} F={fps_num}:{fps_den}")
-    frac = _Y4M_CHROMA_FRACTION.get(cs)
-    if frac is None:
+    if cs not in _Y4M_CHROMA_DIV:
         raise NotImplementedError(f"Y4M colourspace C{cs} not supported")
     luma_sz = w * h
-    frame_sz = luma_sz + 2 * int(luma_sz * frac)
+    frame_sz = luma_sz + 2 * _y4m_chroma_plane_sz(w, h, cs)
     frames: list[np.ndarray] = []
     pos = nl + 1
     while pos < len(payload):
@@ -898,8 +907,7 @@ def encode_y4m(
     if a.dtype != np.uint8:
         a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
     n, h, w = a.shape
-    frac = _Y4M_CHROMA_FRACTION[colourspace]
-    chroma = b"\x80" * (2 * int(w * h * frac))
+    chroma = b"\x80" * (2 * _y4m_chroma_plane_sz(w, h, colourspace))
     hdr = (
         f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colourspace}\n"
     ).encode("ascii")

@@ -83,9 +83,13 @@ def strongly_connected_components(
         .repartition(sp, "src")
         .persist()
     )
+    # vertex domain from the ORIGINAL edges, not e0: a vertex whose only
+    # edges are self-loops must still get its singleton-SCC row (the
+    # docstring's contract); it enters with degree 0 in e0 and the TRIM
+    # peel assigns it scc = own id
     verts = (
-        e0.select(F.col("src").alias("id"))
-        .unionByName(e0.select(F.col("dst").alias("id")))
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
 
@@ -218,11 +222,17 @@ def strongly_connected_components(
                 n=F.count(F.lit(1)),
             )
         else:
-            warnings.warn(
-                f"scc hit max_outer={max_outer} with {n_remaining} vertices "
-                "unassigned — their labels are missing from the result",
-                stacklevel=2,
-            )
+            if n_remaining == 0:
+                # the final EXTRACT emptied the graph on exactly the last
+                # outer round; the top-of-loop check never re-ran
+                converged = True
+            else:
+                warnings.warn(
+                    f"scc hit max_outer={max_outer} with {n_remaining} "
+                    "vertices unassigned — their labels are missing from "
+                    "the result",
+                    stacklevel=2,
+                )
 
         if assigned_parts:
             labels = assigned_parts[0]
@@ -296,7 +306,9 @@ def bowtie_classes(
     core_row = sizes.orderBy(F.desc("n"), "scc").first()
     if core_row is None:  # edgeless input
         empty = spark.createDataFrame([], "id long, scc long, cls string")
-        return empty, {"core_scc": None, **scc_info}
+        # same info shape as the normal return — callers (e.g. the CLI
+        # bowtie handler) read class_counts unconditionally
+        return empty, {"core_scc": None, "class_counts": {}, **scc_info}
     core_label = int(core_row["scc"])
     core = labels.where(F.col("scc") == core_label).select("id")
 

@@ -95,8 +95,11 @@ def web_stats(
     ).first()
 
     tri = int(triangle_count(e).first()["triangles"])
+    # exact LONG arithmetic end-to-end (`div`, not double `/`): past 2^53
+    # total wedges the double sum rounds and the "integer" wedge count
+    # silently drifts; deg*(deg-1) is always even so div 2 per row is exact
     wedge_row = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+        F.sum(F.expr("deg * (deg - 1L) div 2")).alias("w")
     ).first()
     wedges = int(wedge_row["w"] or 0)
     e.unpersist()

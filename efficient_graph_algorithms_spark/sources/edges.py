@@ -55,6 +55,7 @@ def raw_link_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
     route); a pytest asserts both produce identical pairs."""
     from efficient_graph_algorithms_spark.functions.extract import (
         _HREF_SQL_PAT,
+        _STRIP_PAT,
         _normalize_url_col,
     )
 
@@ -70,9 +71,10 @@ def raw_link_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
     )
     return (
         pages.select("url", F.explode(raw).alias("h"))
-        # (?U): Unicode-aware \s like Python str.strip() — an NBSP-only href
-        # must strip to "" and be dropped HERE, exactly as the UDF path does
-        .select("url", F.regexp_replace(F.col("h"), r"(?U)^\s+|\s+$", "").alias("h"))
+        # _STRIP_PAT: Python str.strip()'s exact whitespace set (Unicode
+        # spaces + U+001C-001F) — an NBSP-only href must strip to "" and
+        # be dropped HERE, exactly as the UDF path does
+        .select("url", F.regexp_replace(F.col("h"), _STRIP_PAT, "").alias("h"))
         .where(F.col("h") != "")
         .select(
             F.col("url").alias("src_url"),

@@ -165,3 +165,16 @@ def test_truncated_closeness_sources_and_directed(spark):
     got = {r.id: (r.n_reached, r.sum_dist, r.closeness) for r in res.collect()}
     # 0 reaches 1 (d1) and 2 (d2); 3 reaches nothing downstream
     assert got == {0: (2, 3, round(2 / 3, 6)), 3: (0, 0, 0.0)}
+
+
+def test_max_radius_must_be_positive(spark):
+    import pytest
+
+    from efficient_graph_algorithms_spark.operators.anf import (
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    for mode in ("exact", "sketch"):
+        with pytest.raises(ValueError, match="max_radius"):
+            neighborhood_function(spark, edges, max_radius=0, mode=mode)

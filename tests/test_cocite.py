@@ -90,3 +90,16 @@ def test_mirror_pairs(spark):
         for r in mirror_pairs(docs, min_shared=2).collect()
     }
     assert got == {("s1", "s2"): 3}
+
+
+def test_topk_counts_capped_keys(spark):
+    # hub 0 links to 5 targets; cap 3 drops it — info reports the count
+    edges = spark.createDataFrame(
+        [(0, t) for t in range(1, 6)] + [(7, 1), (7, 2), (8, 1), (8, 2)],
+        "src long, dst long",
+    )
+    out, info = cocitation_topk(edges, k=10, min_count=2, degree_cap=3)
+    assert info["n_capped_keys"] == 1
+    assert {(r.a, r.b, r.n_common) for r in out.collect()} == {(1, 2, 2)}
+    _, info0 = cocitation_topk(edges, k=10, min_count=2, degree_cap=None)
+    assert info0["n_capped_keys"] == 0

@@ -103,6 +103,11 @@ def test_jvm_href_expr_matches_python_oracle(spark, tiny_pages_pd):
         # are Unicode-aware, so the JVM pattern must carry (?U)
         "<a href\u00a0=\u00a0'https://nbsp.example/u'>nbsp eq</a>".encode(),
         "<a href='\u00a0https://nbsp2.example/v\u00a0'>nbsp padded</a>".encode(),
+        # U+001C-001F are whitespace to Python's re \s / str.strip() but
+        # NOT to Java's (?U)\s (White_Space property) - the JVM pattern
+        # must match them explicitly or the two paths emit different urls
+        b"<a href='\x1chttps://Ctrl.example/w\x1f'>ctrl padded</a>",
+        b"<a href\x1c=\x1d'https://ctrl2.example/x'>ctrl eq</a>",
     ]
     rows = [(u, bytes(h)) for u, h in zip(tiny_pages_pd["url"], tiny_pages_pd["html"])]
     rows += [(f"adv{i}", h) for i, h in enumerate(adversarial)]

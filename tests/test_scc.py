@@ -115,9 +115,18 @@ def test_dag_is_all_singletons(spark):
     assert info["outer_rounds"] == 1 and info["trim_assigned"] == len(got)
 
 
-def test_self_loops_ignored(spark):
-    got, _, _ = _run(spark, [(0, 0), (0, 1), (1, 0), (2, 2)])
-    assert got == {0: 0, 1: 0}  # pure-self-loop vertex 2 never enters
+def test_self_loops_are_singleton_sccs(spark):
+    # self-loop edges are ignored for connectivity, but a vertex whose
+    # only edges are self-loops still gets its singleton-SCC row (the
+    # operator docstring's contract — it enters degree-0 and trims out).
+    # Raw edges straight to the operator: _run pre-filters self-loops.
+    edges = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (2, 2)], "src long, dst long"
+    )
+    labels, info = strongly_connected_components(spark, edges)
+    got = {r.id: r.scc for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
+    assert info["converged"]
 
 
 def _bowtie_oracle(pairs):
@@ -207,3 +216,14 @@ def test_bowtie_random_matches_closure_oracle(spark):
     got = {r["id"]: (r["scc"], r["cls"]) for r in labels.collect()}
     sccs, cls = _bowtie_oracle(pairs)
     assert got == {v: (sccs[v], cls[v]) for v in sccs}
+
+
+def test_bowtie_edgeless_info_shape(spark):
+    # the early return must carry the same info keys the normal path
+    # does — the CLI reads class_counts unconditionally
+    from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out, info = bowtie_classes(spark, edges)
+    assert out.count() == 0
+    assert info["core_scc"] is None and info["class_counts"] == {}

@@ -304,11 +304,16 @@ def test_y4m_roundtrip_bit_exact():
     )
 
     rng = np.random.default_rng(11)
-    frames = rng.integers(0, 256, size=(5, 14, 20), dtype=np.uint8)
-    for cs in ("mono", "420jpeg", "420", "422", "444"):
-        fps, got = decode_y4m(encode_y4m(frames, fps=(30, 1), colourspace=cs))
-        assert fps == 30.0, cs
-        assert np.array_equal((got * 255).round().astype(np.uint8), frames), cs
+    # even AND odd frame dimensions: subsampled chroma planes are
+    # ceil(w/2) x ceil(h/2), not w*h/4 — odd dims must round UP
+    for shape in ((5, 14, 20), (4, 3, 3), (3, 13, 21)):
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for cs in ("mono", "420jpeg", "420", "422", "444"):
+            fps, got = decode_y4m(encode_y4m(frames, fps=(30, 1), colourspace=cs))
+            assert fps == 30.0, (cs, shape)
+            assert np.array_equal(
+                (got * 255).round().astype(np.uint8), frames
+            ), (cs, shape)
 
 
 def test_y4m_header_variants_and_errors():
