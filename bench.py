@@ -98,6 +98,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
 WORK = os.environ.get("BENCH_WORK", "/tmp/ega_bench")
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+if REPS < 1:
+    raise SystemExit(f"BENCH_REPS must be >= 1, got {REPS}")
 
 
 def main() -> int:

@@ -13,9 +13,29 @@ Commands:
     triangles  --graph /path/graph
     hits       --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
     hostgraph  --graph /path/graph [--keep-self-loops] [--top 10] [--out DIR]
-    dedup      --docs /path/documents.parquet [--method minhash|exact|simhash|ngram] [--out DIR]
+    kcore      --graph /path/graph --k 3 [--max-iter 100] [--out DIR]
+    ktruss     --graph /path/graph --k 4 [--max-iter 100] [--out DIR]
+    anf        --graph /path/graph [--max-radius 16 --mode sketch|exact] [--out DIR]
+    scc        --graph /path/graph [--out DIR]
+    bowtie     --graph /path/graph [--out DIR]
+    walks      --graph /path/graph [--length 10 --per-vertex 1 --biased] [--out DIR]
+    betweenness --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
+    stats      --graph /path/graph [--out DIR]
+    cocite     --graph /path/graph [--k 20 --mode cocitation|coupling --cap 256] [--out DIR]
+    closeness  --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
+    dedup      --docs /path/documents.parquet [--method minhash|exact|simhash|ngram] [--clusters] [--out DIR]
+    mirror     --docs /path/documents.parquet [--min-shared 2 --key source] [--out DIR]
+    sample     --docs /path/documents.parquet [--rate R --by-lang en=0.5,de=0.25 --qmin Q] [--out DIR]
+    decontam   --docs /path/documents.parquet --probes /path/probes.parquet [--width 6] [--out DIR]
+    pii        --docs /path/documents.parquet [--redact] [--out DIR]
+    repetition --docs /path/documents.parquet [--out DIR]
+    shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
+    semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
     sessionize --events /path/events.parquet [--gap-sec 1800] [--out DIR]
+
+(Authoritative list: the argparse subparsers below; each command prints
+ONE JSON result line on stdout, Spark logs go to stderr.)
 """
 
 from __future__ import annotations
@@ -272,8 +292,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.qmin > 0:
             docs = docs.where(quality_score(F.col("text")) >= args.qmin)
         if args.by_lang:
-            rates = {kv.split("=")[0]: float(kv.split("=")[1])
-                     for kv in args.by_lang.split(",")}
+            rates = {}
+            for kv in args.by_lang.split(","):
+                key, sep, val = kv.partition("=")
+                if not sep or not key:
+                    raise SystemExit(
+                        f"sample: bad --by-lang entry {kv!r} "
+                        "(expected lang=rate, e.g. en=0.5,de=0.25)"
+                    )
+                rates[key] = float(val)
             out = stratified_sample(docs, rates, default_rate=args.rate,
                                     seed=args.seed)
         else:
@@ -378,11 +405,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.out:
             sess.write.mode("overwrite").parquet(args.out)
             sess = spark.read.parquet(args.out)
-        from pyspark.sql import functions as _F
-
         stats = sess.agg(
-            _F.count("*").alias("sessions"),
-            _F.max("n_events").alias("max_events"),
+            F.count("*").alias("sessions"),
+            F.max("n_events").alias("max_events"),
         ).collect()[0]
         print(json.dumps({"cmd": "sessionize", "gap_sec": args.gap_sec,
                           "events": events.count(),
@@ -396,8 +421,17 @@ def main(argv: list[str] | None = None) -> int:
 
         points = spark.read.parquet(args.embeddings)
         # LSH planes must match the embedding width: zip_with null-pads a
-        # mismatch and every vector would silently hash to bucket 0
-        dim = args.dim or len(points.select("embedding").first()[0])
+        # mismatch and every vector would silently hash to bucket 0.
+        # exact mode never uses dim — skip the inference job entirely
+        dim = args.dim
+        if not dim and args.method != "exact":
+            first = points.select("embedding").first()
+            if first is None or first[0] is None:
+                raise SystemExit(
+                    "knn: cannot infer --dim from an empty embeddings table; "
+                    "pass --dim explicitly"
+                )
+            dim = len(first[0])
         g = knn_graph(points, k=args.k, method=args.method, dim=dim)
         if args.out:
             g.write.mode("overwrite").parquet(args.out)
@@ -468,7 +502,8 @@ def main(argv: list[str] | None = None) -> int:
             scores.write.mode("overwrite").parquet(args.out)
         url_dict = spark.read.parquet(f"{args.graph}/url_dict")
         top = (scores.orderBy(F.desc("authority"), F.asc("id")).limit(args.top)
-               .join(url_dict, "id").orderBy(F.desc("authority")).collect())
+               .join(url_dict, "id")
+               .orderBy(F.desc("authority"), F.asc("id")).collect())
         print(json.dumps({
             "cmd": "hits", "n": info["n"], "iterations": info["iterations"],
             "converged": info["converged"], "sec": round(time.time() - t0, 2),
@@ -496,6 +531,9 @@ def main(argv: list[str] | None = None) -> int:
         from efficient_graph_algorithms_spark.operators.webstats import web_stats
 
         stats, info = web_stats(spark, edges)
+        if args.out:
+            stats.write.mode("overwrite").parquet(args.out)
+            stats = spark.read.parquet(args.out)
         row = stats.first()
         print(json.dumps({
             "cmd": "stats", "reciprocity": row["reciprocity"],
@@ -511,9 +549,15 @@ def main(argv: list[str] | None = None) -> int:
 
         out, info = cocitation_topk(edges, k=args.k, min_count=args.min_count,
                                     degree_cap=args.cap, mode=args.mode)
-        rows = [(r["a"], r["b"], r["n_common"]) for r in out.collect()]
+        # write first and re-read (the sibling handlers' convention) so the
+        # capped wedge join runs once, not once per action
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        rows = sorted(
+            ((r["a"], r["b"], r["n_common"]) for r in out.collect()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
         print(json.dumps({"cmd": "cocite", **info, "n_pairs": len(rows),
                           "top": rows[:5],
                           "sec": round(time.time() - t0, 2)}))

@@ -165,6 +165,17 @@ def main() -> int:
         "loop_blob": _git(
             ["hash-object", "efficient_graph_algorithms_spark/operators/pagerank.py"]
         ),
+        # the loop's hot dependencies: StateCutter drives every
+        # iteration's cut/observe and the session config sets the shuffle
+        # geometry — a change to either invalidates the measurement too
+        "dep_blobs": {
+            "efficient_graph_algorithms_spark/plans/lineage.py": _git(
+                ["hash-object", "efficient_graph_algorithms_spark/plans/lineage.py"]
+            ),
+            "efficient_graph_algorithms_spark/session.py": _git(
+                ["hash-object", "efficient_graph_algorithms_spark/session.py"]
+            ),
+        },
         "graph": graph,
         "pages": args.pages,
         "n_edges": results[lo][0]["n_edges"],

@@ -3,9 +3,11 @@ PageRank loop than the working tree's — the round-2 failure mode
 (loop rewritten, scaling evidence silently stale), institutionalized
 away. Run via `make scaling-fresh`; re-measure with `make scaling`.
 
-The stamp is the git BLOB hash of operators/pagerank.py recorded by
-tools/bench_scaling.py at measurement time: it changes exactly when
-the measured loop file changes, independent of unrelated commits.
+The stamp is the git BLOB hash of operators/pagerank.py — plus its hot
+dependencies plans/lineage.py (StateCutter drives every iteration's
+cut/observe) and session.py (shuffle geometry) — recorded by
+tools/bench_scaling.py at measurement time: each changes exactly when
+the measured file changes, independent of unrelated commits.
 """
 
 from __future__ import annotations
@@ -17,6 +19,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 LOOP = "efficient_graph_algorithms_spark/operators/pagerank.py"
+DEPS = (
+    "efficient_graph_algorithms_spark/plans/lineage.py",
+    "efficient_graph_algorithms_spark/session.py",
+)
 
 
 def main() -> int:
@@ -41,18 +47,35 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
-    current = subprocess.run(
-        ["git", "hash-object", LOOP], cwd=REPO, check=True,
-        capture_output=True, text=True,
-    ).stdout.strip()
-    if stamped != current:
+    def blob(path: str) -> str:
+        return subprocess.run(
+            ["git", "hash-object", path], cwd=REPO, check=True,
+            capture_output=True, text=True,
+        ).stdout.strip()
+
+    checks = {LOOP: stamped, **rec.get("dep_blobs", {})}
+    missing = [d for d in DEPS if d not in checks]
+    if missing:
         print(
-            f"STALE: {LOOP} changed since scaling was measured "
-            f"(stamped {stamped[:12]}, tree {current[:12]}) — run `make scaling`",
+            f"STALE: scaling.json carries no dep_blobs stamp for {missing} "
+            "(pre-dep-stamp measurement) — run `make scaling`",
             file=sys.stderr,
         )
         return 1
-    print(f"fresh: scaling.json measured on current {LOOP} ({current[:12]})")
+    for path, want in checks.items():
+        current = blob(path)
+        if want != current:
+            print(
+                f"STALE: {path} changed since scaling was measured "
+                f"(stamped {want[:12]}, tree {current[:12]}) — run "
+                "`make scaling`",
+                file=sys.stderr,
+            )
+            return 1
+    print(
+        f"fresh: scaling.json measured on current {LOOP} + "
+        f"{len(checks) - 1} deps ({stamped[:12]})"
+    )
     return 0
 
 
