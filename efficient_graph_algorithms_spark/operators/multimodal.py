@@ -470,7 +470,23 @@ def decode_jpeg(payload: bytes):
     YCbCr) with arbitrary sampling factors up to 2 (4:4:4, 4:2:2,
     4:2:0; chroma upsampled by pixel repetition), one scan, standard
     Huffman entropy coding. Progressive (SOF2), arithmetic coding,
-    and restart intervals raise NotImplementedError."""
+    and restart intervals raise NotImplementedError.
+
+    Malformed streams raise ValueError at this boundary (same contract
+    as decode_png/decode_y4m) — incidental KeyError/IndexError/
+    StopIteration/ZeroDivisionError from a corrupt bitstream never
+    escape, so callers can keep a tight except list and a decoder BUG
+    on a valid payload still surfaces as itself."""
+    try:
+        return _decode_jpeg_raw(payload)
+    except (KeyError, IndexError, StopIteration, ZeroDivisionError) as e:
+        # KeyError: SOS referencing a DHT/DQT never defined; IndexError:
+        # truncated segment body; StopIteration: DHT counts exceed symbol
+        # bytes; ZeroDivisionError: SOF sampling factor of 0.
+        raise ValueError(f"JPEG malformed stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_raw(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
     pos = 2
@@ -949,14 +965,10 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
             return _image_features(*decode_jpeg(payload))
         if kind == "video" and _is_y4m(payload):
             return _video_features(*decode_y4m(payload))
-    except (
-        ValueError,
-        NotImplementedError,
-        KeyError,  # JPEG: SOS referencing a DHT/DQT table never defined
-        IndexError,  # truncated segment bodies (short SOF/SOS/zlib stream)
-        StopIteration,  # DHT counts exceeding the symbol bytes present
-        ZeroDivisionError,  # SOF sampling factor of 0
-    ):
+    except (ValueError, NotImplementedError):
+        # every decoder translates malformed input to ValueError at its
+        # parse boundary (JPEG included, see decode_jpeg), so anything
+        # else here is a genuine decoder bug and must surface
         # header looked WAV/BMP/Y4M but the body is unsupported or malformed
         # (e.g. 24-bit PCM, truncated data chunk): in fake mode degrade to
         # the deterministic fake instead of aborting the whole Spark job;

@@ -45,7 +45,10 @@ def pii_features(
     and n_ips always equal the number of ``<EMAIL>``/``<IP>``
     placeholders actually placed (an IP-shaped local part like
     ``1.2.3.4@x.com`` is one email, zero IPs, in counts AND output)."""
-    t = F.col(text_col)
+    # NULL text must behave as '' (counts 0, fingerprint of ""), not
+    # propagate: non-ANSI size(NULL) is -1 and would corrupt summed counts
+    # when the CLI reads arbitrary parquet.
+    t = F.coalesce(F.col(text_col), F.lit(""))
     email_red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     redacted = F.regexp_replace(email_red, IPV4_RE, "<IP>")
     return docs.select(

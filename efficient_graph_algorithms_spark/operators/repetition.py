@@ -39,12 +39,16 @@ def repetition_features(
     # empty/whitespace-only docs: split('') yields [''], so gate on the
     # normalized text being non-empty — n_tokens 0, fractions 0.0
     # (lockstep with functions/text.py's token_count empty convention)
+    # NULL text behaves as '' (n_tokens 0, fractions 0.0): without the
+    # coalesce the normalized==\"\" gate is NULL→false and size(NULL)=-1
+    # leaks into n_tokens.
+    _text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col),
         F.when(
-            normalized_text(F.col(text_col)) == "", F.array().cast("array<string>")
+            normalized_text(_text) == "", F.array().cast("array<string>")
         )
-        .otherwise(F.split(normalized_text(F.col(text_col)), " "))
+        .otherwise(F.split(normalized_text(_text), " "))
         .alias("_toks"),
     )
     toks = F.col("_toks")

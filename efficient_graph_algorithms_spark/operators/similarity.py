@@ -233,7 +233,16 @@ def semantic_dedup(
         )
     else:
         assign = F.lit(0)
-    assigned = v.select("vec_id", "_v", assign.cast("long").alias("list_id"))
+    # `assigned` feeds BOTH self-join sides and the final keep join; the
+    # centroid-assignment scan (n_centroids distance structs per row) is
+    # the expensive part, so persist it once instead of recomputing it
+    # three times per action (same motive as betweenness/walks; unlike
+    # their internal loops this operator returns lazily, so the cache is
+    # released by Spark's ContextCleaner when the caller drops the
+    # result rather than by an explicit unpersist).
+    assigned = v.select(
+        "vec_id", "_v", assign.cast("long").alias("list_id")
+    ).persist()
     a = assigned.select(
         F.col("vec_id").alias("a"), F.col("_v").alias("_va"), "list_id"
     )

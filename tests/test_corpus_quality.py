@@ -324,3 +324,21 @@ def test_repetition_empty_doc_zero_tokens(spark):
         assert got[i]["dup_token_frac"] == 0.0
         assert got[i]["top_bigram_frac"] == 0.0
     assert got[2]["n_tokens"] == 3
+
+
+def test_pii_and_repetition_null_text_behaves_as_empty(spark):
+    """r5 advice fix: NULL text must not leak non-ANSI size(NULL) = -1
+    into the counts (the CLI reads arbitrary parquet, so null text rows
+    are a real input class). NULL behaves exactly like ''."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "x@y.zz at 1.2.3.4")],
+        "doc_id long, text string",
+    )
+    pii = {r["doc_id"]: r.asDict() for r in pii_features(df).collect()}
+    assert pii[0]["n_emails"] == 0 and pii[0]["n_ips"] == 0
+    assert pii[0]["redacted_fp"] == pii[1]["redacted_fp"]
+    assert pii[2]["n_emails"] == 1 and pii[2]["n_ips"] == 1
+    rep = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    assert rep[0]["n_tokens"] == 0
+    assert rep[0]["dup_token_frac"] == 0.0
+    assert rep[0]["top_bigram_frac"] == 0.0
