@@ -6,7 +6,7 @@
 
 PY ?= python
 
-.PHONY: test bench scaling membw scaling-fresh check pyfiles
+.PHONY: test bench scaling multijvm membw scaling-fresh check pyfiles
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -36,8 +36,24 @@ scaling:
 	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 \
 		> BENCH/membw.json.tmp && mv BENCH/membw.json.tmp BENCH/membw.json
 
+# executor-shaped N -> 4N protocol (the north rule's criterion): 1 JVM x
+# local[8] vs 4 concurrent JVMs x local[8] on the same 100M-edge graph,
+# 3 repeats with steal telemetry, blob-stamped like scaling.json. ~60 min.
+multijvm:
+	test -d $(SCALING_GRAPH)/edges || $(PY) tools/gen_edges.py \
+		--vertices 12000000 --edges 100000000 --out $(SCALING_GRAPH)
+	$(PY) tools/bench_multijvm.py --graph $(SCALING_GRAPH) --repeats 3 \
+		--min-edges 90000000 \
+		> BENCH/multijvm.json.tmp && mv BENCH/multijvm.json.tmp BENCH/multijvm.json
+
 membw:
 	$(PY) tools/bench_membw.py --workers 2 8 32 --rounds 8 > BENCH/membw.json
+
+# hub-skew stress A/B: salted vs unsalted adjacency-block PageRank on a
+# manufactured 2*10^5 x-average hub (see tools/bench_skew.py). ~15 min.
+skew:
+	$(PY) tools/bench_skew.py --repeats 3 \
+		> BENCH/skew.json.tmp && mv BENCH/skew.json.tmp BENCH/skew.json
 
 scaling-fresh:
 	$(PY) tools/check_scaling_fresh.py

@@ -22,8 +22,15 @@ defect. Each phase-B JVM runs the full job independently (weak
 scaling / throughput form of the criterion); the strong-scaling form
 is covered by BENCH/scaling.json (2 -> 8 cores, same-job speedup).
 
+Protocol strength (round 5): repeats >=3 with median-of-reps headline,
+per-phase /proc/stat steal telemetry recorded alongside every rep (the
+host has documented 20-40% steal bursts; a rep whose concurrent window
+shows high steal is weather, not signal), and the same measurement-time
+blob stamps as BENCH/scaling.json (loop + hot deps) so
+tools/check_scaling_fresh.py can gate this record identically.
+
 Usage: python tools/bench_multijvm.py --graph /tmp/ega_bench/scaling_large \
-           [--cpus-per-jvm 8] [--jvms 4] [--repeats 2] [--min-edges 90000000]
+           [--cpus-per-jvm 8] [--jvms 4] [--repeats 3] [--min-edges 90000000]
 """
 
 from __future__ import annotations
@@ -33,10 +40,49 @@ import json
 import statistics
 import subprocess
 import sys
+import threading
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 from bench_scaling import RUNNER, REPO, _git  # noqa: E402
+
+
+class _StealSampler:
+    """Samples /proc/stat steal% every 0.5 s in a daemon thread
+    (same implementation as bench.py's sampler)."""
+
+    def __init__(self, interval: float = 0.5) -> None:
+        self.samples: list[tuple[float, float]] = []
+        self._stop = threading.Event()
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:9]))
+        return sum(vals), vals[7]
+
+    def _run(self) -> None:
+        tot0, st0 = self._read()
+        while not self._stop.wait(self._interval):
+            tot1, st1 = self._read()
+            if tot1 > tot0:
+                self.samples.append(
+                    (time.time(), 100.0 * (st1 - st0) / (tot1 - tot0))
+                )
+            tot0, st0 = tot1, st1
+
+    def start(self) -> "_StealSampler":
+        self._thread.start()
+        return self
+
+    def window(self, t0: float, t1: float) -> dict | None:
+        xs = [p for t, p in self.samples if t0 <= t <= t1]
+        if not xs:
+            return None
+        return {"mean": round(sum(xs) / len(xs), 1), "max": round(max(xs), 1)}
 
 
 def _spawn(cpus: int, graph: str) -> subprocess.Popen:
@@ -61,7 +107,7 @@ def main() -> int:
     ap.add_argument("--graph", required=True)
     ap.add_argument("--cpus-per-jvm", type=int, default=8)
     ap.add_argument("--jvms", type=int, default=4)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--min-edges", type=int, default=0)
     args = ap.parse_args()
 
@@ -80,12 +126,16 @@ def main() -> int:
             )
             return 1
 
+    steal = _StealSampler().start()
     reps = []
     for rep in range(args.repeats):
+        t0 = time.time()
         single = _collect(_spawn(args.cpus_per_jvm, args.graph))
+        t1 = time.time()
         print(f"rep {rep} single-jvm: {single}", file=sys.stderr, flush=True)
         procs = [_spawn(args.cpus_per_jvm, args.graph) for _ in range(args.jvms)]
         multi = [_collect(p) for p in procs]
+        t2 = time.time()
         for i, m in enumerate(multi):
             print(f"rep {rep} concurrent jvm {i}: {m}", file=sys.stderr, flush=True)
         agg = sum(m["edges_per_sec_per_iter"] for m in multi)
@@ -96,6 +146,8 @@ def main() -> int:
                 "concurrent_eps": [m["edges_per_sec_per_iter"] for m in multi],
                 "aggregate_eps": round(agg, 1),
                 "efficiency": round(eff, 3),
+                "steal_single": steal.window(t0, t1),
+                "steal_concurrent": steal.window(t1, t2),
                 "single": single,
                 "concurrent": multi,
             }
@@ -112,6 +164,16 @@ def main() -> int:
         "loop_blob": _git(
             ["hash-object", "efficient_graph_algorithms_spark/operators/pagerank.py"]
         ),
+        # same hot-dep stamps as bench_scaling.py so check_scaling_fresh
+        # can gate this record with the identical mechanism
+        "dep_blobs": {
+            "efficient_graph_algorithms_spark/plans/lineage.py": _git(
+                ["hash-object", "efficient_graph_algorithms_spark/plans/lineage.py"]
+            ),
+            "efficient_graph_algorithms_spark/session.py": _git(
+                ["hash-object", "efficient_graph_algorithms_spark/session.py"]
+            ),
+        },
         "graph": args.graph,
         "n_edges": reps[0]["single"]["n_edges"],
         "cpus_per_jvm": args.cpus_per_jvm,
