@@ -947,12 +947,125 @@ def _video_features(fps: float, frames: np.ndarray) -> tuple[int, int, np.ndarra
     return w, h, feats
 
 
+def _is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def decode_mp4_meta(payload: bytes) -> dict:
+    """REAL ISO-BMFF (MP4) container metadata via a pure-Python box
+    walker — no codec libraries: duration/timescale from ``mvhd``,
+    per-track dimensions from ``tkhd``, codec (sample-entry format
+    fourcc) from ``stsd``, brand from ``ftyp``. Only the SAMPLE DATA
+    (the compressed bitstream inside ``mdat``) stays undecodable here.
+
+    Returns {brand, timescale, duration, duration_sec, n_tracks,
+    codecs: [fourcc...], width, height} (width/height from the first
+    track carrying a nonzero 16.16 fixed-point size).
+    Malformed structures raise ValueError at this boundary, the same
+    contract as the other decoders."""
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("MP4 truncated largesize box header")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            elif size == 0:
+                size = end - pos
+            if size < body - pos or pos + size > end:
+                raise ValueError(
+                    f"MP4 box {btype!r} size {size} escapes its container"
+                )
+            yield btype, body, pos + size
+            pos += size
+
+    if not _is_mp4(payload):
+        raise ValueError("not an ISO-BMFF stream (no ftyp)")
+    meta: dict = {
+        "brand": payload[8:12].decode("latin-1"),
+        "timescale": 0,
+        "duration": 0,
+        "duration_sec": 0.0,
+        "n_tracks": 0,
+        "codecs": [],
+        "width": 0,
+        "height": 0,
+    }
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    stack = [(0, len(payload))]
+    while stack:
+        lo, hi = stack.pop(0)  # FIFO: codecs land in document order
+        for btype, body, bend in walk(payload, lo, hi):
+            if btype in containers:
+                if btype == b"trak":
+                    meta["n_tracks"] += 1
+                stack.append((body, bend))
+            elif btype == b"mvhd":
+                if bend - body < 4:
+                    raise ValueError("MP4 mvhd truncated")
+                ver = payload[body]
+                if ver == 1:
+                    if bend - body < 4 + 8 + 8 + 4 + 8:
+                        raise ValueError("MP4 mvhd v1 truncated")
+                    meta["timescale"] = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    meta["duration"] = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    if bend - body < 4 + 4 + 4 + 4 + 4:
+                        raise ValueError("MP4 mvhd v0 truncated")
+                    meta["timescale"] = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    meta["duration"] = int.from_bytes(payload[body + 16 : body + 20], "big")
+                if meta["timescale"]:
+                    meta["duration_sec"] = meta["duration"] / meta["timescale"]
+            elif btype == b"tkhd":
+                # width/height are the LAST 8 bytes, 16.16 fixed point
+                if bend - body < 8:
+                    raise ValueError("MP4 tkhd truncated")
+                w16 = int.from_bytes(payload[bend - 8 : bend - 4], "big") / 65536.0
+                h16 = int.from_bytes(payload[bend - 4 : bend], "big") / 65536.0
+                if w16 and h16 and not meta["width"]:
+                    meta["width"], meta["height"] = int(w16), int(h16)
+            elif btype == b"stsd":
+                if bend - body < 8:
+                    raise ValueError("MP4 stsd truncated")
+                n_entries = int.from_bytes(payload[body + 4 : body + 8], "big")
+                pos = body + 8
+                for _ in range(n_entries):
+                    if pos + 8 > bend:
+                        raise ValueError("MP4 stsd entry truncated")
+                    esize = int.from_bytes(payload[pos : pos + 4], "big")
+                    if esize < 8 or pos + esize > bend:
+                        raise ValueError("MP4 stsd entry size invalid")
+                    meta["codecs"].append(payload[pos + 4 : pos + 8].decode("latin-1"))
+                    pos += esize
+    return meta
+
+
+def _mp4_features(meta: dict) -> tuple[int, int, np.ndarray]:
+    """Container-metadata features for MP4 (sample decode stubbed —
+    luma/motion slots are 0): [duration_sec, n_tracks, timescale/1000,
+    n_codecs, zeros...]. The shape matches FEATURES_SCHEMA so MP4 rows
+    flow through the same pipeline as fully-decoded media."""
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = meta["duration_sec"]
+    feats[1] = meta["n_tracks"]
+    feats[2] = meta["timescale"] / 1000.0
+    feats[3] = len(meta["codecs"])
+    return meta["width"], meta["height"], feats
+
+
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     """Audio WAV, image BMP + PNG + JPEG and video Y4M payloads decode
     for REAL (pure-NumPy parsers above; PNG via stdlib zlib, JPEG via
-    the baseline-DCT decoder); the remaining compressed formats
-    (MP4/MP3) need codec libraries not in this container, so they are
-    stubbed behind ``deterministic_fake``. Swap in prod."""
+    the baseline-DCT decoder), and MP4 containers parse for real at the
+    METADATA level (ISO-BMFF box walk: duration, tracks, codec ids,
+    dimensions — see decode_mp4_meta); only MP4/MP3 SAMPLE decode needs
+    codec libraries not in this container and stays stubbed behind
+    ``deterministic_fake``. Swap in prod."""
     try:
         if kind == "audio" and _is_wav(payload):
             rate, _n_ch, samples = decode_wav(payload)
@@ -965,6 +1078,8 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
             return _image_features(*decode_jpeg(payload))
         if kind == "video" and _is_y4m(payload):
             return _video_features(*decode_y4m(payload))
+        if kind == "video" and _is_mp4(payload):
+            return _mp4_features(decode_mp4_meta(payload))
     except (ValueError, NotImplementedError):
         # every decoder translates malformed input to ValueError at its
         # parse boundary (JPEG included, see decode_jpeg), so anything
@@ -978,9 +1093,10 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV/BMP/PNG/JPEG/Y4M media decode requires codec libraries "
-        "not present in this environment; pass deterministic_fake=True "
-        "to exercise the pipeline"
+        "non-WAV/BMP/PNG/JPEG/Y4M/MP4-container media decode (MP3; MP4 "
+        "sample data) requires codec libraries not present in this "
+        "environment; pass deterministic_fake=True to exercise the "
+        "pipeline"
     )
 
 

@@ -767,3 +767,217 @@ def frt_tree(
                 rows.add((members[0], parent, w, depth))
                 attached.add(members[0])
     return rows, root
+
+
+def gw_lp(
+    cost_s: np.ndarray,
+    cost_t: np.ndarray,
+    p_s: np.ndarray,
+    p_t: np.ndarray,
+    reg: float = 1.0,
+    feature_cost: np.ndarray | None = None,
+    feature_weight: float = 0.0,
+    max_iter: int = 20,
+    stop_thr: float = 1e-9,
+    stop_thr2: float = 1e-9,
+    trans0: np.ndarray | None = None,
+) -> tuple[np.ndarray, float, int, list[float]]:
+    """Dense mirror of the reference's conditional-gradient GW solver
+    (optimization.py:245-416 ``cg`` with the closed-form quadratic line
+    search at :170-185 and the exact EMD LP at :358;
+    fused_gromov_wasserstein.py:362-676 ``gw_lp``, :677-974 ``fgw_lp``
+    with M=(1-alpha)*feature_cost, reg=alpha; init_matrix/
+    tensor_product/gwloss per :32-360, square loss). The LP step uses
+    operators/emd.py, whose optimality is independently certified by
+    LP duality in tests/test_gw_fw.py. Unlike the Spark engine (which
+    evaluates the exact quadratic), this mirror re-evaluates the cost
+    in full after the line search, exactly as the reference does —
+    parity between the two therefore also validates that identity.
+    Returns (trans, gw_dist, iterations, loss_trace)."""
+    from efficient_graph_algorithms_spark.operators.emd import emd as _emd
+
+    p = p_s.ravel().astype(float)
+    q = p_t.ravel().astype(float)
+    f1c = (cost_s**2) @ p
+    f2c = (cost_t**2) @ q
+    const_c = f1c[:, None] + f2c[None, :]
+    m = np.zeros((p.size, q.size))
+    if feature_cost is not None and feature_weight != 0.0:
+        m = feature_weight * feature_cost
+
+    def tens(g: np.ndarray) -> np.ndarray:
+        return const_c - cost_s @ g @ (2.0 * cost_t).T
+
+    def cost(g: np.ndarray) -> float:
+        return float((m * g).sum() + reg * (tens(g) * g).sum())
+
+    g = np.outer(p, q) if trans0 is None else trans0.copy()
+    f_val = cost(g)
+    losses = [f_val]
+    used = 0
+    for it in range(1, max_iter + 1):
+        old_fval = f_val
+        mi = m + reg * 2.0 * tens(g)
+        mi = mi + mi.min()
+        # determinism snap, shared with operators/gw_fw.py: the LP
+        # argmin is discontinuous, so both sides snap its input (and
+        # the line-search scalars) to a fixed grid — exact-arithmetic
+        # ties stay ties under any float summation order, and the
+        # simplex's deterministic pivot is the common tie-break
+        mi = np.round(mi, 9)
+        gc, _, _, _ = _emd(p, q, mi)
+        dg = gc - g
+        dot = cost_s @ dg @ cost_t
+        a = round(-2.0 * reg * float((dot * dg).sum()), 12)
+        b = round(
+            float(((m + reg * const_c) * dg).sum())
+            - 2.0 * reg * (
+                float((dot * g).sum())
+                + float((cost_s @ g @ cost_t * dg).sum())
+            ),
+            12,
+        )
+        if a > 0:
+            alpha = min(1.0, max(0.0, -b / (2.0 * a)))
+        else:
+            alpha = 1.0 if f_val > a + f_val + b else 0.0
+        g = g + alpha * dg
+        f_val = cost(g)  # full re-evaluation, reference optimization.py:242
+        used = it
+        losses.append(f_val)
+        abs_delta = abs(f_val - old_fval)
+        if abs_delta / max(abs(f_val), 1e-300) < stop_thr or abs_delta < stop_thr2:
+            break
+    return g, float((tens(g) * g).sum()), used, losses
+
+
+def estimate_target_distribution(
+    probs: list[np.ndarray], dim_t: int = 2
+) -> np.ndarray:
+    """Mirror of reference gromov_wasserstein_graphs.py:731-750: average
+    of each graph's descending-sorted node distribution linearly
+    resampled at dim_t points on [0, 1], then normalized."""
+    p_t = np.zeros(dim_t)
+    x_t = np.linspace(0, 1, dim_t)
+    for ps in probs:
+        srt = np.sort(ps.ravel())[::-1]
+        x_s = np.linspace(0, 1, srt.size)
+        p_t += np.interp(x_t, x_s, srt)
+    return p_t / p_t.sum()
+
+
+def node_cluster_assignment(
+    trans: np.ndarray, p_c: np.ndarray
+) -> np.ndarray:
+    """Mirror of reference gromov_wasserstein_graphs.py:866-920: node r
+    joins cluster argmax_j trans[r, j] / p_c[j] (np.argmax = first max
+    on ties). Returns the cluster id per row."""
+    return np.argmax(trans / p_c.ravel()[None, :], axis=1)
+
+
+def recursive_graph_partition(
+    cost_s: np.ndarray,
+    p_s: np.ndarray,
+    beta: float = 0.1,
+    outer_iter: int = 20,
+    inner_iter: int = 50,
+    sk_bound: float = 1e-3,
+    iter_bound: float = 1e-3,
+    max_node_num: int = 200,
+    dim_t: int = 2,
+    max_levels: int = 64,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Mirror of reference gromov_wasserstein_graphs.py:960-1029
+    (``recursive_graph_partition`` composing ``graph_partition``
+    :922-957 and ``node_cluster_assignment`` :866-920): binary-ish GW
+    partition against diag(p_t) repeated until every leaf has at most
+    max_node_num nodes. One deliberate deviation, shared with the Spark
+    engine: the reference sets outer_iteration = n_s per leaf; here the
+    caller-pinned outer_iter is used so tests can fix iteration counts.
+    Returns leaves as (node_ids, sub_cost, sub_prob) with node ids in
+    the ORIGINAL indexing, sorted ascending within a leaf (the
+    reference re-indexes rows by the same sorted order)."""
+    leaves_done: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    active = [(np.arange(p_s.size), cost_s, p_s.ravel().astype(float))]
+    level = 0
+    while active and level < max_levels:
+        nxt = []
+        for ids, sub_c, sub_p in active:
+            p_t = estimate_target_distribution([sub_p], dim_t)
+            cost_t = np.diag(p_t)
+            trans, _, _ = gromov_wasserstein_discrepancy(
+                sub_c, cost_t, sub_p, p_t, beta=beta, outer_iter=outer_iter,
+                inner_iter=inner_iter, sk_bound=sk_bound, iter_bound=iter_bound,
+            )
+            cl = node_cluster_assignment(trans, p_t)
+            for key in sorted(set(cl.tolist())):
+                idx = np.where(cl == key)[0]
+                leaf_ids = ids[idx]
+                leaf_c = sub_c[np.ix_(idx, idx)]
+                leaf_p = sub_p[idx] / sub_p[idx].sum()
+                if leaf_ids.size > max_node_num:
+                    nxt.append((leaf_ids, leaf_c, leaf_p))
+                else:
+                    leaves_done.append((leaf_ids, leaf_c, leaf_p))
+        active = nxt
+        level += 1
+    leaves_done.extend(active)
+    return leaves_done
+
+
+def fgw_barycenter(
+    feats: list[np.ndarray],
+    costs: list[np.ndarray],
+    ps: list[np.ndarray],
+    p_c: np.ndarray,
+    lambdas: list[float],
+    alpha: float,
+    init_c: np.ndarray,
+    init_x: np.ndarray,
+    max_iter: int = 5,
+    tol: float = 1e-9,
+    fw_iter: int = 10,
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Dense mirror of the reference's FGW barycenter with the feature
+    update (fused_gromov_wasserstein.py:1233-1481 ``fgw_barycenters``,
+    square loss, sqeuclidean feature metric, explicit inits):
+    alternate (a) X <- sum_s lambda_s Y_s^T T_s^T / p_c  (feature BCD
+    step, ``update_feature_matrix`` :1082-1115), (b) M_s = sqdist(X,
+    Y_s) (``update_Ms`` :1072-1080), (c) C <- sum_s lambda_s T_s^T C_s
+    T_s / p_c p_c^T (``update_square_loss`` :984-1017; T_s here is the
+    (n_s, N) source->barycenter coupling), (d) T_s <- fgw_lp(M_s, C,
+    C_s, ...) solved by the conditional-gradient mirror above. Note the
+    reference's T is (N, ns) barycenter->source; this mirror and the
+    engine carry the transpose (n_s, N) to match the engine's
+    barycenter convention — the same matrices, same updates.
+    Returns (X (N, d), C (N, N), transports)."""
+    n = p_c.size
+    c = init_c.copy()
+    x = init_x.copy()
+    trans = [np.outer(p.ravel(), p_c.ravel()) for p in ps]
+    for _ in range(max_iter):
+        c_prev, x_prev = c, x
+        # feature update: X(j, d) = sum_s l_s sum_i T_s[i, j] Y_s[i, d] / p_c[j]
+        x = sum(
+            lam * (t.T @ y) for lam, t, y in zip(lambdas, trans, feats)
+        ) / p_c.ravel()[:, None]
+        # structure update
+        c = sum(
+            lam * (t.T @ cs @ t) for lam, t, cs in zip(lambdas, trans, costs)
+        ) / np.outer(p_c, p_c)
+        # coupling updates via conditional gradient on the fused objective
+        new_trans = []
+        for y, cs, p, lam, t0 in zip(feats, costs, ps, lambdas, trans):
+            m = ((y[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)  # sqeuclidean
+            g, _, _, _ = gw_lp(
+                cs, c, p, p_c, reg=alpha, feature_cost=m,
+                feature_weight=(1.0 - alpha), max_iter=fw_iter, trans0=t0,
+            )
+            new_trans.append(g)
+        trans = new_trans
+        if (
+            np.linalg.norm(c - c_prev) < tol
+            and np.linalg.norm(x - x_prev) < tol
+        ):
+            break
+    return x, c, trans
