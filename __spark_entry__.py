@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 GRAPH_V = 2000  # vertex-id space of the derived graph
 PR_ALPHA = 0.85
 PR_SQL_ITERS = 3
+# Measured converged iteration count (tol=1e-6) on the fixed sf0.01
+# derived graph — q_graph_pagerank_full asserts the operator lands here
+# and its unrolled SQL oracle is built to exactly this depth. The
+# boundary is comfortable on both sides (delta_7 = 1.95e-6, delta_8 =
+# 3.05e-7 — each ~2-3x away from tol, far beyond float noise).
+PR_FULL_ITERS = 8
 LPA_SQL_ITERS = 5
 MATCH_SQL_ROUNDS = 3
 MINHASH_K = 16
@@ -213,13 +219,58 @@ def q_graph_triangles_per_vertex(spark, sf_dir):
 
 
 def q_graph_pagerank_full(spark, sf_dir):
-    """Full convergent PageRank (iterative — rows-only driver check;
-    exact-semantics coverage lives in tests/ vs the NumPy oracle)."""
+    """Full convergent PageRank through the REAL operator (tol=1e-6).
+    On the fixed sf0.01 graph the converged iteration count is a
+    constant (PR_FULL_ITERS, measured once and asserted here), so the
+    oracle unrolls exactly that many CTE steps of the identical update
+    rule and gates its own output on an in-SQL `delta < tol` check —
+    if either side ever stops converging at that count, the row-count
+    mismatch trips the driver. This closes the engine's last
+    no-oracle driver row (r4 verdict #6)."""
     from efficient_graph_algorithms_spark.operators.pagerank import pagerank
 
     e = _graph_edges(spark, sf_dir)
-    ranks, _ = pagerank(spark, e, vertices=_vertices(e), tol=1e-6)
+    ranks, info = pagerank(spark, e, vertices=_vertices(e), tol=1e-6)
+    assert info["converged"] and info["iterations"] == PR_FULL_ITERS, (
+        f"sf0.01 PageRank convergence drifted: {info['iterations']} iters "
+        f"(expected {PR_FULL_ITERS}) converged={info['converged']} — "
+        "re-measure PR_FULL_ITERS"
+    )
     return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _pr_full_oracle_sql() -> str:
+    """The _pr3_oracle_sql update rule unrolled to the measured
+    convergence count, with the convergence itself asserted in SQL:
+    the final SELECT returns zero rows unless the last step's L1 delta
+    is below tol — a silent-divergence alarm, not just a value check."""
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM v),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT id, 1.0/(SELECT n FROM n) AS r FROM v),",
+    ]
+    for i in range(1, PR_FULL_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"dm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN r{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.id, {1.0 - PR_ALPHA}/(SELECT n FROM n) "
+            f"+ {PR_ALPHA}*(coalesce(c.c, 0.0) + (SELECT m FROM dm{i})/(SELECT n FROM n)) AS r "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id),",
+        ]
+    k = PR_FULL_ITERS
+    lines.append(
+        f"chk AS (SELECT sum(abs(a.r - b.r)) AS delta FROM r{k} a "
+        f"JOIN r{k - 1} b ON a.id = b.id)"
+    )
+    return "\n".join(lines) + (
+        f"\nSELECT id, round(r, 9) AS rank FROM r{k} "
+        f"WHERE (SELECT delta FROM chk) < 1e-6"
+    )
 
 
 def q_graph_lpa(spark, sf_dir):
@@ -1649,6 +1700,120 @@ def _gw2_oracle_sql(beta: float = 0.1, outers: int = 2, inners: int = 3) -> str:
     return "\n".join(lines) + f"\nSELECT i, j, round(t, 9) AS t FROM t{outers}"
 
 
+def q_graph_gw_partition(spark, sf_dir):
+    """Single-level GW graph partition (reference
+    ``gromov_wasserstein_graphs.py:866-957``: estimate_target_
+    distribution → GW vs diag(p_t) → argmax cluster assignment →
+    within-cluster renormalized sub_probs), pinned to 2 proximal outer
+    iterations × 3 inner Sinkhorn scalings on a deterministic 8-node
+    two-block fixture so the unrolled SQL oracle reproduces the whole
+    pipeline exactly. The recursive multi-level driver
+    (``:960-1029``) is pytest-verified against the NumPy mirror
+    (tests/test_gw_partition.py) — this query oracles one level.
+    Returns (i, cluster, sub_p)."""
+    from efficient_graph_algorithms_spark.operators.gw_partition import (
+        graph_partition,
+    )
+
+    r = spark.range(8)
+    pairs = (
+        r.select(F.col("id").alias("i"))
+        .crossJoin(r.select(F.col("id").alias("j")))
+        .where(F.col("i") != F.col("j"))
+    )
+    # two dense blocks {0..3} / {4..7} with a weak 3-4 bridge
+    cs = pairs.select(
+        "i",
+        "j",
+        F.when((F.col("i") < 4) == (F.col("j") < 4), F.lit(1.0))
+        .when(
+            ((F.col("i") == 3) & (F.col("j") == 4))
+            | ((F.col("i") == 4) & (F.col("j") == 3)),
+            F.lit(0.05),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("c"),
+    ).where(F.col("c") != 0.0)
+    ps = r.select(F.col("id").alias("i"), ((F.col("id") + 1) / F.lit(36.0)).alias("p"))
+    assign, _, _ = graph_partition(
+        spark, cs, ps, dim_t=2, beta=0.1,
+        outer_iter=2, inner_iter=3, sk_bound=0.0, iter_bound=0.0,
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        assign.join(ps, "i")
+        .select(
+            "i",
+            "cluster",
+            F.round(F.col("p") / F.sum("p").over(w), 9).alias("sub_p"),
+        )
+    )
+
+
+def _gw_partition_oracle_sql(beta: float = 0.1, outers: int = 2, inners: int = 3) -> str:
+    """Unrolled mirror of q_graph_gw_partition: the dim_t=2 target
+    distribution is exactly [max(p), min(p)] normalized (descending
+    resample of p at x = 0 and 1), the target graph is its diagonal,
+    then the same GW unroll shape as _gw2_oracle_sql, then the
+    argmax-ratio cluster assignment and within-cluster renorm."""
+    lines = [
+        "WITH n AS (SELECT * FROM range(8) t(x)),",
+        "cs AS (SELECT * FROM (SELECT a.x AS i, b.x AS j, "
+        "CASE WHEN (a.x < 4) = (b.x < 4) THEN 1.0 "
+        "WHEN (a.x = 3 AND b.x = 4) OR (a.x = 4 AND b.x = 3) THEN 0.05 "
+        "ELSE 0.0 END AS c FROM n a, n b WHERE a.x <> b.x) WHERE c <> 0.0),",
+        "ps AS (SELECT x AS i, (x + 1) / 36.0 AS p FROM n),",
+        "ptv AS (SELECT max(p) AS hi, min(p) AS lo FROM ps),",
+        "pt AS (SELECT 0 AS j, hi / (hi + lo) AS p FROM ptv "
+        "UNION ALL SELECT 1 AS j, lo / (hi + lo) AS p FROM ptv),",
+        "ct AS (SELECT j AS i, j, p AS c FROM pt),",
+        "f1 AS (SELECT cs.i, sum(cs.c * cs.c * ps.p) AS f1v FROM cs JOIN ps ON cs.j = ps.i GROUP BY cs.i),",
+        "f2 AS (SELECT ct.i AS j, sum(ct.c * ct.c * pt.p) AS f2v FROM ct JOIN pt ON ct.j = pt.j GROUP BY ct.i),",
+        "t0 AS (SELECT ps.i, pt.j, ps.p * pt.p AS t FROM ps, pt),",
+        "a0_0 AS (SELECT i, 1.0/8.0 AS a FROM ps),",
+    ]
+    a_prev = "a0_0"
+    for o in range(1, outers + 1):
+        p = o - 1
+        lines += [
+            f"cst{o} AS (SELECT cs.i AS r, t.j AS c2, sum(cs.c * t.t) AS v "
+            f"FROM cs JOIN t{p} t ON cs.j = t.i GROUP BY cs.i, t.j),",
+            f"g{o} AS (SELECT cst.r AS i, ct.i AS j, sum(cst.v * ct.c) AS v "
+            f"FROM cst{o} cst JOIN ct ON cst.c2 = ct.j GROUP BY cst.r, ct.i),",
+            f"cost{o} AS (SELECT t.i, t.j, coalesce(f1.f1v, 0.0) + coalesce(f2.f2v, 0.0) "
+            f"- 2.0 * coalesce(g.v, 0.0) AS v FROM t{p} t "
+            f"LEFT JOIN g{o} g ON t.i = g.i AND t.j = g.j "
+            f"LEFT JOIN f1 ON t.i = f1.i LEFT JOIN f2 ON t.j = f2.j),",
+            f"k{o} AS (SELECT c.i, c.j, exp(-c.v / {beta}) * t.t AS kv "
+            f"FROM cost{o} c JOIN t{p} t ON c.i = t.i AND c.j = t.j),",
+        ]
+        for s in range(1, inners + 1):
+            lines += [
+                f"b{o}_{s} AS (SELECT pt.j, pt.p / s.s AS b FROM pt JOIN "
+                f"(SELECT k.j, sum(k.kv * a.a) AS s FROM k{o} k JOIN {a_prev} a ON k.i = a.i GROUP BY k.j) s "
+                f"ON pt.j = s.j),",
+                f"a{o}_{s} AS (SELECT ps.i, ps.p / s.s AS a FROM ps JOIN "
+                f"(SELECT k.i, sum(k.kv * b.b) AS s FROM k{o} k JOIN b{o}_{s} b ON k.j = b.j GROUP BY k.i) s "
+                f"ON ps.i = s.i),",
+            ]
+            a_prev = f"a{o}_{s}"
+        lines.append(
+            f"t{o} AS (SELECT k.i, k.j, a.a * k.kv * b.b AS t FROM k{o} k "
+            f"JOIN a{o}_{inners} a ON k.i = a.i JOIN b{o}_{inners} b ON k.j = b.j),"
+        )
+    lines += [
+        # argmax_j t / pt[j], first max on ties (row_number, j asc)
+        f"ranked AS (SELECT t.i, t.j, row_number() OVER "
+        f"(PARTITION BY t.i ORDER BY t.t / pt.p DESC, t.j ASC) AS rn "
+        f"FROM t{outers} t JOIN pt ON t.j = pt.j),",
+        "cl AS (SELECT i, j AS cluster FROM ranked WHERE rn = 1)",
+    ]
+    return "\n".join(lines) + (
+        "\nSELECT cl.i, cl.cluster, round(ps.p / sum(ps.p) OVER "
+        "(PARTITION BY cl.cluster), 9) AS sub_p FROM cl JOIN ps ON cl.i = ps.i"
+    )
+
+
 HITS_SQL_ITERS = 2
 HOST_MOD = 50  # synthetic hosts for the host-graph contraction query
 
@@ -2801,29 +2966,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # graph
+        # --- driver window (first 50; see README "Driver-row rotation").
+        # Round-5 rotation: the 14 round-4 tail queries that had never
+        # earned a driver row (graph_coupling, graph_wpr3, graph_bowtie,
+        # graph_betweenness2, graph_n2v2, corpus_cap_source,
+        # corpus_pipeline, corpus_shards, mirror_sources, sem_dedup,
+        # text_decontam, text_pii, text_repetition, image_jpeg_stats)
+        # plus the new graph_gw_partition rotate IN; 15 queries with
+        # FOUR consecutive all-true driver rows (CORRECTNESS_r01-r04:
+        # dedup_exact/_ngram_jaccard/_minhash_lsh/_simhash, graph_dsd,
+        # graph_epsilon_nn, graph_heat2, graph_interp_ratio, graph_rw2,
+        # graph_sinkhorn3, graph_subgraph, graph_triangles_per_vertex,
+        # sim_cosine_pairs, sim_cosine_topk, text_features) rotate OUT
+        # to the tail, where check_parity remains their evidence.
         "graph_degree_topk": q_graph_degree_topk,
         "graph_gather_scatter": q_graph_gather_scatter,
         "graph_pagerank_3iter": q_graph_pagerank_3iter,
         "graph_pagerank_full": q_graph_pagerank_full,
         "graph_components": q_graph_components,
         "graph_triangle_count": q_graph_triangle_count,
-        "graph_triangles_per_vertex": q_graph_triangles_per_vertex,
         "graph_lpa": q_graph_lpa,
         "graph_ppr_3iter": q_graph_ppr_3iter,
         "graph_matching": q_graph_matching,
         "graph_tree_gfi": q_graph_tree_gfi,
         "graph_frt_tree": q_graph_frt_tree,
         "graph_kernel_projection": q_graph_kernel_projection,
-        "graph_interp_ratio": q_graph_interp_ratio,
-        "graph_rw2": q_graph_rw2,
-        "graph_heat2": q_graph_heat2,
-        "graph_epsilon_nn": q_graph_epsilon_nn,
-        "graph_subgraph": q_graph_subgraph,
-        "graph_dsd": q_graph_dsd,
-        "graph_sinkhorn3": q_graph_sinkhorn3,
         "graph_wbary2": q_graph_wbary2,
         "graph_gw2": q_graph_gw2,
+        "graph_gw_partition": q_graph_gw_partition,
         "graph_hits": q_graph_hits,
         "graph_host_graph": q_graph_host_graph,
         "graph_kcore3": q_graph_kcore3,
@@ -2834,17 +3004,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_walks2": q_graph_walks2,
         "graph_webstats": q_graph_webstats,
-        # text / dedup / similarity / streaming / multimodal
-        "text_features": q_text_features,
+        "graph_coupling": q_graph_coupling,
+        "graph_wpr3": q_graph_wpr3,
+        "graph_bowtie": q_graph_bowtie,
+        "graph_betweenness2": q_graph_betweenness2,
+        "graph_n2v2": q_graph_n2v2,
         "corpus_sample": q_corpus_sample,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "corpus_cap_source": q_corpus_cap_source,
+        "corpus_pipeline": q_corpus_pipeline,
+        "corpus_shards": q_corpus_shards,
         "dedup_clusters": q_dedup_clusters,
-        "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "sim_cosine_pairs": q_sim_cosine_pairs,
         "sim_cosine_pairs_lsh": q_sim_cosine_pairs_lsh,
         "graph_knn": q_graph_knn,
         "graph_knn_lsh": q_graph_knn_lsh,
@@ -2853,59 +3023,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal_features,
         "video_frame_stats": q_video_frame_stats,
-        # --- rotation (round 4): the driver records at most 50 rows; the
-        # rel_* queries below were hash-green in rounds 1-3 (CORRECTNESS_r0{1,2,3})
-        # and rotate past position 50 so stream_windowed_counts,
-        # events_user_activity, events_sessionize, multimodal_features and the
-        # round-4 graph_hits / graph_host_graph / video_frame_stats queries
-        # get driver rows. See README "Driver-row rotation".
-        # rel_groupby_sum / rel_join_agg / rel_window_argmax joined the
-        # rotation tail when graph_anf2 / graph_ktruss2 / graph_scc
-        # landed (all hash-green r1-r3); rel_onehot_mask / rel_stats /
-        # rel_zscore / rel_interp_metrics when dedup_clusters /
-        # corpus_sample / graph_closeness2 / graph_cocitation landed
-        # (hash-green r1-r3). graph_coupling (the dual wedge join of the
-        # driver-rowed graph_cocitation) ships tail-side with the same
-        # oracle shape — check_parity is its evidence of record.
-        "graph_coupling": q_graph_coupling,
-        # graph_wpr3 (weighted damped walk, the anchor-weighted ranking
-        # extension of graph_ppr_3iter) ships tail-side likewise.
-        "graph_wpr3": q_graph_wpr3,
-        # corpus_cap_source (per-domain quota face of corpus_sample)
-        # likewise ships tail-side with check_parity evidence.
-        "corpus_cap_source": q_corpus_cap_source,
-        # graph_bowtie (Broder decomposition over the graph_scc
-        # sparsified graph) likewise tail-side, check_parity evidence.
-        "graph_bowtie": q_graph_bowtie,
-        # mirror_sources (site-level dedup face, fingerprint-bipartite
-        # pair counts) likewise tail-side, check_parity evidence.
+        "image_jpeg_stats": q_image_jpeg_stats,
         "mirror_sources": q_mirror_sources,
-        # corpus_pipeline (the end-to-end dedup→quality→sample→token
-        # accounting composition) likewise tail-side.
-        "corpus_pipeline": q_corpus_pipeline,
-        # text_decontam / text_pii / text_repetition (benchmark n-gram
-        # decontamination, PII detect+redact, Gopher-style repetition
-        # metrics) likewise tail-side, check_parity evidence.
+        "sem_dedup": q_sem_dedup,
         "text_decontam": q_text_decontam,
         "text_pii": q_text_pii,
         "text_repetition": q_text_repetition,
-        # sem_dedup (SemDeDup embedding-level dedup, exhaustive face
-        # oracled exactly; clustered scale path pytest-verified)
-        # likewise tail-side, check_parity evidence.
-        "sem_dedup": q_sem_dedup,
-        # image_jpeg_stats (real baseline-DCT JPEG decode, flat-field
-        # exact-arithmetic oracle) likewise tail-side.
-        "image_jpeg_stats": q_image_jpeg_stats,
-        # corpus_shards (fixed-token training-shard packing; the
-        # distributed two-phase prefix sum vs a global-window oracle)
-        # likewise tail-side.
-        "corpus_shards": q_corpus_shards,
-        # graph_betweenness2 (truncated-Brandes sampled betweenness,
-        # unrolled 2-level SQL oracle) likewise tail-side.
-        "graph_betweenness2": q_graph_betweenness2,
-        # graph_n2v2 (node2vec-biased walk corpus, integer-replicated
-        # weighted argmin replay oracle) likewise tail-side.
-        "graph_n2v2": q_graph_n2v2,
+        # --- rotation tail (past the 50-row driver cap): every query
+        # below holds 3+ green driver rows (the 15 round-5 rotations out
+        # hold 4; the rel_* family was hash-green r1-r3); check_parity
+        # (tools/check_parity.py, run each round over ALL queries) is
+        # their standing evidence.
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_cosine_pairs": q_sim_cosine_pairs,
+        "graph_triangles_per_vertex": q_graph_triangles_per_vertex,
+        "graph_interp_ratio": q_graph_interp_ratio,
+        "graph_rw2": q_graph_rw2,
+        "graph_heat2": q_graph_heat2,
+        "graph_epsilon_nn": q_graph_epsilon_nn,
+        "graph_subgraph": q_graph_subgraph,
+        "graph_dsd": q_graph_dsd,
+        "graph_sinkhorn3": q_graph_sinkhorn3,
         "rel_interp_metrics": q_rel_interp_metrics,
         "rel_onehot_mask": q_rel_onehot_mask,
         "rel_stats": q_rel_stats,
@@ -2982,6 +3125,7 @@ FROM documents WHERE doc_id % 5 = 2
         "graph_sinkhorn3": _sinkhorn3_oracle_sql(),
         "graph_wbary2": _wbary2_oracle_sql(),
         "graph_gw2": _gw2_oracle_sql(),
+        "graph_gw_partition": _gw_partition_oracle_sql(),
         "graph_hits": _hits_oracle_sql(),
         "graph_host_graph": _HOST_GRAPH_SQL,
         "graph_components": _CC_ORACLE_SQL,
@@ -3203,5 +3347,8 @@ SELECT doc_id AS media_id,
        CAST((doc_id * 31 + frame_idx * 37) % 256 AS BIGINT) AS luma255
 FROM f
 """,
-        # graph_pagerank_full: iterative-to-convergence — rows-only by design.
+        # graph_pagerank_full (r5): the convergence count on fixed
+        # sf0.01 data is a constant, so the full run unrolls exactly —
+        # the engine's last no-oracle row is closed.
+        "graph_pagerank_full": _pr_full_oracle_sql(),
     }
