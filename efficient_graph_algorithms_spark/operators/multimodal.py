@@ -35,11 +35,18 @@ Decode status per modality:
   ``encode_jpeg`` closes the round-trip for tests (in-stream DHT/DQT,
   so any baseline decoder reads its output). Progressive/arithmetic/
   restart-interval streams raise NotImplementedError.
-* **compressed video/audio (MP4/MP3…) — STUBBED** (ffmpeg/librosa are
-  not in this container): ``decode_media`` raises
-  ``NotImplementedError`` unless ``deterministic_fake=True``, in which
-  case it produces seeded fake features so the distributed pipeline is
-  exercised end-to-end.
+* **video/MP4 container — METADATA REAL.** ``decode_mp4_meta`` is a
+  pure-Python ISO-BMFF box walker (ftyp brand, mvhd duration/timescale
+  v0+v1, tkhd dimensions, stsd codec fourccs, 64-bit largesize).
+* **audio/MP3 framing — METADATA REAL.** ``decode_mp3_meta`` is a
+  pure-Python MPEG audio frame-header walker (ID3v2 skip, MPEG-1/2/2.5
+  Layer I-III bitrate/sample-rate tables, frame chaining → frame
+  count, duration, mean bitrate, VBR flag).
+* **compressed SAMPLE decode (MP4 mdat bitstreams, MP3 spectra) —
+  STUBBED** (ffmpeg/librosa are not in this container):
+  ``decode_media`` raises ``NotImplementedError`` unless
+  ``deterministic_fake=True``, in which case it produces seeded fake
+  features so the distributed pipeline is exercised end-to-end.
 
 Pattern: media rows are large (MBs) — the operators keep batches small
 via ``spark.sql.execution.arrow.maxRecordsPerBatch`` and never collect
@@ -1058,18 +1065,145 @@ def _mp4_features(meta: dict) -> tuple[int, int, np.ndarray]:
     return meta["width"], meta["height"], feats
 
 
+_MP3_SAMPLERATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_BITRATE = {
+    # kbps by (version_group, layer); index 1-14, 0=free, 15=bad.
+    # version_group: 3 = MPEG-1, 2/0 = MPEG-2 / MPEG-2.5 (shared table).
+    (3, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (3, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (3, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+
+def _mp3_frame(payload: bytes, pos: int) -> tuple[int, int, int, int, int] | None:
+    """Parse one MPEG audio frame header at ``pos``. Returns
+    (frame_len, samples_per_frame, sample_rate, bitrate_kbps,
+    n_channels) or None if the 4 bytes are not a valid header."""
+    if pos + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = 4 - ((b1 >> 1) & 0x3)  # 1/2/3; (b1>>1)&3 == 0 is reserved
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if ver == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    rate = _MP3_SAMPLERATE[ver][sr_idx]
+    kbps = _MP3_BITRATE[(3 if ver == 3 else 2, layer)][br_idx - 1]
+    if layer == 1:
+        spf = 384
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or ver == 3) else 576
+        flen = spf // 8 * kbps * 1000 // rate + padding
+    n_ch = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    return flen, spf, rate, kbps, n_ch
+
+
+def _is_mp3(payload: bytes) -> bool:
+    """ID3v2-tagged or bare MPEG audio: either magic is decisive enough
+    to route; decode_mp3_meta then validates the frame chain."""
+    if payload[:3] == b"ID3":
+        return True
+    return _mp3_frame(payload, 0) is not None
+
+
+def decode_mp3_meta(payload: bytes) -> dict:
+    """REAL MPEG audio (MP3) framing metadata via a pure-Python frame
+    walker — no codec libraries: skips an ID3v2 tag (syncsafe size),
+    then chains frame headers (public MPEG-1/2/2.5 Layer I-III bitrate
+    and sample-rate tables) to count frames and accumulate duration.
+    Only the SAMPLE DATA (Huffman spectra + IMDCT synthesis) stays
+    undecodable here.
+
+    Requires >= 2 chained valid frames (a lone 4-byte sync match in
+    arbitrary bytes is ~2^-11 noise). Returns {sample_rate, n_channels,
+    n_frames, duration_sec, bitrate_kbps_mean, vbr, has_id3}.
+    Malformed structures raise ValueError at this boundary, the same
+    contract as the other decoders."""
+    pos = 0
+    has_id3 = False
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("MP3 ID3v2 tag truncated")
+        sz = payload[6:10]
+        if any(b & 0x80 for b in sz):
+            raise ValueError("MP3 ID3v2 size not syncsafe")
+        pos = 10 + ((sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3])
+        if payload[5] & 0x10:  # footer-present flag
+            pos += 10
+        has_id3 = True
+        if pos >= len(payload):
+            raise ValueError("MP3 ID3v2 tag escapes the payload")
+    n_frames = 0
+    total_samples = 0
+    rate = 0
+    n_ch = 0
+    kbps_sum = 0
+    kbps_set: set[int] = set()
+    while pos + 4 <= len(payload):
+        frame = _mp3_frame(payload, pos)
+        if frame is None:
+            break
+        flen, spf, rate_f, kbps, ch = frame
+        if flen <= 4 or pos + flen > len(payload):
+            break  # truncated final frame: keep what chained so far
+        if n_frames == 0:
+            rate, n_ch = rate_f, ch
+        n_frames += 1
+        total_samples += spf
+        kbps_sum += kbps
+        kbps_set.add(kbps)
+        pos += flen
+    if n_frames < 2:
+        raise ValueError("MP3 frame chain too short (< 2 valid frames)")
+    return {
+        "sample_rate": rate,
+        "n_channels": n_ch,
+        "n_frames": n_frames,
+        "duration_sec": total_samples / rate,
+        "bitrate_kbps_mean": kbps_sum / n_frames,
+        "vbr": len(kbps_set) > 1,
+        "has_id3": has_id3,
+    }
+
+
+def _mp3_features(meta: dict) -> tuple[int, int, np.ndarray]:
+    """Framing-metadata features for MP3 (sample decode stubbed — the
+    signal slots are 0): [duration_sec, n_frames, sample_rate/1000,
+    bitrate_kbps_mean, vbr, zeros...]. Shape matches FEATURES_SCHEMA so
+    MP3 rows flow through the same pipeline as fully-decoded media;
+    (width, height) carries (n_channels, sample_rate//100), the WAV
+    convention (see _audio_features)."""
+    feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+    feats[0] = meta["duration_sec"]
+    feats[1] = meta["n_frames"]
+    feats[2] = meta["sample_rate"] / 1000.0
+    feats[3] = meta["bitrate_kbps_mean"]
+    feats[4] = 1.0 if meta["vbr"] else 0.0
+    return meta["n_channels"], meta["sample_rate"] // 100, feats
+
+
 def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     """Audio WAV, image BMP + PNG + JPEG and video Y4M payloads decode
     for REAL (pure-NumPy parsers above; PNG via stdlib zlib, JPEG via
-    the baseline-DCT decoder), and MP4 containers parse for real at the
-    METADATA level (ISO-BMFF box walk: duration, tracks, codec ids,
-    dimensions — see decode_mp4_meta); only MP4/MP3 SAMPLE decode needs
-    codec libraries not in this container and stays stubbed behind
-    ``deterministic_fake``. Swap in prod."""
+    the baseline-DCT decoder), and MP4 containers / MP3 streams parse
+    for real at the METADATA level (ISO-BMFF box walk, MPEG audio
+    frame-header chain — see decode_mp4_meta / decode_mp3_meta); only
+    MP4/MP3 SAMPLE decode needs codec libraries not in this container
+    and stays stubbed behind ``deterministic_fake``. Swap in prod."""
     try:
         if kind == "audio" and _is_wav(payload):
             rate, _n_ch, samples = decode_wav(payload)
             return _audio_features(rate, samples)
+        if kind == "audio" and _is_mp3(payload):
+            return _mp3_features(decode_mp3_meta(payload))
         if kind == "image" and _is_bmp(payload):
             return _image_features(*decode_bmp(payload))
         if kind == "image" and _is_png(payload):
@@ -1093,10 +1227,10 @@ def decode_media(payload: bytes, kind: str, deterministic_fake: bool = False):
     if deterministic_fake:
         return _fake_decode(payload, kind)
     raise NotImplementedError(
-        "non-WAV/BMP/PNG/JPEG/Y4M/MP4-container media decode (MP3; MP4 "
-        "sample data) requires codec libraries not present in this "
-        "environment; pass deterministic_fake=True to exercise the "
-        "pipeline"
+        "unrecognized media framing, or MP3/MP4 SAMPLE decode: the "
+        "compressed bitstreams require codec libraries not present in "
+        "this environment; pass deterministic_fake=True to exercise "
+        "the pipeline"
     )
 
 

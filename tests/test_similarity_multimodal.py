@@ -868,3 +868,109 @@ def test_real_mp4_through_spark_pipeline(spark):
     assert f1[0] == pytest.approx(5.0) and f2[0] == pytest.approx(2.0)  # duration
     assert f1[1] == 2.0 and f1[3] == 2.0  # tracks / codec entries
     assert got[1]["n_bytes"] == len(_minimal_mp4())
+
+# ---------------------------------------------------------------------------
+# MP3: real MPEG audio framing metadata (r5) — sample decode stays stubbed
+
+
+def _mp3_header(ver=3, layer=3, br_idx=9, sr_idx=0, padding=0, mono=True) -> bytes:
+    """One MPEG audio frame header. Defaults: MPEG-1 Layer III,
+    bitrate index 9 (128 kbps), 44100 Hz, mono."""
+    b1 = 0xE0 | (ver << 3) | ((4 - layer) << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    return bytes([0xFF, b1, b2, b3])
+
+
+def _mp3_frame_bytes(**kw) -> bytes:
+    """A whole frame: valid header + zero body of the exact frame length."""
+    from efficient_graph_algorithms_spark.operators.multimodal import _mp3_frame
+
+    hdr = _mp3_header(**kw)
+    flen = _mp3_frame(hdr, 0)[0]
+    return hdr + b"\x00" * (flen - 4)
+
+
+def _id3v2(body_len: int) -> bytes:
+    assert body_len < 128
+    return b"ID3\x04\x00\x00" + bytes([0, 0, 0, body_len]) + b"\x00" * body_len
+
+
+def test_mp3_frame_walker_metadata():
+    from efficient_graph_algorithms_spark.operators.multimodal import decode_mp3_meta
+
+    # MPEG-1 Layer III 128 kbps 44100 Hz: frame length 417, 1152 samples
+    payload = _id3v2(30) + _mp3_frame_bytes() * 5
+    meta = decode_mp3_meta(payload)
+    assert meta["has_id3"] and meta["n_frames"] == 5
+    assert meta["sample_rate"] == 44100 and meta["n_channels"] == 1
+    assert meta["duration_sec"] == pytest.approx(5 * 1152 / 44100)
+    assert meta["bitrate_kbps_mean"] == 128.0 and not meta["vbr"]
+
+
+def test_mp3_vbr_layer2_and_mpeg2():
+    from efficient_graph_algorithms_spark.operators.multimodal import decode_mp3_meta
+
+    # VBR: alternate 128/192 kbps frames (no ID3 tag, stereo)
+    vbr = (_mp3_frame_bytes(mono=False) + _mp3_frame_bytes(br_idx=11, mono=False)) * 2
+    meta = decode_mp3_meta(vbr)
+    assert meta["vbr"] and meta["bitrate_kbps_mean"] == 160.0
+    assert meta["n_channels"] == 2 and not meta["has_id3"]
+    # MPEG-2 Layer III: 576 samples/frame at 22050 Hz (sr_idx 0, ver 2)
+    m2 = _mp3_frame_bytes(ver=2, br_idx=8) * 3  # 64 kbps per MPEG-2 table
+    meta2 = decode_mp3_meta(m2)
+    assert meta2["sample_rate"] == 22050
+    assert meta2["duration_sec"] == pytest.approx(3 * 576 / 22050)
+    assert meta2["bitrate_kbps_mean"] == 64.0
+    # Layer I: 384 samples/frame, 4-byte-slot frame length
+    l1 = _mp3_frame_bytes(layer=1, br_idx=4) * 2  # MPEG-1 L1 idx4 = 128 kbps
+    meta1 = decode_mp3_meta(l1)
+    assert meta1["duration_sec"] == pytest.approx(2 * 384 / 44100)
+    assert meta1["bitrate_kbps_mean"] == 128.0
+
+
+def test_mp3_malformed_raises_valueerror():
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        decode_media,
+        decode_mp3_meta,
+    )
+
+    with pytest.raises(ValueError):  # one lone frame: chain too short
+        decode_mp3_meta(_mp3_frame_bytes())
+    with pytest.raises(ValueError):  # ID3 size escapes payload
+        decode_mp3_meta(b"ID3\x04\x00\x00" + bytes([0, 0, 7, 127]))
+    with pytest.raises(ValueError):  # non-syncsafe ID3 size byte
+        decode_mp3_meta(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 0x80]) + _mp3_frame_bytes() * 2)
+    # truncated second frame keeps the chain short -> ValueError
+    two = _mp3_frame_bytes() + _mp3_frame_bytes()
+    with pytest.raises(ValueError):
+        decode_mp3_meta(two[:-10])
+    # strict mode surfaces; fake mode degrades (same contract as MP4)
+    with pytest.raises(ValueError):
+        decode_media(_id3v2(5), "audio", deterministic_fake=False)
+    w, h, feats = decode_media(_id3v2(5), "audio", deterministic_fake=True)
+    assert len(feats) == 16
+
+
+def test_real_mp3_through_spark_pipeline(spark):
+    """Framing path end-to-end with deterministic_fake=False: the
+    metadata features are REAL (mirrors the MP4 'Done' criterion)."""
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    p1 = _id3v2(30) + _mp3_frame_bytes() * 8
+    p2 = _mp3_frame_bytes(ver=2, br_idx=8, mono=False) * 4
+    rows = [(1, "audio", bytearray(p1)), (2, "audio", bytearray(p2))]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in extract_media_features(media, deterministic_fake=False).collect()
+    }
+    # (width, height) = (n_channels, sample_rate // 100), the WAV convention
+    assert (got[1]["width"], got[1]["height"]) == (1, 441)
+    assert (got[2]["width"], got[2]["height"]) == (2, 220)
+    f1, f2 = got[1]["features"], got[2]["features"]
+    assert f1[0] == pytest.approx(8 * 1152 / 44100) and f1[1] == 8.0
+    assert f2[0] == pytest.approx(4 * 576 / 22050) and f2[3] == 64.0
+    assert got[1]["n_bytes"] == len(p1)
