@@ -2703,6 +2703,71 @@ def q_text_repetition(spark, sf_dir):
     return repetition_features(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
+# documents augmented with planted boilerplate footers (same CTE both
+# engines): two hot footers (every 3rd / every 5th doc — far past the
+# min_count=3 bar) and one rare footer on exactly 2 docs (below the
+# bar, must survive removal).
+_BOILER_FOOTER_HOT1 = "Home | About | Contact"
+_BOILER_FOOTER_HOT2 = "(c) 2026 Example Corp. All rights reserved."
+_BOILER_FOOTER_RARE = "Rare footer line"
+_BOILER_DOCS_SQL = (
+    "SELECT doc_id, coalesce(text, '')"
+    f" || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_BOILER_FOOTER_HOT1}' ELSE '' END"
+    f" || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '{_BOILER_FOOTER_HOT2}' ELSE '' END"
+    f" || CASE WHEN doc_id IN (7, 11) THEN chr(10) || '{_BOILER_FOOTER_RARE}' ELSE '' END"
+    " AS text FROM documents"
+)
+
+
+def q_text_boilerplate(spark, sf_dir):
+    """CCNet/C4-style boilerplate line removal: drop every line whose
+    normalized form occurs >= 3 times corpus-wide, reassemble the
+    survivors in original order. Footers are planted by the shared CTE
+    (the synthetic corpus has no newlines of its own); the rare footer
+    sits below the threshold and must survive."""
+    from efficient_graph_algorithms_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n" + _BOILER_FOOTER_HOT1)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("\n" + _BOILER_FOOTER_HOT2)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id").isin(7, 11), F.lit("\n" + _BOILER_FOOTER_RARE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(docs, min_count=3)
+
+
+def _boilerplate_sql(min_count: int = 3) -> str:
+    return f"""
+WITH bd AS ({_BOILER_DOCS_SQL}),
+lines AS (
+  SELECT doc_id, pos, l[pos] AS line,
+         trim(regexp_replace(lower(l[pos]), '\\s+', ' ', 'g')) AS key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM bd),
+       LATERAL (SELECT unnest(generate_series(1, len(l)))) r(pos)
+),
+hot AS (SELECT key FROM lines WHERE key <> '' GROUP BY key
+        HAVING count(*) >= {min_count})
+SELECT doc_id,
+  count(*)::BIGINT AS n_lines,
+  (count(*) FILTER (WHERE key IN (SELECT key FROM hot)))::BIGINT AS n_removed,
+  coalesce(string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE key NOT IN (SELECT key FROM hot)), '') AS clean_text
+FROM lines GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL oracle builders for dedup/similarity
 # ---------------------------------------------------------------------------
@@ -3067,6 +3132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct": q_rel_distinct,
         "rel_histogram": q_rel_histogram,
         "rel_union_except": q_rel_union_except,
+        # new round-5 tail entry (never yet in the driver window):
+        # CCNet/C4-style hot-line boilerplate removal; check_parity is
+        # its evidence of record until it rotates in.
+        "text_boilerplate": q_text_boilerplate,
     }
 
 
@@ -3351,4 +3420,5 @@ FROM f
         # sf0.01 data is a constant, so the full run unrolls exactly —
         # the engine's last no-oracle row is closed.
         "graph_pagerank_full": _pr_full_oracle_sql(),
+        "text_boilerplate": _boilerplate_sql(),
     }

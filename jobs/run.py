@@ -29,6 +29,7 @@ Commands:
     decontam   --docs /path/documents.parquet --probes /path/probes.parquet [--width 6] [--out DIR]
     pii        --docs /path/documents.parquet [--redact] [--out DIR]
     repetition --docs /path/documents.parquet [--out DIR]
+    boilerplate --docs /path/documents.parquet [--min-count 3] [--out DIR]
     shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -185,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("repetition")
     rp.add_argument("--docs", required=True)
     rp.add_argument("--out")
+
+    bl = sub.add_parser("boilerplate")
+    bl.add_argument("--docs", required=True)
+    bl.add_argument("--min-count", type=int, default=3)
+    bl.add_argument("--out")
 
     sh = sub.add_parser("shards")
     sh.add_argument("--docs", required=True)
@@ -360,6 +366,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "repetition", "docs": int(agg["n"]),
                           "avg_dup_token_frac": round(float(agg["ad"] or 0), 6),
                           "avg_top_bigram_frac": round(float(agg["ab"] or 0), 6),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "boilerplate":
+        from efficient_graph_algorithms_spark.operators.boilerplate import (
+            remove_boilerplate_lines)
+
+        docs = spark.read.parquet(args.docs)
+        out = remove_boilerplate_lines(docs, min_count=args.min_count)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.sum("n_lines").alias("nl"),
+                      F.sum("n_removed").alias("nr")).first()
+        print(json.dumps({"cmd": "boilerplate", "min_count": args.min_count,
+                          "docs": int(agg["n"]), "lines": int(agg["nl"] or 0),
+                          "lines_removed": int(agg["nr"] or 0),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
