@@ -2748,6 +2748,38 @@ def q_text_boilerplate(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+def q_text_dup_spans(spark, sf_dir):
+    """Lee et al. 2021 duplicated-span fraction: per-doc share of
+    width-8 token windows that occur >= 2 times corpus-wide. Runs over
+    the planted-duplicate corpus (_dup_docs), so the 50 mirrored docs
+    and their sources carry dup_window_frac 1.0."""
+    from efficient_graph_algorithms_spark.operators.dupspans import dup_span_stats
+
+    return dup_span_stats(_dup_docs(spark, sf_dir), width=8, min_count=2)
+
+
+def _dup_spans_sql(width: int = 8, min_count: int = 2) -> str:
+    return f"""
+WITH dd AS ({_DUP_DOCS_SQL}),
+nd AS (SELECT doc_id, regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g') AS t FROM dd),
+tk AS (SELECT doc_id, CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS w FROM nd),
+wins AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - {width - 1}),
+                                       i -> array_to_string(w[i:i+{width - 1}], ' '))) AS win
+  FROM tk WHERE len(w) >= {width}),
+hot AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= {min_count}),
+perdoc AS (
+  SELECT doc_id, count(*) AS n_windows,
+         count(*) FILTER (WHERE win IN (SELECT win FROM hot)) AS n_dup
+  FROM wins GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+            ELSE round(n_dup / n_windows, 6) END AS dup_window_frac
+FROM dd d LEFT JOIN perdoc USING (doc_id)
+"""
+
+
 def _boilerplate_sql(min_count: int = 3) -> str:
     return f"""
 WITH bd AS ({_BOILER_DOCS_SQL}),
@@ -3132,10 +3164,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct": q_rel_distinct,
         "rel_histogram": q_rel_histogram,
         "rel_union_except": q_rel_union_except,
-        # new round-5 tail entry (never yet in the driver window):
-        # CCNet/C4-style hot-line boilerplate removal; check_parity is
-        # its evidence of record until it rotates in.
+        # new round-5 tail entries (never yet in the driver window):
+        # CCNet/C4-style hot-line boilerplate removal and Lee-et-al
+        # duplicated-span fractions; check_parity is their evidence of
+        # record until they rotate in.
         "text_boilerplate": q_text_boilerplate,
+        "text_dup_spans": q_text_dup_spans,
     }
 
 
@@ -3421,4 +3455,5 @@ FROM f
         # the engine's last no-oracle row is closed.
         "graph_pagerank_full": _pr_full_oracle_sql(),
         "text_boilerplate": _boilerplate_sql(),
+        "text_dup_spans": _dup_spans_sql(),
     }

@@ -30,6 +30,7 @@ Commands:
     pii        --docs /path/documents.parquet [--redact] [--out DIR]
     repetition --docs /path/documents.parquet [--out DIR]
     boilerplate --docs /path/documents.parquet [--min-count 3] [--out DIR]
+    dupspans   --docs /path/documents.parquet [--width 8 --min-count 2] [--out DIR]
     shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -191,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--docs", required=True)
     bl.add_argument("--min-count", type=int, default=3)
     bl.add_argument("--out")
+
+    ds = sub.add_parser("dupspans")
+    ds.add_argument("--docs", required=True)
+    ds.add_argument("--width", type=int, default=8)
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.add_argument("--out")
 
     sh = sub.add_parser("shards")
     sh.add_argument("--docs", required=True)
@@ -384,6 +391,25 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "boilerplate", "min_count": args.min_count,
                           "docs": int(agg["n"]), "lines": int(agg["nl"] or 0),
                           "lines_removed": int(agg["nr"] or 0),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "dupspans":
+        from efficient_graph_algorithms_spark.operators.dupspans import dup_span_stats
+
+        docs = spark.read.parquet(args.docs)
+        out = dup_span_stats(docs, width=args.width, min_count=args.min_count)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.sum("n_windows").alias("nw"),
+                      F.sum("n_dup_windows").alias("ndw")).first()
+        nw, ndw = int(agg["nw"] or 0), int(agg["ndw"] or 0)
+        print(json.dumps({"cmd": "dupspans", "width": args.width,
+                          "min_count": args.min_count, "docs": int(agg["n"]),
+                          "windows": nw, "dup_windows": ndw,
+                          "corpus_dup_frac": round(ndw / nw, 6) if nw else 0.0,
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
