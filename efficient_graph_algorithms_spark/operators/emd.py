@@ -69,8 +69,11 @@ def emd(
             break
         # advance along the exhausted marginal; when both close at once
         # (degenerate), step the row and keep a zero basis cell so the
-        # basis stays a spanning tree of size ns + nt - 1
-        if pi <= qj and i < ns - 1:
+        # basis stays a spanning tree of size ns + nt - 1. The j == nt-1
+        # guard forces row steps once the last column is reached:
+        # subtraction noise can leave pi a few ulp ABOVE qj there, and
+        # an else-branch j += 1 would walk off the marginal.
+        if (pi <= qj or j == nt - 1) and i < ns - 1:
             i += 1
             pi = p[i]
         else:

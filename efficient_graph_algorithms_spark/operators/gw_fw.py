@@ -251,7 +251,10 @@ def fgw_barycenter(
     :1072-1080, structure step ``update_square_loss`` :984-1017,
     couplings via the conditional-gradient solver above).
 
-    feats[k]: (i, d, y) node-feature COO (d = feature dimension index);
+    feats[k]: (i, d, y) node-feature COO (d = feature dimension index;
+    every graph must use the same dimension set — dims are read from
+    the first graph, and a foreign d elsewhere fails loudly on the
+    feature-update KeyError rather than being silently dropped);
     costs[k]: (i, j, c) structure; ps[k]: (i, p); p_center: (j, p) with
     j = 0..N-1 the barycenter nodes. init_c: (i, j, c) over center
     pairs; init_x: (j, d, x). Both inits are REQUIRED (the reference

@@ -74,6 +74,27 @@ def test_emd_degenerate_and_unbalanced():
         emd(np.array([0.7, 0.7]), q, np.zeros((2, 2)))
 
 
+def test_emd_float_noise_marginals_stress():
+    """Regression: subtraction noise in the NW-corner rule can leave
+    pi a few ulp above qj at the LAST column; without the j == nt-1
+    guard the corner walks off the marginal (IndexError). Irrational
+    masses maximize the noise; feasibility + the duality certificate
+    must hold at every size."""
+    rng = np.random.default_rng(7)
+    for ns, nt in [(3, 17), (17, 3), (23, 29), (40, 11)]:
+        p = np.sqrt(rng.uniform(0.01, 1.0, ns))
+        p /= p.sum()
+        q = np.sqrt(rng.uniform(0.01, 1.0, nt))
+        q /= q.sum()
+        m = rng.uniform(0.0, 5.0, (ns, nt))
+        t, cost, u, v = emd(p, q, m)
+        assert np.allclose(t.sum(1), p, atol=1e-12)
+        assert np.allclose(t.sum(0), q, atol=1e-12)
+        red = m - u[:, None] - v[None, :]
+        assert red.min() >= -1e-8  # dual feasibility
+        assert abs((t * red).sum()) < 1e-8  # complementary slackness
+
+
 # ---------------------------------------------------------------------------
 # fixtures: small deterministic graphs (same arithmetic on both sides)
 # ---------------------------------------------------------------------------
