@@ -52,9 +52,9 @@ def test_every_query_has_callable():
     assert len(qs) >= 30
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # full-convergence PageRank is the only query allowed to omit an
-    # oracle (iterative to a data-dependent depth — not SQL-unrollable)
-    assert set(qs) - set(oracles) == {"graph_pagerank_full"}
+    # round 5 closed the last no-oracle row (graph_pagerank_full now
+    # carries an unrolled-to-convergence CTE): EVERY query has an oracle
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
@@ -66,24 +66,26 @@ def test_query_matches_oracle_sf0001(spark, duck, name):
 
 def test_driver_row_window_covers_rotated_queries():
     """The driver records only the first 50 queries() entries. Guard the
-    round-4 rotation: the entries that historically fell outside the
-    window (multimodal_features, the streaming queries) plus the new
-    events_sessionize, sim_ivf_topk, graph_hits and graph_host_graph
-    must sit INSIDE the first 50; outside may sit only rows with 3+
-    consecutive green rounds (CORRECTNESS_r01-r03 all-true) plus
-    graph_coupling, the documented tail-side dual of the driver-rowed
-    graph_cocitation (README 'Driver-row rotation')."""
+    round-5 rotation (README 'Driver-row rotation'): the 14 round-4
+    tail queries that had never earned a driver row plus the new
+    graph_gw_partition must sit INSIDE the first 50; outside may sit
+    only the rel_* family (hash-green r1-r3), the 15 queries rotated
+    out with FOUR consecutive green rounds, and the round-5 tail
+    additions (text_boilerplate, text_dup_spans — check_parity-green
+    on landing)."""
     import __spark_entry__ as e
 
     names = list(e.queries().keys())
     window = set(names[:50])
-    for must_have in ("multimodal_features", "stream_windowed_counts",
-                      "events_user_activity", "events_sessionize",
-                      "sim_ivf_topk", "graph_hits", "graph_host_graph",
-                      "video_frame_stats", "graph_kcore3", "graph_anf2",
-                      "graph_ktruss2", "graph_scc", "graph_walks2",
-                      "graph_webstats", "dedup_clusters", "corpus_sample",
-                      "graph_closeness2", "graph_cocitation"):
+    for must_have in ("graph_coupling", "graph_wpr3", "graph_bowtie",
+                      "graph_betweenness2", "graph_n2v2",
+                      "corpus_cap_source", "corpus_pipeline",
+                      "corpus_shards", "mirror_sources", "sem_dedup",
+                      "text_decontam", "text_pii", "text_repetition",
+                      "image_jpeg_stats", "graph_gw_partition",
+                      # standing members that must not fall out
+                      "multimodal_features", "stream_windowed_counts",
+                      "events_sessionize", "graph_pagerank_full"):
         assert must_have in window, f"{must_have} rotated out of the 50-row window"
     outside = set(names[50:])
     assert outside <= {"rel_scalar_math", "rel_date_filter", "rel_distinct",
@@ -92,12 +94,15 @@ def test_driver_row_window_covers_rotated_queries():
                        "rel_groupby_sum", "rel_join_agg", "rel_window_argmax",
                        "rel_window_rank", "rel_set_ops",
                        "rel_onehot_mask", "rel_stats", "rel_zscore",
-                       "rel_interp_metrics", "graph_coupling",
-                       "graph_wpr3", "corpus_cap_source",
-                       "graph_bowtie", "mirror_sources",
-                       "corpus_pipeline",
-                       # late-round-4 additions, each check_parity-green
-                       # on landing (README 'Driver-row rotation')
-                       "text_decontam", "text_pii", "text_repetition",
-                       "sem_dedup", "image_jpeg_stats", "corpus_shards",
-                       "graph_betweenness2", "graph_n2v2"}, outside
+                       "rel_interp_metrics",
+                       # round-5 rotations out, each with 4 green rounds
+                       # (CORRECTNESS_r01-r04 all-true)
+                       "dedup_exact", "dedup_ngram_jaccard",
+                       "dedup_minhash_lsh", "dedup_simhash", "graph_dsd",
+                       "graph_epsilon_nn", "graph_heat2",
+                       "graph_interp_ratio", "graph_rw2",
+                       "graph_sinkhorn3", "graph_subgraph",
+                       "graph_triangles_per_vertex", "sim_cosine_pairs",
+                       "sim_cosine_topk", "text_features",
+                       # round-5 tail additions, check_parity-green
+                       "text_boilerplate", "text_dup_spans"}, outside
