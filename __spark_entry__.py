@@ -1867,6 +1867,59 @@ def _hits_oracle_sql() -> str:
     )
 
 
+def q_graph_salsa2(spark, sf_dir):
+    """Two synchronous SALSA steps (stochastic HITS, Lempel & Moran
+    2000) on the derived graph — the real operators.hits.salsa loop
+    pinned to a fixed iteration count so the unrolled-SQL oracle
+    computes the same thing."""
+    from efficient_graph_algorithms_spark.operators.hits import salsa
+
+    e = _graph_edges(spark, sf_dir)
+    out, _ = salsa(spark, e, vertices=_vertices(e), max_iter=2, tol=0.0)
+    return out.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _salsa_oracle_sql(iters: int = 2) -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "outd AS (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        "ind AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),",
+        "h0 AS (SELECT id, 1.0 AS h FROM v),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        lines += [
+            # authority <- normalize1(L_c^T h), L_c weight 1/out(src)
+            f"ar{i} AS (SELECT e.dst AS id, sum(h.h / od.d) AS a FROM e "
+            f"JOIN h{p} h ON e.src = h.id JOIN outd od ON e.src = od.src "
+            f"GROUP BY e.dst),",
+            f"af{i} AS (SELECT v.id, coalesce(ar.a, 0.0) AS a "
+            f"FROM v LEFT JOIN ar{i} ar ON v.id = ar.id),",
+            f"za{i} AS (SELECT sum(abs(a)) AS z FROM af{i}),",
+            f"a{i} AS (SELECT id, a / (SELECT CASE WHEN z > 0 THEN z ELSE 1.0 END "
+            f"FROM za{i}) AS a FROM af{i}),",
+            # hub <- normalize1(L_r a), L_r weight 1/in(dst)
+            f"hr{i} AS (SELECT e.src AS id, sum(a.a / ind.d) AS h FROM e "
+            f"JOIN a{i} a ON e.dst = a.id JOIN ind ON e.dst = ind.dst "
+            f"GROUP BY e.src),",
+            f"hf{i} AS (SELECT v.id, coalesce(hr.h, 0.0) AS h "
+            f"FROM v LEFT JOIN hr{i} hr ON v.id = hr.id),",
+            f"zh{i} AS (SELECT sum(abs(h)) AS z FROM hf{i}),",
+            f"h{i} AS (SELECT id, h / (SELECT CASE WHEN z > 0 THEN z ELSE 1.0 END "
+            f"FROM zh{i}) AS h FROM hf{i}),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + (
+        f"\nSELECT h.id, round(h.h, 6) AS hub, round(a.a, 6) AS authority"
+        f"\nFROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
 def q_graph_host_graph(spark, sf_dir):
     """Page graph -> host graph through the real URL-parsing contraction
     path (try_parse_url + contract_by_key). Vertices get deterministic
@@ -3170,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # record until they rotate in.
         "text_boilerplate": q_text_boilerplate,
         "text_dup_spans": q_text_dup_spans,
+        "graph_salsa2": q_graph_salsa2,
     }
 
 
@@ -3456,4 +3510,5 @@ FROM f
         "graph_pagerank_full": _pr_full_oracle_sql(),
         "text_boilerplate": _boilerplate_sql(),
         "text_dup_spans": _dup_spans_sql(),
+        "graph_salsa2": _salsa_oracle_sql(),
     }

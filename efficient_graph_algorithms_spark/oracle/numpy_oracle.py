@@ -106,6 +106,41 @@ def hits(
     return h, a, it
 
 
+def salsa(
+    edges,
+    n: int,
+    tol: float = 1e-8,
+    max_iter: int = 30,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """SALSA (Lempel & Moran 2000): HITS over the row/column-stochastic
+    adjacency, L1-normalized per half-step.
+
+    a_t = normalize1(L_c^T h_{t-1}) with L_c weight 1/out(src);
+    h_t = normalize1(L_r a_t) with L_r weight 1/in(dst).
+    Stops when L1(h_t - h_{t-1}) < tol. Returns (hub, authority, iters).
+    """
+    src, dst = _edge_arrays(edges)
+    out_deg = np.bincount(src, minlength=n).astype(np.float64)
+    in_deg = np.bincount(dst, minlength=n).astype(np.float64)
+    h = np.ones(n, dtype=np.float64)
+    a = np.ones(n, dtype=np.float64)
+    it = 0
+    for it in range(1, max_iter + 1):
+        a = np.bincount(dst, weights=h[src] / out_deg[src], minlength=n)
+        za = float(np.abs(a).sum())
+        if za > 0:
+            a /= za
+        h_new = np.bincount(src, weights=a[dst] / in_deg[dst], minlength=n)
+        zh = float(np.abs(h_new).sum())
+        if zh > 0:
+            h_new /= zh
+        delta = float(np.abs(h_new - h).sum())
+        h = h_new
+        if delta < tol:
+            break
+    return h, a, it
+
+
 def k_core(
     edges, k: int, max_rounds: int | None = None
 ) -> tuple[dict[int, int], int, bool]:

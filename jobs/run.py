@@ -12,6 +12,7 @@ Commands:
     lpa        --graph /path/graph [--max-iter 20]
     triangles  --graph /path/graph
     hits       --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
+    salsa      --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
     hostgraph  --graph /path/graph [--keep-self-loops] [--top 10] [--out DIR]
     kcore      --graph /path/graph --k 3 [--max-iter 100] [--out DIR]
     ktruss     --graph /path/graph --k 4 [--max-iter 100] [--out DIR]
@@ -68,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--pages", required=True)
     e.add_argument("--out", required=True)
 
-    for name in ("pagerank", "components", "lpa", "triangles", "hits", "hostgraph",
+    for name in ("pagerank", "components", "lpa", "triangles", "hits", "salsa",
+                 "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
                  "closeness", "bowtie", "betweenness"):
         p = sub.add_parser(name)
@@ -88,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                                 "bit-identical")
         if name in ("lpa", "components"):
             p.add_argument("--max-iter", type=int, default=20)
-        if name == "hits":
+        if name in ("hits", "salsa"):
             p.add_argument("--max-iter", type=int, default=30)
             p.add_argument("--tol", type=float, default=1e-8)
             p.add_argument("--top", type=int, default=10)
@@ -556,6 +558,26 @@ def main(argv: list[str] | None = None) -> int:
                .orderBy(F.desc("authority"), F.asc("id")).collect())
         print(json.dumps({
             "cmd": "hits", "n": info["n"], "iterations": info["iterations"],
+            "converged": info["converged"], "sec": round(time.time() - t0, 2),
+            "top_authorities": [{"id": r["id"], "url": r["url"],
+                                 "authority": r["authority"], "hub": r["hub"]}
+                                for r in top],
+        }))
+        return 0
+
+    if args.cmd == "salsa":
+        from efficient_graph_algorithms_spark.operators.hits import salsa
+
+        scores, info = salsa(spark, edges, vertices=vertices,
+                             max_iter=args.max_iter, tol=args.tol)
+        if args.out:
+            scores.write.mode("overwrite").parquet(args.out)
+        url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+        top = (scores.orderBy(F.desc("authority"), F.asc("id")).limit(args.top)
+               .join(url_dict, "id")
+               .orderBy(F.desc("authority"), F.asc("id")).collect())
+        print(json.dumps({
+            "cmd": "salsa", "n": info["n"], "iterations": info["iterations"],
             "converged": info["converged"], "sec": round(time.time() - t0, 2),
             "top_authorities": [{"id": r["id"], "url": r["url"],
                                  "authority": r["authority"], "hub": r["hub"]}

@@ -105,4 +105,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_triangles_per_vertex", "sim_cosine_pairs",
                        "sim_cosine_topk", "text_features",
                        # round-5 tail additions, check_parity-green
-                       "text_boilerplate", "text_dup_spans"}, outside
+                       "text_boilerplate", "text_dup_spans",
+                       "graph_salsa2"}, outside

@@ -68,6 +68,82 @@ def test_hits_plan_has_no_cartesian_blowup(spark):
     assert out.count() == 40  # executed fine; plan was cut per iteration
 
 
+# --- SALSA -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,p", [(30, 0.12), (60, 0.06)])
+def test_salsa_matches_oracle(spark, n, p):
+    from efficient_graph_algorithms_spark.operators.hits import salsa
+
+    edges = er_graph(n, p)
+    exp_h, exp_a, exp_iters = oracle.salsa(edges, n, tol=1e-8, max_iter=100)
+    out, info = salsa(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n),
+        tol=1e-8, max_iter=100,
+    )
+    pd = out.toPandas().set_index("id")
+    got_h = pd["hub"].reindex(range(n)).to_numpy()
+    got_a = pd["authority"].reindex(range(n)).to_numpy()
+    assert info["converged"]
+    assert info["iterations"] == exp_iters
+    assert np.allclose(got_h, exp_h, atol=1e-9)
+    assert np.allclose(got_a, exp_a, atol=1e-9)
+    # both vectors are probability distributions after convergence
+    assert abs(got_h.sum() - 1.0) < 1e-9 and abs(got_a.sum() - 1.0) < 1e-9
+
+
+def test_salsa_stationary_is_degree_proportional(spark):
+    """Lempel & Moran's closed form: when the hub co-citation graph
+    (hubs sharing a target) is ONE irreducible class, SALSA converges
+    to hub = out_deg/|E| and authority = in_deg/|E| — the property that
+    distinguishes it from HITS (which concentrates on the principal
+    eigenvector instead). The 4->3 chord is what connects the class:
+    without it the ring-with-chords splits into the closed classes
+    {0,1,2,3} / {4,5} and the limit is the component-mass-weighted
+    mixture instead (verified during test construction — the engine
+    reproduced that closed form exactly too)."""
+    from efficient_graph_algorithms_spark.operators.hits import salsa
+
+    edges = np.array(
+        [[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 0],
+         [0, 2], [2, 4], [4, 0], [1, 3], [4, 3]]
+    )
+    n, m = 6, len(edges)
+    out, info = salsa(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, n),
+        tol=1e-10, max_iter=300,
+    )
+    pd = out.toPandas().set_index("id").sort_index()
+    in_deg = np.bincount(edges[:, 1], minlength=n)
+    assert info["converged"]
+    assert np.allclose(pd["authority"].to_numpy(), in_deg / m, atol=1e-9)
+    out_deg = np.bincount(edges[:, 0], minlength=n)
+    assert np.allclose(pd["hub"].to_numpy(), out_deg / m, atol=1e-9)
+
+
+def test_salsa_hub_degree_robustness(spark):
+    """The stochastic normalization stops a mega-hub from dominating:
+    vertex 0 links to everything, but each target's authority counts
+    0's endorsement at weight 1/out(0) — with single other endorsements
+    spread evenly, authorities stay near-uniform instead of following
+    the hub (the TKDC robustness SALSA exists for)."""
+    from efficient_graph_algorithms_spark.operators.hits import salsa
+
+    # hub 0 -> 1..8 plus a 1->2 side endorsement
+    edges = np.array([[0, j] for j in range(1, 9)] + [[1, 2]])
+    out, _ = salsa(
+        spark, spark_edges(spark, edges), vertices=spark_vertices(spark, 9),
+        tol=1e-10, max_iter=300,
+    )
+    pd = out.toPandas().set_index("id").sort_index()
+    a = pd["authority"].to_numpy()
+    exp_h, exp_a, _ = oracle.salsa(edges, 9, tol=1e-10, max_iter=300)
+    assert np.allclose(a, exp_a, atol=1e-9)
+    # vertex 2 (two in-links) leads, but by a bounded stochastic margin
+    assert a[2] == a.max()
+    assert a[2] < 2.5 * a[3]
+
+
 # --- contraction -------------------------------------------------------------
 
 def test_contract_by_key_counts_and_self_loops(spark):
