@@ -2801,6 +2801,73 @@ def q_text_boilerplate(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+_DEDUP_TS_BASE = 1772323200  # 2026-03-01T00:00:00Z, arbitrary fixed epoch
+
+
+def q_dedup_verdicts(spark, sf_dir):
+    """Batch face of the streaming exact-dedup operator: first-writer-
+    wins by (ts, doc_id) event-time order per content fingerprint.
+    Documents get deterministic synthetic timestamps; the planted
+    copies land LATER for even ids and EARLIER for odd ids, so for odd
+    ids the copy (the higher doc_id) must win — event time beats id
+    order. The streaming face is covered by the stream==batch pytest
+    (tests/test_streaming_dedup.py), the sessionizer evidence pattern."""
+    from efficient_graph_algorithms_spark.streaming.dedup import (
+        dedup_verdicts_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(_DEDUP_TS_BASE) + (F.col("doc_id") % 97) * 3600
+        ).alias("ts"),
+    )
+    copies = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.timestamp_seconds(
+            F.lit(_DEDUP_TS_BASE)
+            + (F.col("doc_id") % 97) * 3600
+            + F.when(F.col("doc_id") % 2 == 0, F.lit(18000)).otherwise(F.lit(-10800))
+        ).alias("ts"),
+    )
+    out = dedup_verdicts_batch(base.unionByName(copies))
+    return out.select(
+        "doc_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "fp",
+        "keep",
+        "winner_id",
+    )
+
+
+def _dedup_verdicts_sql() -> str:
+    from efficient_graph_algorithms_spark.functions.text import duck_fingerprint60
+
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text,
+         {_DEDUP_TS_BASE} + (doc_id % 97) * 3600 AS ts_epoch
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text,
+         {_DEDUP_TS_BASE} + (doc_id % 97) * 3600
+           + CASE WHEN doc_id % 2 = 0 THEN 18000 ELSE -10800 END AS ts_epoch
+  FROM documents WHERE doc_id < 50
+),
+f AS (SELECT doc_id, ts_epoch, {duck_fingerprint60('text')} AS fp FROM dd),
+v AS (
+  SELECT doc_id, ts_epoch, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY ts_epoch, doc_id) AS rn,
+         first_value(doc_id) OVER (PARTITION BY fp ORDER BY ts_epoch, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS winner_id
+  FROM f)
+SELECT doc_id, ts_epoch::BIGINT AS ts_epoch, fp, rn = 1 AS keep, winner_id FROM v
+"""
+
+
 def q_text_dup_spans(spark, sf_dir):
     """Lee et al. 2021 duplicated-span fraction: per-doc share of
     width-8 token windows that occur >= 2 times corpus-wide. Runs over
@@ -3224,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate": q_text_boilerplate,
         "text_dup_spans": q_text_dup_spans,
         "graph_salsa2": q_graph_salsa2,
+        "dedup_verdicts": q_dedup_verdicts,
     }
 
 
@@ -3511,4 +3579,5 @@ FROM f
         "text_boilerplate": _boilerplate_sql(),
         "text_dup_spans": _dup_spans_sql(),
         "graph_salsa2": _salsa_oracle_sql(),
+        "dedup_verdicts": _dedup_verdicts_sql(),
     }
