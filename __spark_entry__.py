@@ -945,6 +945,69 @@ def _ppr3_oracle_sql() -> str:
     return "\n".join(lines) + "\nSELECT id, rank FROM fin"
 
 
+def q_graph_spam_mass3(spark, sf_dir):
+    """TrustRank + relative spam mass (Gyongyi et al. 2004/2006): the
+    real spam_mass composition (two pagerank runs + one join), pinned
+    to PR_SQL_ITERS steps each; trusted seeds = ids divisible by 50
+    (the graph_ppr_3iter seed set, so trust == that query's ranks)."""
+    from efficient_graph_algorithms_spark.operators.trustrank import spam_mass
+
+    e = _graph_edges(spark, sf_dir)
+    v = _vertices(e)
+    seeds = v.where(F.col("id") % 50 == 0)
+    out, _ = spam_mass(spark, e, seeds, vertices=v, max_iter=PR_SQL_ITERS, tol=0.0)
+    return out.select(
+        "id",
+        F.round("rank", 9).alias("rank"),
+        F.round("trust", 9).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
+def _spam_mass3_oracle_sql() -> str:
+    """Both unrolled damped walks (uniform teleport and seed teleport)
+    in one WITH chain; spam_mass = (r - t)/r, total since r carries the
+    (1-a)/n floor."""
+    a = PR_ALPHA
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM v),",
+        "ns AS (SELECT count(*)::DOUBLE AS ns FROM v WHERE id % 50 = 0),",
+        "pv AS (SELECT id, CASE WHEN id % 50 = 0 THEN 1.0/(SELECT ns FROM ns) ELSE 0.0 END AS p FROM v),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT id, 1.0/(SELECT n FROM n) AS r FROM v),",
+        "t0 AS (SELECT id, p AS r FROM pv),",
+    ]
+    for i in range(1, PR_SQL_ITERS + 1):
+        p = i - 1
+        lines += [
+            # uniform-teleport chain (PageRank)
+            f"dm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN r{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.id, {1.0 - a}/(SELECT n FROM n) "
+            f"+ {a}*(coalesce(c.c, 0.0) + (SELECT m FROM dm{i})/(SELECT n FROM n)) AS r "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id),",
+            # seed-teleport chain (TrustRank)
+            f"tdm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM t{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"tc{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN t{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"t{i} AS (SELECT pv.id, {1.0 - a}*pv.p "
+            f"+ {a}*(coalesce(c.c, 0.0) + (SELECT m FROM tdm{i})*pv.p) AS r "
+            f"FROM pv LEFT JOIN tc{i} c ON pv.id = c.id),",
+        ]
+    k = PR_SQL_ITERS
+    lines[-1] = lines[-1].rstrip(",")
+    return "\n".join(lines) + (
+        f"\nSELECT r.id, round(r.r, 9) AS rank, round(t.r, 9) AS trust,"
+        f"\n       round((r.r - t.r) / r.r, 6) AS spam_mass"
+        f"\nFROM r{k} r JOIN t{k} t ON r.id = t.id"
+    )
+
+
 def q_graph_matching(spark, sf_dir):
     """Greedy one-to-one matching (reference's sequential greedy
     assignment, ``reference src/ega/algorithms/
@@ -3292,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": q_text_dup_spans,
         "graph_salsa2": q_graph_salsa2,
         "dedup_verdicts": q_dedup_verdicts,
+        "graph_spam_mass3": q_graph_spam_mass3,
     }
 
 
@@ -3580,4 +3644,5 @@ FROM f
         "text_dup_spans": _dup_spans_sql(),
         "graph_salsa2": _salsa_oracle_sql(),
         "dedup_verdicts": _dedup_verdicts_sql(),
+        "graph_spam_mass3": _spam_mass3_oracle_sql(),
     }

@@ -13,6 +13,7 @@ Commands:
     triangles  --graph /path/graph
     hits       --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
     salsa      --graph /path/graph [--max-iter 30 --tol 1e-8 --top 10]
+    spammass   --graph /path/graph [--seed-mod 50 --max-iter 100 --tol 1e-6]
     hostgraph  --graph /path/graph [--keep-self-loops] [--top 10] [--out DIR]
     kcore      --graph /path/graph --k 3 [--max-iter 100] [--out DIR]
     ktruss     --graph /path/graph --k 4 [--max-iter 100] [--out DIR]
@@ -70,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "salsa",
-                 "hostgraph",
+                 "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
                  "closeness", "bowtie", "betweenness"):
         p = sub.add_parser(name)
@@ -93,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("hits", "salsa"):
             p.add_argument("--max-iter", type=int, default=30)
             p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--top", type=int, default=10)
+        if name == "spammass":
+            p.add_argument("--max-iter", type=int, default=100)
+            p.add_argument("--tol", type=float, default=1e-6)
+            p.add_argument("--seed-mod", type=int, default=50,
+                           help="trusted seeds = vertices with id %% mod == 0")
             p.add_argument("--top", type=int, default=10)
         if name == "hostgraph":
             p.add_argument("--keep-self-loops", action="store_true")
@@ -582,6 +589,31 @@ def main(argv: list[str] | None = None) -> int:
             "top_authorities": [{"id": r["id"], "url": r["url"],
                                  "authority": r["authority"], "hub": r["hub"]}
                                 for r in top],
+        }))
+        return 0
+
+    if args.cmd == "spammass":
+        from efficient_graph_algorithms_spark.operators.trustrank import spam_mass
+
+        seeds = vertices.where(F.col("id") % args.seed_mod == 0)
+        out, info = spam_mass(spark, edges, seeds, vertices=vertices,
+                              max_iter=args.max_iter, tol=args.tol)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+        top = (out.orderBy(F.desc("spam_mass"), F.asc("id")).limit(args.top)
+               .join(url_dict, "id")
+               .orderBy(F.desc("spam_mass"), F.asc("id")).collect())
+        print(json.dumps({
+            "cmd": "spammass", "n": info["pagerank"]["n"],
+            "seed_mod": args.seed_mod,
+            "pr_iterations": info["pagerank"]["iterations"],
+            "tr_iterations": info["trustrank"]["iterations"],
+            "sec": round(time.time() - t0, 2),
+            "top_spam_mass": [{"id": r["id"], "url": r["url"],
+                               "spam_mass": round(r["spam_mass"], 6)}
+                              for r in top],
         }))
         return 0
 

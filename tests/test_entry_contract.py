@@ -106,4 +106,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "sim_cosine_topk", "text_features",
                        # round-5 tail additions, check_parity-green
                        "text_boilerplate", "text_dup_spans",
-                       "graph_salsa2", "dedup_verdicts"}, outside
+                       "graph_salsa2", "dedup_verdicts",
+                       "graph_spam_mass3"}, outside

@@ -144,6 +144,44 @@ def test_salsa_hub_degree_robustness(spark):
     assert a[2] < 2.5 * a[3]
 
 
+# --- TrustRank / spam mass ----------------------------------------------------
+
+
+def test_spam_mass_matches_oracle_composition(spark):
+    """spam_mass == (PR - PPR_seeds)/PR, both faces from the NumPy
+    pagerank oracle; a spam farm pointing only at itself collects rank
+    with zero trusted support -> relative mass ~1, while the trusted
+    seed keeps negative mass (more trust than rank)."""
+    from efficient_graph_algorithms_spark.operators.trustrank import spam_mass
+
+    # trusted core: 0 <-> 1 <-> 2 (seed 0); spam farm: 3..6 clique
+    # pointing at target 7, no trusted in-links to the farm
+    core = [[0, 1], [1, 0], [1, 2], [2, 0]]
+    farm = [[i, j] for i in range(3, 7) for j in range(3, 7) if i != j]
+    farm += [[i, 7] for i in range(3, 7)]
+    edges = np.array(core + farm)
+    n = 8
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out, info = spam_mass(
+        spark, spark_edges(spark, edges), seeds,
+        vertices=spark_vertices(spark, n), max_iter=60, tol=1e-12,
+    )
+    pd = out.toPandas().set_index("id").sort_index()
+    pers = np.zeros(n)
+    pers[0] = 1.0
+    exp_r, _ = oracle.pagerank(edges, n, tol=1e-12, max_iter=60)
+    exp_t, _ = oracle.pagerank(edges, n, tol=1e-12, max_iter=60, personalization=pers)
+    assert np.allclose(pd["rank"].to_numpy(), exp_r, atol=1e-9)
+    assert np.allclose(pd["trust"].to_numpy(), exp_t, atol=1e-9)
+    assert np.allclose(
+        pd["spam_mass"].to_numpy(), (exp_r - exp_t) / exp_r, atol=1e-9
+    )
+    # the detection signal: every farm page near-total spam mass,
+    # the trusted core negative (more trusted support than rank)
+    assert (pd.loc[3:7, "spam_mass"] > 0.95).all()
+    assert (pd.loc[0:2, "spam_mass"] < 0).all()
+
+
 # --- contraction -------------------------------------------------------------
 
 def test_contract_by_key_counts_and_self_loops(spark):
