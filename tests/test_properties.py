@@ -369,3 +369,151 @@ def test_jpeg_roundtrip_property(w, h, seed):
     ww, hh, out = decode_jpeg(encode_jpeg(img, quant=1))
     assert (ww, hh) == (w, h)
     assert np.abs(out * 255.0 - img.astype(np.float64)).max() < 3.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.sampled_from([3, 2, 0]),  # MPEG version bits (1, 2, 2.5)
+            st.integers(1, 3),           # layer
+            st.integers(1, 14),          # bitrate index
+            st.integers(0, 2),           # samplerate index
+            st.booleans(),               # padding
+            st.booleans(),               # mono
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    id3_len=st.one_of(st.none(), st.integers(0, 100)),
+)
+def test_mp3_frame_walker_property(frames, id3_len):
+    """The walker's (frame count, duration, mean bitrate, vbr) must
+    equal the generator's arithmetic for ANY chained frame sequence
+    across versions/layers/bitrates, with or without an ID3v2 tag.
+    The first frame pins (rate, channels); later frames vary bitrate
+    only (real VBR streams hold rate/layer constant, and the walker's
+    chain arithmetic needs frame lengths to be self-consistent)."""
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        _mp3_frame,
+        decode_mp3_meta,
+    )
+
+    ver, layer, _, sr_idx, _, mono = frames[0]
+    payload = b""
+    if id3_len is not None:
+        payload = b"ID3\x04\x00\x00" + bytes(
+            [0, 0, id3_len >> 7, id3_len & 0x7F]
+        ) + b"\x00" * id3_len
+    total_samples = 0
+    kbps_list = []
+    rate = None
+    for _, _, br_idx, _, padding, _ in frames:
+        b1 = 0xE0 | (ver << 3) | ((4 - layer) << 1) | 1
+        b2 = (br_idx << 4) | (sr_idx << 2) | (int(padding) << 1)
+        b3 = 0xC0 if mono else 0x00
+        hdr = bytes([0xFF, b1, b2, b3])
+        flen, spf, r, kbps, ch = _mp3_frame(hdr, 0)
+        payload += hdr + b"\x00" * (flen - 4)
+        total_samples += spf
+        kbps_list.append(kbps)
+        rate = r
+    meta = decode_mp3_meta(payload)
+    assert meta["n_frames"] == len(frames)
+    assert meta["sample_rate"] == rate
+    assert meta["n_channels"] == (1 if mono else 2)
+    assert meta["duration_sec"] == total_samples / rate
+    assert meta["bitrate_kbps_mean"] == sum(kbps_list) / len(kbps_list)
+    assert meta["vbr"] == (len(set(kbps_list)) > 1)
+    assert meta["has_id3"] == (id3_len is not None)
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(  # a doc = list of lines; a line = list of word indices
+            st.lists(st.integers(0, 4), min_size=0, max_size=4),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    min_count=st.sampled_from([2, 3]),
+)
+def test_boilerplate_matches_reference(spark, docs, min_count):
+    """Random tiny corpora over a 5-word vocabulary (so hot lines occur
+    by construction) vs an independent pure-Python sweep."""
+    import re as _re
+
+    from efficient_graph_algorithms_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (i, "\n".join(" ".join(_WORDS[w] for w in line) for line in doc))
+        for i, doc in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(line):
+        return _re.sub(r"\s+", " ", line.lower()).strip()
+
+    counts: dict[str, int] = {}
+    for _, text in rows:
+        for line in text.split("\n"):
+            k = norm(line)
+            if k:
+                counts[k] = counts.get(k, 0) + 1
+    hot = {k for k, c in counts.items() if c >= min_count}
+    want = {}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if norm(ln) not in hot]
+        want[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+        for r in remove_boilerplate_lines(df, min_count=min_count).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 4), min_size=0, max_size=14),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([2, 3]),
+)
+def test_dup_spans_matches_reference(spark, docs, width):
+    """Random token sequences over a 5-word vocabulary vs an
+    independent pure-Python window counter."""
+    from collections import Counter
+
+    from efficient_graph_algorithms_spark.operators.dupspans import dup_span_stats
+
+    rows = [(i, " ".join(_WORDS[w] for w in doc)) for i, doc in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wins = []
+    for i, doc in enumerate(docs):
+        if len(doc) >= width:
+            for s in range(len(doc) - width + 1):
+                wins.append((i, tuple(doc[s : s + width])))
+    c = Counter(w for _, w in wins)
+    want = {}
+    for i, doc in enumerate(docs):
+        mine = [w for d, w in wins if d == i]
+        nd = sum(1 for w in mine if c[w] >= 2)
+        want[i] = (len(mine), nd, round(nd / len(mine), 6) if mine else 0.0)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_window_frac"])
+        for r in dup_span_stats(df, width=width, min_count=2).collect()
+    }
+    assert got == want
