@@ -2864,6 +2864,30 @@ def q_text_boilerplate(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_count=3)
 
 
+def q_emb_gram(spark, sf_dir):
+    """Second-moment matrix G = X^T X over the embeddings table — the
+    distributed reduction behind PCA/whitening (operators/pca.py). The
+    mapInPandas partial-sum plan is the operator under test; the
+    eigendecomposition face is driver-side by contract and NumPy-oracle
+    pytest-verified (tests/test_pca.py)."""
+    from efficient_graph_algorithms_spark.operators.pca import gram_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix(emb).select("i", "j", F.round("g", 6).alias("g"))
+
+
+_EMB_GRAM_SQL = """
+WITH x AS (
+  SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding)))) r(i)
+)
+SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+       round(sum(a.v * b.v), 6) AS g
+FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
+"""
+
+
 _DEDUP_TS_BASE = 1772323200  # 2026-03-01T00:00:00Z, arbitrary fixed epoch
 
 
@@ -3356,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa2": q_graph_salsa2,
         "dedup_verdicts": q_dedup_verdicts,
         "graph_spam_mass3": q_graph_spam_mass3,
+        "emb_gram": q_emb_gram,
     }
 
 
@@ -3645,4 +3670,5 @@ FROM f
         "graph_salsa2": _salsa_oracle_sql(),
         "dedup_verdicts": _dedup_verdicts_sql(),
         "graph_spam_mass3": _spam_mass3_oracle_sql(),
+        "emb_gram": _EMB_GRAM_SQL,
     }

@@ -34,6 +34,7 @@ Commands:
     boilerplate --docs /path/documents.parquet [--min-count 3] [--out DIR]
     dupspans   --docs /path/documents.parquet [--width 8 --min-count 2] [--out DIR]
     shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
+    pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
     sessionize --events /path/events.parquet [--gap-sec 1800] [--out DIR]
@@ -213,6 +214,12 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--shard-tokens", type=int, default=1 << 20)
     sh.add_argument("--seed", type=int, default=42)
     sh.add_argument("--out")
+
+    pc = sub.add_parser("pca")
+    pc.add_argument("--embeddings", required=True)
+    pc.add_argument("--k", type=int, default=8)
+    pc.add_argument("--no-center", action="store_true")
+    pc.add_argument("--out", help="write projected vectors parquet")
 
     sd = sub.add_parser("semdedup")
     sd.add_argument("--embeddings", required=True)
@@ -435,6 +442,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "shards", "shard_tokens": args.shard_tokens,
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "pca":
+        from efficient_graph_algorithms_spark.operators.pca import pca_fit, project
+
+        emb = spark.read.parquet(args.embeddings)
+        model = pca_fit(emb, k=args.k, center=not args.no_center)
+        if args.out:
+            project(emb, model).write.mode("overwrite").parquet(args.out)
+        evr = [round(float(v), 6) for v in model["explained_variance_ratio"]]
+        print(json.dumps({"cmd": "pca", "k": args.k, "n": model["n"],
+                          "centered": not args.no_center,
+                          "explained_variance_ratio": evr,
+                          "cum_evr": round(float(sum(evr)), 6),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 
