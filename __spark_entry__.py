@@ -2888,6 +2888,48 @@ FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
 """
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: train the add-k bigram LM on the
+    corpus, score every document's log-likelihood under it (self-
+    scored, k=0.1). Exact-parity surface is (n_bigrams, sum_logp);
+    perplexity = exp(-sum_logp/n_bigrams) derives downstream."""
+    from efficient_graph_algorithms_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    c2, c1, vocab = train_bigram_lm(d)
+    out = score_perplexity(d, c2, c1, vocab, k=0.1)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("sum_logp", 6).alias("sum_logp")
+    )
+
+
+def _lm_score_sql(k: float = 0.1) -> str:
+    return f"""
+WITH nd AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM nd),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))) r(i)
+  WHERE len(w) >= 2),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+vv AS (SELECT count(DISTINCT u.w)::DOUBLE AS v
+       FROM (SELECT unnest(w) AS w FROM tk) u WHERE u.w <> ''),
+sc AS (
+  SELECT bg.doc_id,
+         ln((c2.c2 + {k}) / (c1.c1 + {k} * (SELECT v FROM vv))) AS logp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(logp) AS s
+       FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(s, 0.0), 6) AS sum_logp
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 _DEDUP_TS_BASE = 1772323200  # 2026-03-01T00:00:00Z, arbitrary fixed epoch
 
 
@@ -3381,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verdicts": q_dedup_verdicts,
         "graph_spam_mass3": q_graph_spam_mass3,
         "emb_gram": q_emb_gram,
+        "text_lm_score": q_text_lm_score,
     }
 
 
@@ -3671,4 +3714,5 @@ FROM f
         "dedup_verdicts": _dedup_verdicts_sql(),
         "graph_spam_mass3": _spam_mass3_oracle_sql(),
         "emb_gram": _EMB_GRAM_SQL,
+        "text_lm_score": _lm_score_sql(),
     }

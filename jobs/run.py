@@ -34,6 +34,7 @@ Commands:
     boilerplate --docs /path/documents.parquet [--min-count 3] [--out DIR]
     dupspans   --docs /path/documents.parquet [--width 8 --min-count 2] [--out DIR]
     shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
+    lmscore    --docs /path/documents.parquet [--k 0.1] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -214,6 +215,11 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--shard-tokens", type=int, default=1 << 20)
     sh.add_argument("--seed", type=int, default=42)
     sh.add_argument("--out")
+
+    lm = sub.add_parser("lmscore")
+    lm.add_argument("--docs", required=True)
+    lm.add_argument("--k", type=float, default=0.1)
+    lm.add_argument("--out")
 
     pc = sub.add_parser("pca")
     pc.add_argument("--embeddings", required=True)
@@ -442,6 +448,26 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"cmd": "shards", "shard_tokens": args.shard_tokens,
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "lmscore":
+        from efficient_graph_algorithms_spark.operators.lm import (
+            score_perplexity, train_bigram_lm)
+
+        docs = spark.read.parquet(args.docs)
+        c2, c1, vocab = train_bigram_lm(docs)
+        out = score_perplexity(docs, c2, c1, vocab, k=args.k)
+        ppl = out.where(F.col("n_bigrams") > 0).select(
+            F.exp(-F.col("sum_logp") / F.col("n_bigrams")).alias("ppl"))
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        agg = ppl.agg(F.count("*").alias("n"), F.avg("ppl").alias("avg"),
+                      F.expr("percentile_approx(ppl, 0.5)").alias("med")).first()
+        print(json.dumps({"cmd": "lmscore", "k": args.k, "vocab": vocab,
+                          "docs_scored": int(agg["n"]),
+                          "avg_ppl": round(float(agg["avg"] or 0), 2),
+                          "median_ppl": round(float(agg["med"] or 0), 2),
                           "sec": round(time.time() - t0, 2)}))
         return 0
 

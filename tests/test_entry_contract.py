@@ -107,4 +107,5 @@ def test_driver_row_window_covers_rotated_queries():
                        # round-5 tail additions, check_parity-green
                        "text_boilerplate", "text_dup_spans",
                        "graph_salsa2", "dedup_verdicts",
-                       "graph_spam_mass3", "emb_gram"}, outside
+                       "graph_spam_mass3", "emb_gram",
+                       "text_lm_score"}, outside
