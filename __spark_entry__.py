@@ -3427,7 +3427,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Oracles whose unrolled CTE chains reference each level more than once
+# (r_i feeds both dm_{i+1} and c_{i+1}): DuckDB INLINES multi-referenced
+# CTEs, so evaluation cost grows exponentially with chain depth — the
+# graph_pagerank_full oracle measured 1063 s inlined vs 0.3 s
+# materialized on identical sf0.01 data. AS MATERIALIZED pins each
+# level to one evaluation; semantics (and the parity hashes) are
+# unchanged, re-verified per query. Recursive-CTE oracles are excluded
+# (the hint does not apply to them).
+_MATERIALIZE_CHAINS = (
+    "graph_pagerank_full",
+    "graph_pagerank_3iter",
+    "graph_ppr_3iter",
+    "graph_wpr3",
+    "graph_hits",
+    "graph_salsa2",
+    "graph_spam_mass3",
+    "graph_gw2",
+    "graph_gw_partition",
+)
+
+
+def _materialize_ctes(sql: str) -> str:
+    return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
+
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_raw()
+    for k in _MATERIALIZE_CHAINS:
+        out[k] = _materialize_ctes(out[k])
+    return out
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         "graph_degree_topk": f"""
 WITH e AS ({_E_SQL})
