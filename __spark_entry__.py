@@ -765,6 +765,83 @@ def q_graph_coupling(spark, sf_dir):
     return out
 
 
+LINKPRED_K = 20
+LINKPRED_MIN = 2
+LINKPRED_CAP = 64
+
+
+def q_graph_linkpred(spark, sf_dir):
+    """Top-20 predicted links (Adamic–Adar over the undirected simple
+    graph, common-neighbor + Jaccard scores, hub-capped wedge centers,
+    existing edges anti-joined out); total order (aa desc, a, b)."""
+    from efficient_graph_algorithms_spark.operators.linkpred import (
+        link_prediction_topk,
+    )
+
+    out, _ = link_prediction_topk(
+        _graph_edges(spark, sf_dir), k=LINKPRED_K,
+        min_common=LINKPRED_MIN, degree_cap=LINKPRED_CAP,
+    )
+    return out
+
+
+def q_graph_local_cc(spark, sf_dir):
+    """Per-vertex local clustering coefficient (Watts–Strogatz) on the
+    undirected simple graph: (id, deg, triangles, lcc) for every
+    incident vertex."""
+    from efficient_graph_algorithms_spark.operators.linkpred import (
+        local_clustering,
+    )
+
+    return local_clustering(_graph_edges(spark, sf_dir))
+
+
+def _linkpred_oracle_sql() -> str:
+    """Adamic–Adar top-k mirror: same symmetrized adjacency, the same
+    2 <= deg <= cap center filter, anti-join against the edge set, and
+    the same rounded sort key."""
+    return f"""
+WITH e AS ({_E_SQL}),
+und AS ({_UND_SQL}),
+adj AS (SELECT lo AS id, hi AS nbr FROM und UNION ALL SELECT hi AS id, lo AS nbr FROM und),
+deg AS (SELECT id, count(*) AS d FROM adj GROUP BY id),
+centers AS (SELECT adj.id, adj.nbr, 1.0 / ln(deg.d) AS w_aa
+            FROM adj JOIN deg ON deg.id = adj.id
+            WHERE deg.d >= 2 AND deg.d <= {LINKPRED_CAP}),
+scored AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS n_common, sum(x.w_aa) AS aa_raw
+           FROM centers x JOIN centers y ON x.id = y.id AND x.nbr < y.nbr
+           GROUP BY x.nbr, y.nbr HAVING count(*) >= {LINKPRED_MIN}),
+non_edges AS (SELECT s.* FROM scored s LEFT JOIN und ON und.lo = s.a AND und.hi = s.b
+              WHERE und.lo IS NULL)
+SELECT n.a, n.b, n.n_common, round(n.aa_raw, 9) AS aa,
+       round(CAST(n.n_common AS DOUBLE) / (da.d + db.d - n.n_common), 9) AS jaccard
+FROM non_edges n JOIN deg da ON da.id = n.a JOIN deg db ON db.id = n.b
+ORDER BY round(n.aa_raw, 9) DESC, n.a, n.b LIMIT {LINKPRED_K}
+"""
+
+
+def _local_cc_oracle_sql() -> str:
+    """Per-vertex triangles over degree-choose-2, 0 below degree 2."""
+    return f"""
+WITH e AS ({_E_SQL}),
+und AS ({_UND_SQL}),
+adj AS (SELECT lo AS id, hi AS nbr FROM und UNION ALL SELECT hi AS id, lo AS nbr FROM und),
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1 JOIN und e2 ON e1.hi = e2.lo
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+m AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+pv AS (SELECT id, count(*) AS triangles FROM m GROUP BY id)
+SELECT deg.id, deg.deg, coalesce(pv.triangles, 0) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * coalesce(pv.triangles, 0) / (deg.deg * (deg.deg - 1.0)), 9)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN pv ON pv.id = deg.id
+"""
+
+
 def _cocite_oracle_sql(key: str, item: str) -> str:
     """Shared-key pair counts with the hub cap, deterministic top-k."""
     return f"""
@@ -3424,6 +3501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_spam_mass3": q_graph_spam_mass3,
         "emb_gram": q_emb_gram,
         "text_lm_score": q_text_lm_score,
+        "graph_linkpred": q_graph_linkpred,
+        "graph_local_cc": q_graph_local_cc,
     }
 
 
@@ -3479,6 +3558,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_closeness2": _closeness2_oracle_sql(),
         "graph_cocitation": _cocite_oracle_sql("src", "dst"),
         "graph_coupling": _cocite_oracle_sql("dst", "src"),
+        "graph_linkpred": _linkpred_oracle_sql(),
+        "graph_local_cc": _local_cc_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "salsa",
                  "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
-                 "closeness", "bowtie", "betweenness"):
+                 "closeness", "bowtie", "betweenness", "linkpred", "localcc"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -143,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--sample-mod", type=int, default=100,
                            help="sources = vertices with id %% mod == 0")
             p.add_argument("--top", type=int, default=5)
+        if name == "linkpred":
+            p.add_argument("--k", type=int, default=20)
+            p.add_argument("--min-common", type=int, default=2)
+            p.add_argument("--cap", type=int, default=256,
+                           help="drop wedge centers above this degree")
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -691,6 +696,48 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "stats", "reciprocity": row["reciprocity"],
             "assortativity": row["assortativity"],
             "clustering": row["clustering"], **info,
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "linkpred":
+        from efficient_graph_algorithms_spark.operators.linkpred import (
+            link_prediction_topk)
+
+        out, info = link_prediction_topk(edges, k=args.k,
+                                         min_common=args.min_common,
+                                         degree_cap=args.cap)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        rows = sorted(
+            ((r["a"], r["b"], r["n_common"], r["aa"], r["jaccard"])
+             for r in out.collect()),
+            key=lambda r: (-r[3], r[0], r[1]))
+        print(json.dumps({
+            "cmd": "linkpred", "k": args.k, "cap": args.cap,
+            "n_capped_centers": info["n_capped_centers"],
+            "predictions": [{"a": a, "b": b, "n_common": n, "aa": aa,
+                             "jaccard": j} for a, b, n, aa, j in rows],
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.cmd == "localcc":
+        from efficient_graph_algorithms_spark.operators.linkpred import (
+            local_clustering)
+
+        out = local_clustering(edges)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.avg("lcc").alias("mean_lcc"),
+                      F.sum("triangles").alias("tri3")).first()
+        print(json.dumps({
+            "cmd": "localcc", "n_vertices": agg["n"],
+            "mean_lcc": round(agg["mean_lcc"], 9),
+            "triangle_memberships": agg["tri3"],
             "sec": round(time.time() - t0, 2),
         }))
         return 0

@@ -108,4 +108,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "text_boilerplate", "text_dup_spans",
                        "graph_salsa2", "dedup_verdicts",
                        "graph_spam_mass3", "emb_gram",
-                       "text_lm_score"}, outside
+                       "text_lm_score", "graph_linkpred",
+                       "graph_local_cc"}, outside
