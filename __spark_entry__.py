@@ -842,6 +842,95 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+BM25_TERMS = ("join", "spark", "window")
+BM25_K = 25
+
+
+def q_text_bm25(spark, sf_dir):
+    """Top-25 documents by BM25 score for a fixed 3-term keyword query
+    (Robertson–Zaragoza / Lucene-default scoring; query-term pushdown
+    at scan stage); total order (score desc, doc_id)."""
+    from efficient_graph_algorithms_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), list(BM25_TERMS), k=BM25_K
+    )
+
+
+def q_text_nb_quality(spark, sf_dir):
+    """Multinomial Naive Bayes quality scoring (the GPT-3-style corpus
+    classifier face): train on doc_id < 250 with label = (lang = 'en'),
+    score EVERY document; (doc_id, n_tokens, llr, pred)."""
+    from efficient_graph_algorithms_spark.operators.classifier import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") < 250).select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return nb_classify(labeled, docs.select("doc_id", "text"))
+
+
+_TOKENS_SQL = (
+    "SELECT doc_id, unnest(string_split("
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w "
+    "FROM documents"
+)
+
+
+def _bm25_oracle_sql() -> str:
+    """Same scalar arithmetic and association order as the operator."""
+    terms = ", ".join(f"('{t}')" for t in sorted(BM25_TERMS))
+    return f"""
+WITH tk AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE w <> ''),
+dl AS (SELECT d.doc_id, count(tk.w) AS dl
+       FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+       GROUP BY d.doc_id),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+q(w) AS (VALUES {terms}),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tk
+       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
+dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+sc AS (SELECT tf.doc_id,
+              ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+              * (tf.tf * (1.2 + 1.0))
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+       FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, count(*) AS n_terms, round(sum(s), 6) AS score
+FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
+def _nb_quality_oracle_sql() -> str:
+    """Same add-1 multinomial NB arithmetic as the operator."""
+    return f"""
+WITH tk AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE w <> ''),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE doc_id < 250),
+ttk AS (SELECT tk.doc_id, tk.w, lab.y FROM tk JOIN lab USING (doc_id)),
+cnt AS (SELECT w,
+               sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+        FROM ttk GROUP BY w),
+st AS (SELECT sum(c0)::DOUBLE AS tot0, sum(c1)::DOUBLE AS tot1,
+              count(*)::DOUBLE AS v FROM cnt),
+pri AS (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+               sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1
+        FROM lab),
+pt AS (SELECT tk.doc_id,
+              ln((coalesce(cnt.c1, 0) + 1.0) / (st.tot1 + 1.0 * st.v))
+              - ln((coalesce(cnt.c0, 0) + 1.0) / (st.tot0 + 1.0 * st.v)) AS d
+       FROM tk LEFT JOIN cnt USING (w) CROSS JOIN st),
+pd AS (SELECT doc_id, count(*) AS n_tokens, sum(d) AS s FROM pt GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(pd.s, 0.0) + ln(pri.n1 / pri.n0), 6) AS llr,
+       CASE WHEN round(coalesce(pd.s, 0.0) + ln(pri.n1 / pri.n0), 6) > 0
+            THEN 1 ELSE 0 END AS pred
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id CROSS JOIN pri
+"""
+
+
 def _cocite_oracle_sql(key: str, item: str) -> str:
     """Shared-key pair counts with the hub cap, deterministic top-k."""
     return f"""
@@ -3503,6 +3592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "graph_linkpred": q_graph_linkpred,
         "graph_local_cc": q_graph_local_cc,
+        "text_bm25": q_text_bm25,
+        "text_nb_quality": q_text_nb_quality,
     }
 
 
@@ -3560,6 +3651,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_coupling": _cocite_oracle_sql("dst", "src"),
         "graph_linkpred": _linkpred_oracle_sql(),
         "graph_local_cc": _local_cc_oracle_sql(),
+        "text_bm25": _bm25_oracle_sql(),
+        "text_nb_quality": _nb_quality_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -226,6 +226,20 @@ def main(argv: list[str] | None = None) -> int:
     lm.add_argument("--k", type=float, default=0.1)
     lm.add_argument("--out")
 
+    bm = sub.add_parser("bm25")
+    bm.add_argument("--docs", required=True)
+    bm.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    bm.add_argument("--k", type=int, default=20)
+    bm.add_argument("--out")
+
+    nb = sub.add_parser("nbscore")
+    nb.add_argument("--docs", required=True)
+    nb.add_argument("--labeled", required=True,
+                    help="parquet with (doc_id, text, label 0/1)")
+    nb.add_argument("--alpha", type=float, default=1.0)
+    nb.add_argument("--out")
+
     pc = sub.add_parser("pca")
     pc.add_argument("--embeddings", required=True)
     pc.add_argument("--k", type=int, default=8)
@@ -474,6 +488,46 @@ def main(argv: list[str] | None = None) -> int:
                           "avg_ppl": round(float(agg["avg"] or 0), 2),
                           "median_ppl": round(float(agg["med"] or 0), 2),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "bm25":
+        from efficient_graph_algorithms_spark.operators.bm25 import bm25_topk
+
+        docs = spark.read.parquet(args.docs)
+        terms = [t for t in args.terms.split(",") if t.strip()]
+        out = bm25_topk(docs, terms, k=args.k)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        rows = sorted(((r["doc_id"], r["n_terms"], r["score"])
+                       for r in out.collect()),
+                      key=lambda r: (-r[2], r[0]))
+        print(json.dumps({
+            "cmd": "bm25", "terms": sorted({t.lower() for t in terms}),
+            "k": args.k,
+            "top": [{"doc_id": d, "n_terms": n, "score": s}
+                    for d, n, s in rows],
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "nbscore":
+        from efficient_graph_algorithms_spark.operators.classifier import (
+            nb_classify)
+
+        docs = spark.read.parquet(args.docs)
+        labeled = spark.read.parquet(args.labeled)
+        out = nb_classify(labeled, docs, alpha=args.alpha)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(F.count("*").alias("n"),
+                      F.sum("pred").alias("n_pos"),
+                      F.avg("llr").alias("avg_llr")).first()
+        print(json.dumps({
+            "cmd": "nbscore", "alpha": args.alpha,
+            "docs_scored": int(agg["n"]), "n_positive": int(agg["n_pos"]),
+            "avg_llr": round(float(agg["avg_llr"] or 0), 6),
+            "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "pca":
