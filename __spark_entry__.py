@@ -842,6 +842,68 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+def q_graph_mis2(spark, sf_dir):
+    """Luby/greedy-permutation maximal independent set, 2 synchronous
+    rounds (the kcore3 fixed-unroll pattern): per-vertex class
+    ('mis'/'out'/'live') + decision round, priorities = the portable
+    60-bit md5 hash so the SQL oracle reproduces them bit-exactly."""
+    import warnings as _w
+
+    from efficient_graph_algorithms_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # 2 rounds is a deliberate partial run
+        out, _ = maximal_independent_set(
+            spark, _graph_edges(spark, sf_dir), max_rounds=2
+        )
+    return out
+
+
+def _mis2_oracle_sql() -> str:
+    """Two unrolled Luby rounds; (p, id) struct minima mirror the
+    operator's total order, DuckDB struct comparison is lexicographic
+    like Spark's."""
+    pr_expr = "('0x' || substr(md5('mis:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+WITH e AS ({_E_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        WHERE src <> dst),
+v AS (SELECT DISTINCT src AS id FROM sym),
+pr AS (SELECT id, {pr_expr} AS p FROM v),
+mn1 AS (SELECT s.src AS id, min(struct_pack(p := q.p, i := s.dst)) AS mn
+        FROM sym s JOIN pr q ON q.id = s.dst GROUP BY s.src),
+w1 AS (SELECT pr.id FROM pr LEFT JOIN mn1 USING (id)
+       WHERE mn1.mn IS NULL OR struct_pack(p := pr.p, i := pr.id) < mn1.mn),
+r1 AS (SELECT DISTINCT s.dst AS id FROM sym s
+       WHERE s.src IN (SELECT id FROM w1)),
+live1 AS (SELECT id FROM v WHERE id NOT IN (SELECT id FROM w1)
+                             AND id NOT IN (SELECT id FROM r1)),
+e1 AS (SELECT * FROM sym WHERE src IN (SELECT id FROM live1)
+                           AND dst IN (SELECT id FROM live1)),
+mn2 AS (SELECT s.src AS id, min(struct_pack(p := q.p, i := s.dst)) AS mn
+        FROM e1 s JOIN pr q ON q.id = s.dst GROUP BY s.src),
+w2 AS (SELECT l.id FROM live1 l JOIN pr USING (id) LEFT JOIN mn2 USING (id)
+       WHERE mn2.mn IS NULL OR struct_pack(p := pr.p, i := l.id) < mn2.mn),
+r2 AS (SELECT DISTINCT s.dst AS id FROM e1 s
+       WHERE s.src IN (SELECT id FROM w2))
+SELECT v.id,
+       CASE WHEN v.id IN (SELECT id FROM w1) THEN 'mis'
+            WHEN v.id IN (SELECT id FROM r1) THEN 'out'
+            WHEN v.id IN (SELECT id FROM w2) THEN 'mis'
+            WHEN v.id IN (SELECT id FROM r2) THEN 'out'
+            ELSE 'live' END AS cls,
+       CASE WHEN v.id IN (SELECT id FROM w1) OR v.id IN (SELECT id FROM r1)
+            THEN 1
+            WHEN v.id IN (SELECT id FROM w2) OR v.id IN (SELECT id FROM r2)
+            THEN 2
+            ELSE 0 END AS round
+FROM v
+"""
+
+
 BM25_TERMS = ("join", "spark", "window")
 BM25_K = 25
 
@@ -3594,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_cc": q_graph_local_cc,
         "text_bm25": q_text_bm25,
         "text_nb_quality": q_text_nb_quality,
+        "graph_mis2": q_graph_mis2,
     }
 
 
@@ -3653,6 +3716,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_local_cc": _local_cc_oracle_sql(),
         "text_bm25": _bm25_oracle_sql(),
         "text_nb_quality": _nb_quality_oracle_sql(),
+        "graph_mis2": _mis2_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     for name in ("pagerank", "components", "lpa", "triangles", "hits", "salsa",
                  "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
-                 "closeness", "bowtie", "betweenness", "linkpred", "localcc"):
+                 "closeness", "bowtie", "betweenness", "linkpred", "localcc",
+                 "mis"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -148,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--min-common", type=int, default=2)
             p.add_argument("--cap", type=int, default=256,
                            help="drop wedge centers above this degree")
+        if name == "mis":
+            p.add_argument("--max-rounds", type=int, default=100)
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -794,6 +797,25 @@ def main(argv: list[str] | None = None) -> int:
             "triangle_memberships": agg["tri3"],
             "sec": round(time.time() - t0, 2),
         }))
+        return 0
+
+    if args.cmd == "mis":
+        from efficient_graph_algorithms_spark.operators.mis import (
+            maximal_independent_set)
+
+        out, info = maximal_independent_set(spark, edges, vertices=vertices,
+                                            max_rounds=args.max_rounds)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.groupBy("cls").count().collect()
+        sizes = {r["cls"]: r["count"] for r in agg}
+        print(json.dumps({
+            "cmd": "mis", "rounds": info["rounds"],
+            "converged": info["converged"],
+            "mis_size": sizes.get("mis", 0), "removed": sizes.get("out", 0),
+            "live": sizes.get("live", 0),
+            "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "cocite":
