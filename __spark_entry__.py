@@ -842,6 +842,43 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+def q_graph_harmonic2(spark, sf_dir):
+    """Truncated harmonic centrality (Boldi–Vigna 2014's preferred
+    centrality for web graphs) from the graph_anf2/closeness2 sampled
+    sources at radius 2: exact sum of 1/d over the truncated ball —
+    the exact face of the sketch-mode harmonic estimate."""
+    from efficient_graph_algorithms_spark.operators.anf import truncated_closeness
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = _vertices(e).where(F.col("id") % ANF_SEED_MOD == 0)
+    res, _ = truncated_closeness(
+        spark, e, max_radius=ANF_SQL_RADIUS, sources=seeds, with_harmonic=True
+    )
+    return res.select("id", "n_reached", "harmonic")
+
+
+def _harmonic2_oracle_sql() -> str:
+    """Same 2-hop first-hit sets as the closeness2 oracle; harmonic =
+    n1/1 + n2/2 (exact binary halves, so round-6 parity is exact)."""
+    return f"""
+WITH e AS ({_E_SQL}),
+sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+seeds AS (SELECT DISTINCT src AS id FROM sym WHERE src % {ANF_SEED_MOD} = 0),
+d1 AS (SELECT DISTINCT s.id, y.dst AS m FROM seeds s JOIN sym y ON y.src = s.id
+       WHERE y.dst <> s.id),
+d2 AS (SELECT DISTINCT d.id, y.dst AS m FROM d1 d JOIN sym y ON y.src = d.m
+       WHERE y.dst <> d.id
+       AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.id = d.id AND p.m = y.dst)),
+cnt AS (SELECT s.id,
+        (SELECT count(*) FROM d1 WHERE d1.id = s.id) AS n1,
+        (SELECT count(*) FROM d2 WHERE d2.id = s.id) AS n2
+        FROM seeds s)
+SELECT id, (n1 + n2)::BIGINT AS n_reached,
+       round(n1 + 0.5 * n2, 6) AS harmonic
+FROM cnt
+"""
+
+
 def q_graph_mis2(spark, sf_dir):
     """Luby/greedy-permutation maximal independent set, 2 synchronous
     rounds (the kcore3 fixed-unroll pattern): per-vertex class
@@ -3657,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "text_nb_quality": q_text_nb_quality,
         "graph_mis2": q_graph_mis2,
+        "graph_harmonic2": q_graph_harmonic2,
     }
 
 
@@ -3717,6 +3755,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_bm25": _bm25_oracle_sql(),
         "text_nb_quality": _nb_quality_oracle_sql(),
         "graph_mis2": _mis2_oracle_sql(),
+        "graph_harmonic2": _harmonic2_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

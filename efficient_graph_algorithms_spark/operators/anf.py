@@ -262,6 +262,7 @@ def truncated_closeness(
     sources: DataFrame | None = None,
     directed: bool = False,
     num_partitions: int | None = None,
+    with_harmonic: bool = False,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Exact truncated closeness centrality for selected sources.
 
@@ -269,6 +270,12 @@ def truncated_closeness(
     targets v with 0 < d(id, v) <= max_radius:
         n_reached = count(v),  sum_dist = sum d(id, v),
         closeness = round(n_reached / sum_dist, 6)   (0.0 if no reach).
+
+    ``with_harmonic=True`` appends harmonic = round(sum 1/d(id, v), 6)
+    over the same truncated ball — the exact (sampled, truncated) face
+    of the harmonic centrality the HLL sketch estimates in
+    ``neighborhood_function(mode='sketch')``. Kept opt-in so existing
+    consumers' schemas are unchanged.
 
     Level-synchronous multi-source BFS carrying FIRST-HIT distances:
     state (id, m, d) grows one frontier per round — each round is one
@@ -328,21 +335,27 @@ def truncated_closeness(
             .agg(
                 F.count(F.lit(1)).alias("n_reached"),
                 F.sum("d").cast("long").alias("sum_dist"),
+                F.sum(F.lit(1.0) / F.col("d")).alias("_h"),
             )
         )
+        cols = [
+            F.col("id"),
+            F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias("sum_dist"),
+            F.when(
+                F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
+                F.round(F.col("n_reached") / F.col("sum_dist"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        ]
+        if with_harmonic:
+            cols.append(
+                F.round(F.coalesce(F.col("_h"), F.lit(0.0)), 6).alias("harmonic")
+            )
         out = (
             src_ids.join(agg, "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
-                F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias("sum_dist"),
-                F.when(
-                    F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
-                    F.round(F.col("n_reached") / F.col("sum_dist"), 6),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("closeness"),
-            )
+            .select(*cols)
             .localCheckpoint(eager=True)  # pin before the cut dir drops
         )
     e.unpersist()

@@ -167,6 +167,22 @@ def test_truncated_closeness_sources_and_directed(spark):
     assert got == {0: (2, 3, round(2 / 3, 6)), 3: (0, 0, 0.0)}
 
 
+def test_truncated_closeness_harmonic_face(spark):
+    from efficient_graph_algorithms_spark.operators.anf import truncated_closeness
+
+    edges, pairs = _random_edges(spark, n=70, m=220, seed=19)
+    res, _ = truncated_closeness(spark, edges, max_radius=3, with_harmonic=True)
+    want = _bfs_distances(pairs, 3)
+    got = {r.id: (r.n_reached, r.harmonic) for r in res.collect()}
+    assert set(got) == set(want)
+    for v, dd in want.items():
+        h = round(sum(1.0 / d for d in dd.values()), 6)
+        assert got[v] == (len(dd), h), v
+    # default schema unchanged (opt-in column)
+    res2, _ = truncated_closeness(spark, edges, max_radius=2)
+    assert res2.columns == ["id", "n_reached", "sum_dist", "closeness"]
+
+
 def test_max_radius_must_be_positive(spark):
     import pytest
 

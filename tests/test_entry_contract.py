@@ -110,4 +110,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_spam_mass3", "emb_gram",
                        "text_lm_score", "graph_linkpred",
                        "graph_local_cc", "text_bm25",
-                       "text_nb_quality", "graph_mis2"}, outside
+                       "text_nb_quality", "graph_mis2",
+                       "graph_harmonic2"}, outside
