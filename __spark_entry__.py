@@ -842,6 +842,35 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+def q_graph_powerlaw(spark, sf_dir):
+    """Degree-distribution power-law exponent (Hill / CSN continuous
+    MLE) of the undirected simple graph at xmin=2 — the web-crawl
+    characterization number next to the Broder bowtie."""
+    from efficient_graph_algorithms_spark.operators.webstats import (
+        degree_powerlaw,
+    )
+
+    return degree_powerlaw(_graph_edges(spark, sf_dir), xmin=2)
+
+
+def _powerlaw_oracle_sql() -> str:
+    """Same tail filter and MLE arithmetic; zero log-sum (degree-
+    constant tail) and empty tail both yield NULL alpha, as the
+    operator's try_divide does."""
+    return f"""
+WITH e AS ({_E_SQL}),
+und AS ({_UND_SQL}),
+adj AS (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und),
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+tail AS (SELECT deg FROM deg WHERE deg >= 2)
+SELECT CAST(2 AS BIGINT) AS xmin, count(*)::BIGINT AS n_tail,
+       round(1.0 + CASE WHEN sum(ln(deg / 2.0)) > 0
+                        THEN count(*)::DOUBLE / sum(ln(deg / 2.0)) END,
+             6) AS alpha
+FROM tail
+"""
+
+
 def q_graph_harmonic2(spark, sf_dir):
     """Truncated harmonic centrality (Boldi–Vigna 2014's preferred
     centrality for web graphs) from the graph_anf2/closeness2 sampled
@@ -3695,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_quality": q_text_nb_quality,
         "graph_mis2": q_graph_mis2,
         "graph_harmonic2": q_graph_harmonic2,
+        "graph_powerlaw": q_graph_powerlaw,
     }
 
 
@@ -3756,6 +3786,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_nb_quality": _nb_quality_oracle_sql(),
         "graph_mis2": _mis2_oracle_sql(),
         "graph_harmonic2": _harmonic2_oracle_sql(),
+        "graph_powerlaw": _powerlaw_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -122,3 +122,42 @@ def web_stats(
         "wedges": wedges,
     }
     return stats, info
+
+
+def degree_powerlaw(
+    edges: DataFrame, xmin: int = 2, decimals: int = 6
+) -> DataFrame:
+    """Continuous-MLE power-law exponent of the undirected degree
+    distribution (the Hill estimator; Clauset–Shalizi–Newman 2009's
+    alpha-hat) over the tail deg >= xmin:
+
+        alpha = 1 + n_tail / sum over tail of ln(deg / xmin)
+
+    — the number every web-crawl characterization reports next to the
+    Broder bowtie. Returns ONE row (xmin, n_tail, alpha), alpha NULL
+    when the tail is empty or degree-constant at xmin (zero log-sum).
+    Plan: the degree aggregate plus one single-row aggregate — two
+    map-side-combining shuffles, nothing driver-side.
+    """
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    und = simple_undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tail = deg.where(F.col("deg") >= xmin)
+    return tail.agg(
+        F.lit(xmin).cast("long").alias("xmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.expr(
+                f"try_divide(CAST(count(1) AS DOUBLE), "
+                f"sum(ln(deg / CAST({xmin} AS DOUBLE))))"
+            ),
+            decimals,
+        ).alias("alpha"),
+    )

@@ -742,17 +742,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "stats":
-        from efficient_graph_algorithms_spark.operators.webstats import web_stats
+        from efficient_graph_algorithms_spark.operators.webstats import (
+            degree_powerlaw, web_stats)
 
         stats, info = web_stats(spark, edges)
         if args.out:
             stats.write.mode("overwrite").parquet(args.out)
             stats = spark.read.parquet(args.out)
         row = stats.first()
+        pl = degree_powerlaw(edges, xmin=2).first()
         print(json.dumps({
             "cmd": "stats", "reciprocity": row["reciprocity"],
             "assortativity": row["assortativity"],
             "clustering": row["clustering"], **info,
+            "powerlaw_alpha": pl["alpha"], "powerlaw_tail": pl["n_tail"],
             "sec": round(time.time() - t0, 2),
         }))
         return 0

@@ -69,3 +69,51 @@ def test_wedge_free_graph_null_clustering(spark):
     r = stats.first()
     assert info["wedges"] == 0 and r.clustering is None
     assert r.reciprocity == 0.0
+
+
+def test_degree_powerlaw_matches_numpy(spark):
+    import math
+
+    from efficient_graph_algorithms_spark.operators.webstats import (
+        degree_powerlaw,
+    )
+
+    rng = np.random.default_rng(5)
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 70, 300), rng.integers(0, 70, 300))
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    degs = [len(v) for v in adj.values()]
+    for xmin in (2, 4):
+        tail = [d for d in degs if d >= xmin]
+        alpha = round(1.0 + len(tail) / sum(math.log(d / xmin) for d in tail), 6)
+        row = degree_powerlaw(edges, xmin=xmin).first()
+        assert (row["xmin"], row["n_tail"], row["alpha"]) == (xmin, len(tail), alpha)
+
+
+def test_degree_powerlaw_degenerate_tails(spark):
+    from efficient_graph_algorithms_spark.operators.webstats import (
+        degree_powerlaw,
+    )
+
+    # star: center degree 3, leaves degree 1
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    # all tail degrees equal xmin -> zero log-sum -> NULL alpha
+    row = degree_powerlaw(edges, xmin=3).first()
+    assert (row["n_tail"], row["alpha"]) == (1, None)
+    # empty tail -> NULL alpha
+    row = degree_powerlaw(edges, xmin=10).first()
+    assert (row["n_tail"], row["alpha"]) == (0, None)
+    try:
+        degree_powerlaw(edges, xmin=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
