@@ -842,6 +842,53 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+def q_graph_diff(spark, sf_dir):
+    """Crawl-snapshot diff (the Common Crawl monthly-delta question):
+    per-vertex added/removed in/out edge counts between the standard
+    lineitem part-edge graph and a second synthetic snapshot built
+    from l_suppkey — same CTEs in both engines."""
+    from efficient_graph_algorithms_spark.operators.snapshot import snapshot_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    new = (
+        li.select(
+            (F.col("l_orderkey") % GRAPH_V).cast("long").alias("src"),
+            (F.col("l_suppkey") % GRAPH_V).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    _, vertex_diff = snapshot_diff(_graph_edges(spark, sf_dir), new)
+    return vertex_diff
+
+
+_E_NEW_SQL = (
+    f"SELECT DISTINCT CAST(l_orderkey % {GRAPH_V} AS BIGINT) AS src, "
+    f"CAST(l_suppkey % {GRAPH_V} AS BIGINT) AS dst FROM lineitem "
+    f"WHERE l_orderkey % {GRAPH_V} <> l_suppkey % {GRAPH_V}"
+)
+
+
+def _graph_diff_oracle_sql() -> str:
+    """Set-difference edge deltas folded into one per-vertex aggregate."""
+    return f"""
+WITH old AS ({_E_SQL}),
+new AS ({_E_NEW_SQL}),
+added AS (SELECT n.src, n.dst FROM new n LEFT JOIN old o
+          ON o.src = n.src AND o.dst = n.dst WHERE o.src IS NULL),
+removed AS (SELECT o.src, o.dst FROM old o LEFT JOIN new n
+            ON n.src = o.src AND n.dst = o.dst WHERE n.src IS NULL),
+contrib AS (
+  SELECT src AS id, 1 AS oa, 0 AS orr, 0 AS ia, 0 AS ir FROM added
+  UNION ALL SELECT dst, 0, 0, 1, 0 FROM added
+  UNION ALL SELECT src, 0, 1, 0, 0 FROM removed
+  UNION ALL SELECT dst, 0, 0, 0, 1 FROM removed)
+SELECT id, sum(oa)::BIGINT AS out_added, sum(orr)::BIGINT AS out_removed,
+       sum(ia)::BIGINT AS in_added, sum(ir)::BIGINT AS in_removed
+FROM contrib GROUP BY id
+"""
+
+
 def q_graph_powerlaw(spark, sf_dir):
     """Degree-distribution power-law exponent (Hill / CSN continuous
     MLE) of the undirected simple graph at xmin=2 — the web-crawl
@@ -3725,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis2": q_graph_mis2,
         "graph_harmonic2": q_graph_harmonic2,
         "graph_powerlaw": q_graph_powerlaw,
+        "graph_diff": q_graph_diff,
     }
 
 
@@ -3787,6 +3835,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_mis2": _mis2_oracle_sql(),
         "graph_harmonic2": _harmonic2_oracle_sql(),
         "graph_powerlaw": _powerlaw_oracle_sql(),
+        "graph_diff": _graph_diff_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

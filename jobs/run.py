@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
                  "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
                  "closeness", "bowtie", "betweenness", "linkpred", "localcc",
-                 "mis"):
+                 "mis", "diff"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -151,6 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                            help="drop wedge centers above this degree")
         if name == "mis":
             p.add_argument("--max-rounds", type=int, default=100)
+        if name == "diff":
+            p.add_argument("--graph-new", required=True,
+                           help="second snapshot graph dir to diff against")
 
     d = sub.add_parser("dedup")
     d.add_argument("--docs", required=True)
@@ -800,6 +803,21 @@ def main(argv: list[str] | None = None) -> int:
             "triangle_memberships": agg["tri3"],
             "sec": round(time.time() - t0, 2),
         }))
+        return 0
+
+    if args.cmd == "diff":
+        from efficient_graph_algorithms_spark.operators.snapshot import (
+            snapshot_diff, snapshot_diff_summary)
+
+        edges_new = spark.read.parquet(f"{args.graph_new}/edges")
+        _, vertex_diff = snapshot_diff(edges, edges_new)
+        if args.out:
+            vertex_diff.write.mode("overwrite").parquet(args.out)
+        summary = snapshot_diff_summary(edges, edges_new)
+        n_touched = vertex_diff.count()
+        print(json.dumps({
+            "cmd": "diff", **summary, "vertices_touched": n_touched,
+            "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "mis":

@@ -111,4 +111,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "text_lm_score", "graph_linkpred",
                        "graph_local_cc", "text_bm25",
                        "text_nb_quality", "graph_mis2",
-                       "graph_harmonic2", "graph_powerlaw"}, outside
+                       "graph_harmonic2", "graph_powerlaw",
+                       "graph_diff"}, outside
