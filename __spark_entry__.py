@@ -842,6 +842,40 @@ FROM deg LEFT JOIN pv ON pv.id = deg.id
 """
 
 
+def q_emb_quantize(spark, sf_dir):
+    """Int8 absmax scalar quantization of the embedding column
+    (Faiss-SQ8-style): per-vector exact code checksum + reconstruction
+    MSE — the codes themselves are parity-checked, not just stats."""
+    from efficient_graph_algorithms_spark.operators.quantize import (
+        quantization_report,
+    )
+
+    return quantization_report(_t(spark, sf_dir, "embeddings"))
+
+
+def _emb_quantize_oracle_sql() -> str:
+    """Same absmax scales, same round-half-away codes (verified to
+    match Spark's round), same reconstruction arithmetic."""
+    return """
+WITH x AS (
+  SELECT vec_id, r.i AS i, embedding[r.i]::DOUBLE AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding)))) r(i)
+),
+sc AS (SELECT i, max(abs(v)) AS s FROM x GROUP BY i),
+c AS (SELECT x.vec_id, x.i, x.v, sc.s,
+             CASE WHEN sc.s > 0 THEN round(x.v / sc.s * 127.0) ELSE 0.0 END
+             AS code
+      FROM x JOIN sc USING (i)),
+r AS (SELECT vec_id, code,
+             CASE WHEN s > 0 THEN code * s / 127.0 ELSE 0.0 END AS recon, v
+      FROM c)
+SELECT vec_id, sum(code)::BIGINT AS code_sum,
+       round(sum((v - recon) * (v - recon)) / count(*), 6) AS mse
+FROM r GROUP BY vec_id
+"""
+
+
 def q_graph_diff(spark, sf_dir):
     """Crawl-snapshot diff (the Common Crawl monthly-delta question):
     per-vertex added/removed in/out edge counts between the standard
@@ -3773,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic2": q_graph_harmonic2,
         "graph_powerlaw": q_graph_powerlaw,
         "graph_diff": q_graph_diff,
+        "emb_quantize": q_emb_quantize,
     }
 
 
@@ -3836,6 +3871,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_harmonic2": _harmonic2_oracle_sql(),
         "graph_powerlaw": _powerlaw_oracle_sql(),
         "graph_diff": _graph_diff_oracle_sql(),
+        "emb_quantize": _emb_quantize_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -246,6 +246,10 @@ def main(argv: list[str] | None = None) -> int:
     nb.add_argument("--alpha", type=float, default=1.0)
     nb.add_argument("--out")
 
+    qz = sub.add_parser("quantize")
+    qz.add_argument("--embeddings", required=True)
+    qz.add_argument("--out", help="write (id, codes array<int>) parquet")
+
     pc = sub.add_parser("pca")
     pc.add_argument("--embeddings", required=True)
     pc.add_argument("--k", type=int, default=8)
@@ -533,6 +537,28 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "nbscore", "alpha": args.alpha,
             "docs_scored": int(agg["n"]), "n_positive": int(agg["n_pos"]),
             "avg_llr": round(float(agg["avg_llr"] or 0), 6),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "quantize":
+        from efficient_graph_algorithms_spark.operators.quantize import (
+            collect_scales, encode_int8, fit_absmax_scales,
+            quantization_report)
+
+        emb = spark.read.parquet(args.embeddings)
+        svec = collect_scales(fit_absmax_scales(emb))
+        if args.out:
+            encode_int8(emb, svec).write.mode("overwrite").parquet(args.out)
+        # decimals=12: CLI wants resolution; the driver query keeps the
+        # cross-engine round-6 contract
+        agg = quantization_report(emb, svec, decimals=12).agg(
+            F.count("*").alias("n"), F.avg("mse").alias("avg_mse"),
+            F.max("mse").alias("max_mse")).first()
+        print(json.dumps({
+            "cmd": "quantize", "dims": len(svec),
+            "vectors": int(agg["n"]),
+            "avg_mse": round(float(agg["avg_mse"] or 0), 8),
+            "max_mse": round(float(agg["max_mse"] or 0), 8),
             "sec": round(time.time() - t0, 2)}))
         return 0
 

@@ -112,4 +112,4 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_local_cc", "text_bm25",
                        "text_nb_quality", "graph_mis2",
                        "graph_harmonic2", "graph_powerlaw",
-                       "graph_diff"}, outside
+                       "graph_diff", "emb_quantize"}, outside
