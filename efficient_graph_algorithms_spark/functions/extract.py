@@ -22,12 +22,15 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
 _P_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.S | re.I)
 _A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S | re.I)
 _HREF_RE = re.compile(r"""<a\b[^>]*?href\s*=\s*["']([^"']+)["']""", re.S | re.I)
+_ANCHOR_PAIR_RE = re.compile(
+    r"""<a\b[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>""", re.S | re.I
+)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
 
@@ -97,6 +100,28 @@ def extract_hrefs(html: bytes | str, base_url: str | None = None) -> list[str]:
     return out
 
 
+def extract_anchor_pairs(
+    html: bytes | str, base_url: str | None = None
+) -> list[tuple[str, str]]:
+    """(normalized href, cleaned anchor text) pairs in document order —
+    the anchor-text signal of web search/quality pipelines. Same href
+    strip/normalize rules as `extract_hrefs`; anchor text cleaned like
+    `extract_text`'s fragments (inner tags stripped, horizontal
+    whitespace collapsed) and may be ''."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_PAIR_RE.finditer(html):
+        href = m.group(1).strip()
+        if not href:
+            continue
+        if "://" not in href and base_url:
+            base = base_url.rsplit("/", 1)[0]
+            href = base + "/" + href.lstrip("/")
+        out.append((normalize_url(href), _clean(m.group(2))))
+    return out
+
+
 # --- Arrow-vectorized Spark UDFs (batch pandas in, batch pandas out) -------
 
 @F.pandas_udf(StringType())
@@ -107,6 +132,22 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_hrefs)
+
+
+@F.pandas_udf(
+    ArrayType(
+        StructType(
+            [
+                StructField("href", StringType()),
+                StructField("text", StringType()),
+            ]
+        )
+    )
+)
+def extract_anchor_pairs_udf(html: pd.Series) -> pd.Series:
+    return html.map(
+        lambda h: [{"href": a, "text": t} for a, t in extract_anchor_pairs(h)]
+    )
 
 
 # --- JVM-side href extraction (whole-stage-codegen hot path) ---------------
@@ -152,6 +193,50 @@ def _normalize_url_col(u):
     return F.when(
         u.endswith("/") & (n_slash > 3), F.regexp_replace(u, "/+$", "")
     ).otherwise(u)
+
+
+_ANCHOR_ELEM_SQL_PAT = (
+    r"""(?siU)<a\b[^>]*?href""" + _WS_CLS + r"""*=""" + _WS_CLS
+    + r"""*["']([^"']+)["'][^>]*>(.*?)</a>"""
+)
+# Python's _WS_RE is [ \t\r\f\v]+ where \v is U+000B only; Java's \v is
+# the whole VERTICAL-whitespace class, so spell it \x0B explicitly.
+_HORIZ_WS_SQL = r"[ \t\r\f\x0B]+"
+
+
+def extract_anchor_pairs_expr(html) -> "F.Column":
+    """array<struct<href,text>> — JVM mirror of `extract_anchor_pairs`
+    (no base_url, like extract_hrefs_expr): extract whole <a> elements
+    (group 0), then per element re-apply the same two-group pattern for
+    the href (strip + normalize) and the anchor text (inner tags → ' ',
+    horizontal whitespace collapsed, Python-strip ends). Empty-href
+    anchors are dropped; empty TEXT is kept, as the oracle does."""
+    s = F.decode(html, "UTF-8")
+    elems = F.regexp_extract_all(s, F.lit(_ANCHOR_ELEM_SQL_PAT), F.lit(0))
+    href_of = lambda e: F.regexp_replace(  # noqa: E731
+        F.regexp_extract(e, _ANCHOR_ELEM_SQL_PAT, 1), _STRIP_PAT, ""
+    )
+    text_of = lambda e: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(e, _ANCHOR_ELEM_SQL_PAT, 2),
+                r"<[^>]+>",
+                " ",
+            ),
+            _HORIZ_WS_SQL,
+            " ",
+        ),
+        _STRIP_PAT,
+        "",
+    )
+    kept = F.filter(elems, lambda e: href_of(e) != F.lit(""))
+    return F.transform(
+        kept,
+        lambda e: F.struct(
+            _normalize_url_col(href_of(e)).alias("href"),
+            text_of(e).alias("text"),
+        ),
+    )
 
 
 def extract_hrefs_expr(html) -> "F.Column":

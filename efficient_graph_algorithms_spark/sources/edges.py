@@ -84,6 +84,85 @@ def raw_link_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
     )
 
 
+def raw_anchor_pairs(pages: DataFrame, jvm: bool = True) -> DataFrame:
+    """(src_url, dst_url, anchor) triples straight from the html — the
+    anchor-text signal of web search/quality stacks (inlink anchor
+    terms describe the TARGET page).
+
+    jvm=True extracts whole <a> elements with one JVM regex, explodes,
+    then runs the href/text group extraction as row-level expressions
+    (the explode-before-normalize lesson of raw_link_pairs: HOF lambdas
+    are interpreted per element, exploded rows get codegen). jvm=False
+    is the Arrow pandas-UDF path wrapping the pure-Python oracle; a
+    pytest asserts both produce identical triples."""
+    from efficient_graph_algorithms_spark.functions.extract import (
+        _ANCHOR_ELEM_SQL_PAT,
+        _HORIZ_WS_SQL,
+        _STRIP_PAT,
+        _normalize_url_col,
+        extract_anchor_pairs_udf,
+    )
+
+    if not jvm:
+        pairs = extract_anchor_pairs_udf(F.col("html"))
+        return (
+            pages.select("url", F.explode(pairs).alias("p"))
+            .select(
+                F.col("url").alias("src_url"),
+                F.col("p.href").alias("dst_url"),
+                F.col("p.text").alias("anchor"),
+            )
+        )
+    elems = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit(_ANCHOR_ELEM_SQL_PAT), F.lit(0)
+    )
+    e = F.col("e")
+    href = F.regexp_replace(
+        F.regexp_extract(e, _ANCHOR_ELEM_SQL_PAT, 1), _STRIP_PAT, ""
+    )
+    text = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract(e, _ANCHOR_ELEM_SQL_PAT, 2), r"<[^>]+>", " "
+            ),
+            _HORIZ_WS_SQL,
+            " ",
+        ),
+        _STRIP_PAT,
+        "",
+    )
+    return (
+        pages.select("url", F.explode(elems).alias("e"))
+        .select("url", href.alias("h"), text.alias("anchor"))
+        .where(F.col("h") != "")
+        .select(
+            F.col("url").alias("src_url"),
+            _normalize_url_col(F.col("h")).alias("dst_url"),
+            "anchor",
+        )
+    )
+
+
+def anchor_term_counts(pages: DataFrame, jvm: bool = True) -> DataFrame:
+    """(dst_url, term, n): inlink anchor-term counts per target page —
+    the classic anchor-text index. Tokenization is the engine-wide
+    normalized_text + split convention; empty anchors contribute
+    nothing. One extraction scan + one map-side-combining groupBy."""
+    from efficient_graph_algorithms_spark.functions.text import normalized_text
+
+    pairs = raw_anchor_pairs(pages, jvm=jvm)
+    return (
+        pairs.where(F.col("anchor") != "")
+        .select(
+            "dst_url",
+            F.explode(F.split(normalized_text(F.col("anchor")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("dst_url", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) -> DataFrame:
     """Deterministic dense ids 0..N-1 by sorted url order, without a
     single-partition global window.

@@ -246,6 +246,11 @@ def main(argv: list[str] | None = None) -> int:
     nb.add_argument("--alpha", type=float, default=1.0)
     nb.add_argument("--out")
 
+    an = sub.add_parser("anchors")
+    an.add_argument("--pages", required=True)
+    an.add_argument("--top", type=int, default=10)
+    an.add_argument("--out", help="write (dst_url, term, n) parquet")
+
     qz = sub.add_parser("quantize")
     qz.add_argument("--embeddings", required=True)
     qz.add_argument("--out", help="write (id, codes array<int>) parquet")
@@ -537,6 +542,24 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "nbscore", "alpha": args.alpha,
             "docs_scored": int(agg["n"]), "n_positive": int(agg["n_pos"]),
             "avg_llr": round(float(agg["avg_llr"] or 0), 6),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "anchors":
+        from efficient_graph_algorithms_spark.sources.edges import (
+            anchor_term_counts)
+
+        pages = spark.read.parquet(args.pages)
+        out = anchor_term_counts(pages)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        top = (out.groupBy("term").agg(F.sum("n").alias("n"))
+               .orderBy(F.desc("n"), F.asc("term")).limit(args.top).collect())
+        n_pairs = out.count()
+        print(json.dumps({
+            "cmd": "anchors", "target_term_pairs": n_pairs,
+            "top_terms": [{"term": r["term"], "n": r["n"]} for r in top],
             "sec": round(time.time() - t0, 2)}))
         return 0
 
