@@ -36,6 +36,7 @@ PR_SQL_ITERS = 3
 # boundary is comfortable on both sides (delta_7 = 1.95e-6, delta_8 =
 # 3.05e-7 — each ~2-3x away from tol, far beyond float noise).
 PR_FULL_ITERS = 8
+WARM_PR_ITERS = 2  # unrolled warm-start steps in graph_pr_warm
 LPA_SQL_ITERS = 5
 MATCH_SQL_ROUNDS = 3
 MINHASH_K = 16
@@ -874,6 +875,137 @@ SELECT vec_id, sum(code)::BIGINT AS code_sum,
        round(sum((v - recon) * (v - recon)) / count(*), 6) AS mse
 FROM r GROUP BY vec_id
 """
+
+
+def q_text_anchors(spark, sf_dir):
+    """Inlink anchor-term index (the classic web-search anchor-text
+    signal; reference parity face of sources/edges.py:146). Html is
+    synthesized deterministically from the documents table — every doc
+    links to a derived target with a 40-char snippet of its own text as
+    the anchor, plus a fixed relative-href anchor — so the REAL JVM
+    extraction path (element regex → href normalize → anchor clean →
+    tokenize → count) is parity-checked end-to-end against a pure-SQL
+    reconstruction of the same synthesis."""
+    from efficient_graph_algorithms_spark.sources.edges import anchor_term_counts
+
+    d = _t(spark, sf_dir, "documents")
+    # snippet charset restricted to [a-zA-Z0-9 ] so the html stays
+    # well-formed and the oracle's tokenization is trivially identical
+    snippet = F.regexp_replace(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        "[^a-zA-Z0-9 ]",
+        " ",
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="http://site'),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit(".test/p/"),
+        ((F.col("doc_id") * 13 + 1) % 997).cast("string"),
+        F.lit('">'),
+        snippet,
+        F.lit('</a> <a href="/rel">Skip Me</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://d"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return anchor_term_counts(pages)
+
+
+def _text_anchors_oracle_sql() -> str:
+    """Mirrors the synthesis, then tokenizes the snippet the way the
+    extraction+normalized_text chain does (whitespace-only cleaning on
+    a [a-zA-Z0-9 ] snippet reduces to lower+trim+split)."""
+    return """
+WITH d AS (
+  SELECT 'http://site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+           || '.test/p/' || CAST((doc_id * 13 + 1) % 997 AS VARCHAR) AS dst_url,
+         regexp_replace(substr(coalesce(text, ''), 1, 40),
+                        '[^a-zA-Z0-9 ]', ' ', 'g') AS snippet
+  FROM documents
+),
+toks AS (
+  SELECT d.dst_url, t.term
+  FROM d, LATERAL unnest(string_split_regex(trim(lower(d.snippet)), ' +')) AS t(term)
+  WHERE trim(d.snippet) <> '' AND t.term <> ''
+)
+SELECT dst_url, term, count(*)::BIGINT AS n FROM toks GROUP BY dst_url, term
+UNION ALL
+SELECT '/rel', 'skip', count(*)::BIGINT FROM documents
+UNION ALL
+SELECT '/rel', 'me', count(*)::BIGINT FROM documents
+"""
+
+
+def q_graph_pr_warm(spark, sf_dir):
+    """Warm-start (incremental-crawl) PageRank through the REAL
+    operator: the previous crawl's rank vector — synthesized here as a
+    closed-form positive vector over the OLD graph's vertex set —
+    seeds the iteration on the NEW snapshot (the l_suppkey graph of
+    graph_diff). Exercises the full init_ranks path: partial vertex
+    overlap (new pages fall back to their teleport weight), vector
+    renormalization, then WARM_PR_ITERS exact update steps. The oracle
+    unrolls the identical arithmetic."""
+    from efficient_graph_algorithms_spark.operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    e_new = (
+        li.select(
+            (F.col("l_orderkey") % GRAPH_V).cast("long").alias("src"),
+            (F.col("l_suppkey") % GRAPH_V).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    warm = _vertices(_graph_edges(spark, sf_dir)).select(
+        "id", (((F.col("id") * 37 + 11) % 97) / 97.0 + 0.01).alias("rank")
+    )
+    ranks, info = pagerank(
+        spark,
+        e_new,
+        vertices=_vertices(e_new),
+        alpha=PR_ALPHA,
+        tol=0.0,  # never converges early: exactly WARM_PR_ITERS steps
+        max_iter=WARM_PR_ITERS,
+        init_ranks=warm,
+    )
+    assert info["warm_start"] and info["iterations"] == WARM_PR_ITERS
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _pr_warm_oracle_sql() -> str:
+    """Same synthesis: warm vector over the old vertex set; on the new
+    set, provided vertices get r/S and missing ones 1/n, all divided by
+    (1+Pm) — the operator's scale-invariant normalization — then the
+    standard unrolled damped update on the new snapshot's edges."""
+    lines = [
+        f"WITH e AS ({_E_NEW_SQL}),",
+        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM v),",
+        f"eold AS ({_E_SQL}),",
+        "vold AS (SELECT src AS id FROM eold UNION SELECT dst FROM eold),",
+        "w AS (SELECT id, ((id * 37 + 11) % 97) / 97.0 + 0.01 AS r FROM vold),",
+        "raw AS (SELECT v.id, w.r FROM v LEFT JOIN w ON v.id = w.id),",
+        "s AS (SELECT sum(coalesce(r, 0.0)) AS s,"
+        " sum(CASE WHEN r IS NULL THEN 1.0 / (SELECT n FROM n) ELSE 0.0 END) AS pm"
+        " FROM raw),",
+        "r0 AS (SELECT id, coalesce(r / (SELECT s FROM s), 1.0 / (SELECT n FROM n))"
+        " / (1.0 + (SELECT pm FROM s)) AS r FROM raw),",
+        "deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),",
+    ]
+    for i in range(1, WARM_PR_ITERS + 1):
+        p = i - 1
+        lines += [
+            f"dm{i} AS (SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r "
+            f"LEFT JOIN deg ON r.id = deg.src WHERE deg.src IS NULL),",
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r / deg.d) AS c FROM e "
+            f"JOIN deg ON e.src = deg.src JOIN r{p} r ON e.src = r.id GROUP BY e.dst),",
+            f"r{i} AS (SELECT v.id, {1.0 - PR_ALPHA}/(SELECT n FROM n) "
+            f"+ {PR_ALPHA}*(coalesce(c.c, 0.0) + (SELECT m FROM dm{i})/(SELECT n FROM n)) AS r "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id),",
+        ]
+    lines.append(f"fin AS (SELECT id, round(r, 9) AS rank FROM r{WARM_PR_ITERS})")
+    return "\n".join(lines) + "\nSELECT id, rank FROM fin"
 
 
 def q_graph_diff(spark, sf_dir):
@@ -3808,6 +3940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_powerlaw": q_graph_powerlaw,
         "graph_diff": q_graph_diff,
         "emb_quantize": q_emb_quantize,
+        "text_anchors": q_text_anchors,
+        "graph_pr_warm": q_graph_pr_warm,
     }
 
 
@@ -3823,6 +3957,7 @@ _MATERIALIZE_CHAINS = (
     "graph_pagerank_full",
     "graph_pagerank_3iter",
     "graph_ppr_3iter",
+    "graph_pr_warm",
     "graph_wpr3",
     "graph_hits",
     "graph_salsa2",
@@ -3872,6 +4007,8 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_powerlaw": _powerlaw_oracle_sql(),
         "graph_diff": _graph_diff_oracle_sql(),
         "emb_quantize": _emb_quantize_oracle_sql(),
+        "text_anchors": _text_anchors_oracle_sql(),
+        "graph_pr_warm": _pr_warm_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -167,7 +167,36 @@ def _pagerank_setup_inner(
     dm: float | None = None
     # single fused per-vertex state: (id, p, dangling, rank) — ONE
     # vertex-side join per iteration instead of separate pvec/ranks joins
-    state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
+    if "r0raw" in pvec.columns:
+        # warm start. Provided vertices keep their raw rank r_i; vertices
+        # absent from the warm vector (new pages) fall back to p_i scaled
+        # by the provided mass S — so the result is invariant to scaling
+        # the warm vector (rank_i = r_i/(S(1+Pm)) or p_i/(1+Pm), where
+        # Pm = Σ p over missing vertices; total is exactly 1). One scalar
+        # aggregate over the persisted vertex state — this action also
+        # materializes the persist, like the dm aggregate below.
+        missing_p = F.when(F.col("r0raw").isNull(), F.col("p")).otherwise(F.lit(0.0))
+        aggs = {"s": F.coalesce(F.col("r0raw"), F.lit(0.0)), "pm": missing_p}
+        if deterministic:
+            sums = _det_sums(_canonical(pvec, sp), aggs)
+        else:
+            row = pvec.agg(
+                F.sum(aggs["s"]).alias("s"), F.sum(aggs["pm"]).alias("pm")
+            ).collect()[0]
+            sums = {"s": float(row["s"] or 0.0), "pm": float(row["pm"] or 0.0)}
+        if sums["s"] <= 0.0:
+            raise ValueError("init_ranks must carry positive total mass")
+        state = pvec.select(
+            "id",
+            "p",
+            "dangling",
+            (
+                F.coalesce(F.col("r0raw") / F.lit(sums["s"]), F.col("p"))
+                / F.lit(1.0 + sums["pm"])
+            ).alias("rank"),
+        )
+    else:
+        state = pvec.select("id", "p", "dangling", F.col("p").alias("rank"))
     if resume and checkpoint_dir:
         latest = ckpt.latest_iteration()
         if latest is not None:
@@ -221,12 +250,24 @@ def pagerank(
     num_partitions: int | None = None,
     broadcast_vertex_threshold: int = 0,
     deterministic: bool | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Run PageRank to convergence. Returns (ranks(id, rank), info).
 
     edges: (src, dst) directed, deduplicated. vertices: (id) — pass it
     when isolated vertices exist beyond edge endpoints.
     personalization: (id, p) unnormalized weights; None → uniform.
+    init_ranks: (id, rank) warm-start vector — e.g. the previous
+    crawl's converged ranks after a snapshot delta (operators/
+    snapshot.py). Vertices absent from it (new pages) start at their
+    teleport weight p scaled by the provided mass, and the combined
+    vector is renormalized to sum 1 — so any non-negative vector with
+    positive mass is accepted and the start point is invariant to
+    rescaling it (rank_i = r_i/(S(1+Pm)) provided, p_i/(1+Pm) missing,
+    with S = Σ provided r and Pm = Σ p over missing vertices). The
+    fixpoint is unchanged (same edges → same ranks); only the number
+    of iterations to tol changes. A checkpoint resume (``resume=True``
+    with an existing snapshot) takes precedence over init_ranks.
 
     broadcast_vertex_threshold > 0 forces a broadcast of the rank
     vector into the edge join while |V| is below it (map-side, zero
@@ -260,12 +301,18 @@ def pagerank(
         )
     else:
         base = verts.select("id", F.lit(1.0 / n).alias("p"))
-    pvec = (
-        base.join(deg.select(F.col("src").alias("id"), F.lit(True).alias("_has_out")), "id", "left")
-        .select("id", "p", F.col("_has_out").isNull().alias("dangling"))
-        .repartition(sp, "id")
-        .persist()
-    )
+    pvec = base.join(
+        deg.select(F.col("src").alias("id"), F.lit(True).alias("_has_out")), "id", "left"
+    ).select("id", "p", F.col("_has_out").isNull().alias("dangling"))
+    if init_ranks is not None:
+        # raw warm-start column (nullable: null = vertex absent from the
+        # warm vector) rides the persisted vertex state; the normalizing
+        # totals are computed once in _pagerank_setup (same action that
+        # materializes this persist)
+        pvec = pvec.join(
+            init_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select("id", "p", "dangling", F.col("_r0").alias("r0raw"))
+    pvec = pvec.repartition(sp, "id").persist()
 
     linked = (
         edges.join(deg, "src")
@@ -316,6 +363,7 @@ def pagerank(
     info: dict[str, Any] = {"n": n, "iterations": start_iter, "deltas": [],
                             "rank_join": "broadcast" if do_broadcast else "shuffle",
                             "deterministic": deterministic,
+                            "warm_start": init_ranks is not None,
                             "setup_sec": round(_time.time() - t_setup0, 3),
                             "iter_secs": []}
     converged = False

@@ -7,7 +7,7 @@ Usage (the north rule's deployment shape):
 Commands:
     generate   --n 10000 --out /path/pages            synthesize pages parquet
     extract    --pages /path/pages --out /path/graph  pages → url_dict + edges + degrees
-    pagerank   --graph /path/graph [--alpha .85 --tol 1e-6 --checkpoint DIR --resume --top 10]
+    pagerank   --graph /path/graph [--alpha .85 --tol 1e-6 --checkpoint DIR --resume --top 10 --warm RANKS]
     components --graph /path/graph [--checkpoint DIR --resume]
     lpa        --graph /path/graph [--max-iter 20]
     triangles  --graph /path/graph
@@ -92,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
                                 "metrics) even with a durable checkpoint; "
                                 "resume then reproduces allclose, not "
                                 "bit-identical")
+            p.add_argument("--warm",
+                           help="parquet of (id, rank) to warm-start from "
+                                "(e.g. --out of the previous crawl's run); "
+                                "new vertices start at their teleport "
+                                "weight, vector renormalized")
         if name in ("lpa", "components"):
             p.add_argument("--max-iter", type=int, default=20)
         if name in ("hits", "salsa"):
@@ -668,10 +673,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "pagerank":
         from efficient_graph_algorithms_spark.operators.pagerank import pagerank, top_k
 
+        warm = spark.read.parquet(args.warm).select("id", "rank") if args.warm else None
         ranks, info = pagerank(
             spark, edges, vertices=vertices, alpha=args.alpha, tol=args.tol,
             checkpoint_dir=args.checkpoint, resume=args.resume,
             deterministic=(None if args.fast is None else not args.fast),
+            init_ranks=warm,
         )
         if args.out:
             ranks.write.mode("overwrite").parquet(args.out)

@@ -112,4 +112,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_local_cc", "text_bm25",
                        "text_nb_quality", "graph_mis2",
                        "graph_harmonic2", "graph_powerlaw",
-                       "graph_diff", "emb_quantize"}, outside
+                       "graph_diff", "emb_quantize",
+                       "text_anchors", "graph_pr_warm"}, outside
