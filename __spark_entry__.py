@@ -1008,6 +1008,162 @@ def _pr_warm_oracle_sql() -> str:
     return "\n".join(lines) + "\nSELECT id, rank FROM fin"
 
 
+CMS_DEPTH = 3
+CMS_WIDTH = 512
+CMS_MIN_COUNT = 50
+
+
+def q_text_cms(spark, sf_dir):
+    """Count-min sketch heavy hitters over the documents corpus: the
+    full two-pass plan (build d×w sketch → sketch-filter distinct
+    terms → exact counts for survivors). The sketch hash family is the
+    portable 60-bit md5, so every counter — and therefore every
+    estimate — is reproduced bit-exactly by the SQL oracle; the
+    (estimate >= exact) CMS invariant is hash-checked row by row."""
+    from efficient_graph_algorithms_spark.operators.cms import (
+        cms_build,
+        cms_heavy_hitters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sketch = cms_build(d, depth=CMS_DEPTH, width=CMS_WIDTH)
+    return cms_heavy_hitters(d, sketch, CMS_MIN_COUNT, width=CMS_WIDTH)
+
+
+def _text_cms_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.operators.cms import (
+        duck_cms_bucket,
+        duck_corpus_terms,
+    )
+
+    occ = duck_corpus_terms("documents")
+    depths = f"(SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d)"
+    return f"""
+WITH occ AS ({occ}),
+fan AS (SELECT occ.term, dd.d,
+               {duck_cms_bucket('occ.term', 'dd.d', CMS_WIDTH)} AS bucket
+        FROM occ CROSS JOIN {depths} dd),
+sk AS (SELECT d, bucket, count(*)::BIGINT AS cnt FROM fan GROUP BY d, bucket),
+exact AS (SELECT term, count(*)::BIGINT AS exact FROM occ GROUP BY term),
+probe AS (SELECT e.term, dd.d,
+                 {duck_cms_bucket('e.term', 'dd.d', CMS_WIDTH)} AS bucket
+          FROM exact e CROSS JOIN {depths} dd),
+est AS (SELECT p.term, min(sk.cnt) AS estimate
+        FROM probe p JOIN sk USING (d, bucket) GROUP BY p.term)
+SELECT est.term, est.estimate, exact.exact
+FROM est JOIN exact USING (term)
+WHERE est.estimate >= {CMS_MIN_COUNT}
+"""
+
+
+HASHVEC_DIM = 256
+
+
+def q_text_hashvec(spark, sf_dir):
+    """Feature-hashing (hashing-trick) vectorizer: every sparse COO
+    entry of the signed dim-256 hashed term-count vectors over the
+    documents corpus, bit-exact vs the SQL oracle (portable-md5 bucket
+    and sign hashes)."""
+    from efficient_graph_algorithms_spark.operators.hashvec import hashed_features
+
+    return hashed_features(_t(spark, sf_dir, "documents"), dim=HASHVEC_DIM)
+
+
+def _text_hashvec_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.operators.hashvec import (
+        duck_hashed_features,
+    )
+
+    return duck_hashed_features("documents", dim=HASHVEC_DIM)
+
+
+FRONTIER_SHARDS = 7
+
+
+def q_graph_frontier(spark, sf_dir):
+    """Crawl-frontier politeness sharding through the REAL url-parsing
+    path: vertices get synthetic urls with a skewed host distribution
+    (ids < 1000 spread over 50 hosts, ids >= 1000 concentrated on 10 —
+    so the size-desc ranking is genuinely exercised, not just the
+    tie-break), Spark parses the host back out with try_parse_url,
+    ranks, and deals the serpentine; the oracle reproduces host, rank
+    and shard arithmetically."""
+    from efficient_graph_algorithms_spark.operators.frontier import frontier_shards
+
+    e = _graph_edges(spark, sf_dir)
+    hostk = F.when(F.col("id") < 1000, F.col("id") % 50).otherwise(
+        F.col("id") % 10
+    )
+    url_dict = _vertices(e).select(
+        F.concat(
+            F.lit("https://host-"),
+            hostk.cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    return frontier_shards(url_dict, FRONTIER_SHARDS)
+
+
+def _frontier_oracle_sql() -> str:
+    s = FRONTIER_SHARDS
+    return f"""
+WITH e AS ({_E_SQL}),
+v AS ({_V_SQL}),
+h AS (SELECT 'host-' || CAST(CASE WHEN id < 1000 THEN id % 50 ELSE id % 10 END
+              AS VARCHAR) || '.example' AS host
+      FROM v),
+loads AS (SELECT host, count(*)::BIGINT AS n_pages FROM h GROUP BY host),
+ranked AS (SELECT host, n_pages,
+                  row_number() OVER (ORDER BY n_pages DESC, host ASC) - 1 AS rank
+           FROM loads)
+SELECT host, n_pages, rank,
+       CASE WHEN (rank // {s}) % 2 = 0 THEN rank % {s}
+            ELSE {s} - 1 - (rank % {s}) END::INTEGER AS shard
+FROM ranked
+"""
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Leicht-Newman directed modularity of the synthetic host
+    partition (id % HOST_MOD — the same deterministic partition the
+    host-graph contraction query uses), decomposed per community so
+    every per-community stub count and contribution is hash-checked,
+    not just the scalar Q."""
+    from efficient_graph_algorithms_spark.operators.modularity import (
+        community_contributions,
+    )
+
+    e = _graph_edges(spark, sf_dir)
+    assignment = _vertices(e).select(
+        "id", (F.col("id") % HOST_MOD).cast("string").alias("community")
+    )
+    return community_contributions(e, assignment)
+
+
+def _modularity_oracle_sql() -> str:
+    return f"""
+WITH e AS ({_E_SQL}),
+v AS ({_V_SQL}),
+a AS (SELECT id, CAST(id % {HOST_MOD} AS VARCHAR) AS c FROM v),
+e2 AS (SELECT sa.c AS cs, da.c AS cd
+       FROM e JOIN a sa ON e.src = sa.id JOIN a da ON e.dst = da.id),
+m AS (SELECT count(*)::DOUBLE AS m FROM e2),
+douts AS (SELECT cs AS community, count(*)::BIGINT AS dout,
+                 sum(CASE WHEN cs = cd THEN 1 ELSE 0 END)::BIGINT AS internal_edges
+          FROM e2 GROUP BY cs),
+dins AS (SELECT cd AS community, count(*)::BIGINT AS din FROM e2 GROUP BY cd)
+SELECT coalesce(douts.community, dins.community) AS community,
+       coalesce(internal_edges, 0) AS internal_edges,
+       coalesce(dout, 0) AS dout,
+       coalesce(din, 0) AS din,
+       round(coalesce(internal_edges, 0) / (SELECT m FROM m)
+             - (coalesce(dout, 0) * coalesce(din, 0))
+               / ((SELECT m FROM m) * (SELECT m FROM m)), 9) AS contribution
+FROM douts FULL JOIN dins ON douts.community = dins.community
+"""
+
+
 def q_graph_diff(spark, sf_dir):
     """Crawl-snapshot diff (the Common Crawl monthly-delta question):
     per-vertex added/removed in/out edge counts between the standard
@@ -3942,6 +4098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "text_anchors": q_text_anchors,
         "graph_pr_warm": q_graph_pr_warm,
+        "graph_modularity": q_graph_modularity,
+        "text_cms": q_text_cms,
+        "text_hashvec": q_text_hashvec,
+        "graph_frontier": q_graph_frontier,
     }
 
 
@@ -4009,6 +4169,10 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "emb_quantize": _emb_quantize_oracle_sql(),
         "text_anchors": _text_anchors_oracle_sql(),
         "graph_pr_warm": _pr_warm_oracle_sql(),
+        "graph_modularity": _modularity_oracle_sql(),
+        "text_cms": _text_cms_oracle_sql(),
+        "text_hashvec": _text_hashvec_oracle_sql(),
+        "graph_frontier": _frontier_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

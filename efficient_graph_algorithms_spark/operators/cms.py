@@ -1,0 +1,162 @@
+"""Count-min sketch term statistics (heavy hitters at corpus scale).
+
+The classic one-pass frequency sketch (Cormode & Muthukrishnan 2005,
+J. Algorithms 55) — THE way to ask "which terms/urls/hosts are hot"
+over a 100 TB corpus without materializing a full term dictionary:
+d×w counters, term t hashes to one bucket per depth row, point
+estimate = min over rows, guaranteed ≥ the true count and ≤ true +
+εN with probability 1−δ (w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+
+No reference counterpart (``reference src/ega`` has no sketch layer
+beyond the ANF/HyperBall family); engine extension in the §2.12
+LLM-pipeline family — heavy-hitter term lists drive stopword
+discovery, boilerplate vocabularies, and hot-key skew guards.
+
+Determinism: the hash family is the engine's portable 60-bit md5
+(functions/hashing.py) keyed ``cms<d>:<term>``, so the WHOLE sketch —
+every counter — is a pure function of the corpus, bit-identical in
+DuckDB SQL. The sketch itself is parity-checkable, not just its
+estimates; the estimate face additionally certifies the CMS
+overcount invariant (estimate ≥ exact) row by row.
+
+Plan shape, build: tokenize (JVM regexp split of normalized_text,
+the dedup family's convention) → explode → fan out ×depth (a
+``sequence`` literal explode, no join) → ONE map-side-combining
+groupBy whose result is d·w rows REGARDLESS of corpus size. Estimate:
+candidates fan out ×depth and hash-join the (tiny, broadcast) sketch,
+then a min-groupBy per term. Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_graph_algorithms_spark.functions.text import normalized_text
+
+
+def _h60(expr: Column) -> Column:
+    """Portable 60-bit md5 hash (functions/hashing.py convention)."""
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
+def _bucket(term: Column, d: Column, width: int) -> Column:
+    return _h60(
+        F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), term)
+    ) % width
+
+
+def corpus_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per term occurrence: (term). Null-safe (null text → no
+    rows, the pii.py coalesce lesson); '' tokens dropped."""
+    toks = F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+def cms_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the sketch: (d, bucket, cnt), exactly depth×width rows
+    (zero counters included, so the sketch table has a fixed shape and
+    unions/merges across corpus shards stay aligned)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    spark = docs.sparkSession
+    occ = corpus_terms(docs, text_col)
+    counted = (
+        occ.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+            "term",
+        )
+        .select("d", _bucket(F.col("term"), F.col("d"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = spark.range(depth).select(
+        F.col("id").cast("int").alias("d")
+    ).crossJoin(spark.range(width).select(F.col("id").cast("long").alias("bucket")))
+    return (
+        grid.join(counted, ["d", "bucket"], "left")
+        .select("d", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+) -> DataFrame:
+    """CMS point estimate for each candidate term: (term, estimate).
+
+    estimate = min over sketch rows of the term's counter — always ≥
+    the term's true occurrence count. ``sketch`` is d·w rows, so the
+    join side is broadcastable at any corpus scale."""
+    depth = sketch.select(F.max("d")).first()[0]
+    if depth is None:
+        raise ValueError("empty sketch")
+    fan = candidates.select(F.col(term_col).alias("term")).distinct().select(
+        "term",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth)))).alias("d"),
+    )
+    probed = fan.select(
+        "term", "d", _bucket(F.col("term"), F.col("d"), width).alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    sketch: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    width: int = 1024,
+) -> DataFrame:
+    """Terms whose CMS estimate ≥ min_count, with their exact counts:
+    (term, estimate, exact). CMS ≥ exact guarantees NO false negatives
+    — every true heavy hitter survives the sketch filter; the exact
+    column (one extra count over just the surviving terms) removes the
+    false positives. The second pass touches only distinct terms, the
+    standard two-pass heavy-hitter plan."""
+    exact = corpus_terms(docs, text_col).groupBy("term").agg(
+        F.count("*").alias("exact")
+    )
+    est = cms_estimate(sketch, exact.select("term"), width=width)
+    return (
+        est.where(F.col("estimate") >= min_count)
+        .join(exact, "term")
+        .select("term", "estimate", "exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (lockstep with _bucket / corpus_terms above)
+# ---------------------------------------------------------------------------
+
+def duck_cms_bucket(term_expr: str, d_expr: str, width: int) -> str:
+    return (
+        f"((('0x' || substr(md5('cms' || CAST({d_expr} AS VARCHAR) || ':' || "
+        f"{term_expr}), 1, 15))::BIGINT) % {width})"
+    )
+
+
+def duck_corpus_terms(table: str, text_col: str = "text") -> str:
+    """SELECT producing one row per term occurrence from ``table``."""
+    norm = (
+        f"regexp_replace(lower(trim(coalesce({text_col}, ''))), '\\s+', ' ', 'g')"
+    )
+    return (
+        f"SELECT t.term FROM {table}, "
+        f"LATERAL unnest(string_split({norm}, ' ')) AS t(term) "
+        f"WHERE t.term <> ''"
+    )

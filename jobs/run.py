@@ -22,6 +22,8 @@ Commands:
     bowtie     --graph /path/graph [--out DIR]
     walks      --graph /path/graph [--length 10 --per-vertex 1 --biased] [--out DIR]
     betweenness --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
+    modularity --graph /path/graph [--labels DIR --label-col label] [--top 5] [--out DIR]
+    frontier   --graph /path/graph [--shards 64] [--out DIR]
     stats      --graph /path/graph [--out DIR]
     cocite     --graph /path/graph [--k 20 --mode cocitation|coupling --cap 256] [--out DIR]
     closeness  --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
@@ -35,6 +37,8 @@ Commands:
     dupspans   --docs /path/documents.parquet [--width 8 --min-count 2] [--out DIR]
     shards     --docs /path/documents.parquet [--shard-tokens N] [--out DIR]
     lmscore    --docs /path/documents.parquet [--k 0.1] [--out DIR]
+    cms        --docs /path/documents.parquet [--depth 4 --width 65536 --min-count 100] [--out DIR]
+    hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -76,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
                  "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
                  "closeness", "bowtie", "betweenness", "linkpred", "localcc",
-                 "mis", "diff"):
+                 "mis", "diff", "modularity", "frontier"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -156,6 +160,19 @@ def main(argv: list[str] | None = None) -> int:
                            help="drop wedge centers above this degree")
         if name == "mis":
             p.add_argument("--max-rounds", type=int, default=100)
+        if name == "frontier":
+            p.add_argument("--shards", type=int, default=64,
+                           help="number of fetch shards to deal hosts into")
+        if name == "modularity":
+            p.add_argument("--labels",
+                           help="parquet of (id, <label-col>) — e.g. --out of "
+                                "lpa or components; default: the host "
+                                "partition parsed from the graph's url_dict")
+            p.add_argument("--label-col", default=None,
+                           help="community column in --labels (default: "
+                                "auto-detect label/component/community)")
+            p.add_argument("--top", type=int, default=5,
+                           help="print the top-N communities by contribution")
         if name == "diff":
             p.add_argument("--graph-new", required=True,
                            help="second snapshot graph dir to diff against")
@@ -231,6 +248,22 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--shard-tokens", type=int, default=1 << 20)
     sh.add_argument("--seed", type=int, default=42)
     sh.add_argument("--out")
+
+    hv = sub.add_parser("hashvec")
+    hv.add_argument("--docs", required=True)
+    hv.add_argument("--dim", type=int, default=1 << 18)
+    hv.add_argument("--unsigned", action="store_true",
+                    help="plain collision-summed counts (no sign hash)")
+    hv.add_argument("--out")
+
+    cm = sub.add_parser("cms")
+    cm.add_argument("--docs", required=True)
+    cm.add_argument("--depth", type=int, default=4)
+    cm.add_argument("--width", type=int, default=65536)
+    cm.add_argument("--min-count", type=int, default=100,
+                    help="heavy-hitter threshold on the CMS estimate")
+    cm.add_argument("--top", type=int, default=10)
+    cm.add_argument("--out")
 
     lm = sub.add_parser("lmscore")
     lm.add_argument("--docs", required=True)
@@ -488,6 +521,49 @@ def main(argv: list[str] | None = None) -> int:
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "hashvec":
+        from efficient_graph_algorithms_spark.operators.hashvec import (
+            hashed_feature_norms, hashed_features)
+
+        docs = spark.read.parquet(args.docs)
+        feats = hashed_features(docs, dim=args.dim, signed=not args.unsigned)
+        if args.out:
+            feats.write.mode("overwrite").parquet(args.out)
+            feats = spark.read.parquet(args.out)
+        agg = hashed_feature_norms(feats).agg(
+            F.count("*").alias("docs"), F.sum("nnz").alias("entries"),
+            F.avg("nnz").alias("avg_nnz"), F.sum("sq_norm").alias("mass")).first()
+        print(json.dumps({
+            "cmd": "hashvec", "dim": args.dim, "signed": not args.unsigned,
+            "docs": int(agg["docs"] or 0), "entries": int(agg["entries"] or 0),
+            "avg_nnz": round(float(agg["avg_nnz"] or 0), 2),
+            "total_sq_mass": int(agg["mass"] or 0),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "cms":
+        from efficient_graph_algorithms_spark.operators.cms import (
+            cms_build, cms_heavy_hitters)
+
+        docs = spark.read.parquet(args.docs)
+        sketch = cms_build(docs, depth=args.depth, width=args.width).persist()
+        hh = cms_heavy_hitters(docs, sketch, args.min_count, width=args.width)
+        if args.out:
+            hh.write.mode("overwrite").parquet(args.out)
+            hh = spark.read.parquet(args.out)
+        rows = hh.orderBy(F.desc("exact"), F.asc("term")).limit(args.top).collect()
+        n_hh = hh.count()
+        over = hh.agg(F.sum(F.col("estimate") - F.col("exact"))).first()[0]
+        sketch.unpersist()
+        print(json.dumps({
+            "cmd": "cms", "depth": args.depth, "width": args.width,
+            "min_count": args.min_count, "heavy_hitters": n_hh,
+            "total_overcount": int(over or 0),
+            "top": [{"term": r["term"], "estimate": r["estimate"],
+                     "exact": r["exact"]} for r in rows],
+            "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "lmscore":
@@ -893,6 +969,65 @@ def main(argv: list[str] | None = None) -> int:
             "mis_size": sizes.get("mis", 0), "removed": sizes.get("out", 0),
             "live": sizes.get("live", 0),
             "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "frontier":
+        from efficient_graph_algorithms_spark.operators.frontier import (
+            frontier_shards, shard_balance)
+
+        url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+        shards = frontier_shards(url_dict, args.shards)
+        if args.out:
+            shards.write.mode("overwrite").parquet(args.out)
+            shards = spark.read.parquet(args.out)
+        bal = shard_balance(shards).collect()
+        loads = sorted(r["n_pages"] for r in bal)
+        print(json.dumps({
+            "cmd": "frontier", "shards": args.shards,
+            "hosts": shards.count(),
+            "pages": sum(loads),
+            "max_shard_pages": loads[-1] if loads else 0,
+            "min_shard_pages": loads[0] if loads else 0,
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "modularity":
+        from efficient_graph_algorithms_spark.operators.contract import host_of
+        from efficient_graph_algorithms_spark.operators.modularity import (
+            community_contributions, partition_modularity)
+
+        if args.labels:
+            labels = spark.read.parquet(args.labels)
+            col = args.label_col
+            if col is None:
+                col = next(c for c in ("label", "component", "community", "cls")
+                           if c in labels.columns)
+            assignment = labels.select("id", F.col(col).alias("community"))
+        else:
+            url_dict = spark.read.parquet(f"{args.graph}/url_dict")
+            assignment = url_dict.select(
+                "id", host_of(F.col("url")).alias("community"))
+        summary, info = partition_modularity(edges, assignment)
+        if args.out:
+            contrib = community_contributions(edges, assignment)
+            contrib.write.mode("overwrite").parquet(args.out)
+            top = (spark.read.parquet(args.out)
+                   .orderBy(F.desc("contribution"), F.asc("community"))
+                   .limit(args.top).collect())
+        else:
+            top = (community_contributions(edges, assignment)
+                   .orderBy(F.desc("contribution"), F.asc("community"))
+                   .limit(args.top).collect())
+        print(json.dumps({
+            "cmd": "modularity",
+            "modularity": round(info["modularity"], 9),
+            "m": info["m"], "internal_edges": info["internal_edges"],
+            "n_communities": info["n_communities"],
+            "sec": round(time.time() - t0, 2),
+            "top": [{"community": r["community"],
+                     "contribution": r["contribution"],
+                     "internal": r["internal_edges"]} for r in top],
+        }))
         return 0
 
     if args.cmd == "cocite":

@@ -113,4 +113,6 @@ def test_driver_row_window_covers_rotated_queries():
                        "text_nb_quality", "graph_mis2",
                        "graph_harmonic2", "graph_powerlaw",
                        "graph_diff", "emb_quantize",
-                       "text_anchors", "graph_pr_warm"}, outside
+                       "text_anchors", "graph_pr_warm",
+                       "graph_modularity", "text_cms",
+                       "text_hashvec", "graph_frontier"}, outside
