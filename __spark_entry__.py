@@ -1124,6 +1124,71 @@ FROM ranked
 """
 
 
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def q_graph_bloom_seen(spark, sf_dir):
+    """Crawl-dedup Bloom filter: build the filter over the OLD
+    snapshot's vertex urls, probe with the NEW snapshot's (the
+    graph_diff pairing) — 'have we crawled this url already'. The
+    4096-bit filter is deliberately tight, and only a third of the old
+    urls (id % 3 == 0) enter it, so all three verdict classes occur —
+    true members, true negatives, AND hash-collision false positives —
+    and every per-url verdict is hash-checked against the oracle's
+    bit-set reconstruction."""
+    from efficient_graph_algorithms_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    e_new = (
+        li.select(
+            (F.col("l_orderkey") % GRAPH_V).cast("long").alias("src"),
+            (F.col("l_suppkey") % GRAPH_V).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    url = lambda df: df.select(
+        F.concat(F.lit("https://p/"), F.col("id").cast("string")).alias("key")
+    )
+    bloom = bloom_build(
+        url(_vertices(_graph_edges(spark, sf_dir)).where(F.col("id") % 3 == 0)),
+        m_bits=BLOOM_M,
+        n_hashes=BLOOM_K,
+    )
+    return bloom_contains(
+        url(_vertices(e_new)), bloom, m_bits=BLOOM_M, n_hashes=BLOOM_K
+    )
+
+
+def _bloom_seen_oracle_sql() -> str:
+    from efficient_graph_algorithms_spark.operators.bloom import (
+        duck_bloom_positions,
+    )
+
+    pos = duck_bloom_positions("key", BLOOM_K, BLOOM_M)
+    return f"""
+WITH eold AS ({_E_SQL}),
+vold AS (SELECT id FROM (SELECT src AS id FROM eold UNION SELECT dst FROM eold)
+         WHERE id % 3 = 0),
+e AS ({_E_NEW_SQL}),
+vnew AS ({_V_SQL}),
+bits AS (SELECT DISTINCT p.pos
+         FROM (SELECT 'https://p/' || CAST(id AS VARCHAR) AS key FROM vold) k,
+              LATERAL unnest({pos}) AS p(pos)),
+probe AS (SELECT k.key, p.pos
+          FROM (SELECT 'https://p/' || CAST(id AS VARCHAR) AS key FROM vnew) k,
+               LATERAL unnest({pos}) AS p(pos))
+SELECT probe.key,
+       (count(bits.pos) = {BLOOM_K}) AS maybe_member
+FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+GROUP BY probe.key
+"""
+
+
 def q_graph_modularity(spark, sf_dir):
     """Leicht-Newman directed modularity of the synthetic host
     partition (id % HOST_MOD — the same deterministic partition the
@@ -4102,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms": q_text_cms,
         "text_hashvec": q_text_hashvec,
         "graph_frontier": q_graph_frontier,
+        "graph_bloom_seen": q_graph_bloom_seen,
     }
 
 
@@ -4173,6 +4239,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_cms": _text_cms_oracle_sql(),
         "text_hashvec": _text_hashvec_oracle_sql(),
         "graph_frontier": _frontier_oracle_sql(),
+        "graph_bloom_seen": _bloom_seen_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

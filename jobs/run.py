@@ -39,6 +39,7 @@ Commands:
     lmscore    --docs /path/documents.parquet [--k 0.1] [--out DIR]
     cms        --docs /path/documents.parquet [--depth 4 --width 65536 --min-count 100] [--out DIR]
     hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
+    bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -248,6 +249,17 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--shard-tokens", type=int, default=1 << 20)
     sh.add_argument("--seed", type=int, default=42)
     sh.add_argument("--out")
+
+    bl = sub.add_parser("bloom")
+    bl.add_argument("--keys", required=True,
+                    help="parquet whose --key-col builds the filter "
+                         "(e.g. the previous crawl's url_dict)")
+    bl.add_argument("--probes", required=True,
+                    help="parquet whose --key-col is membership-tested")
+    bl.add_argument("--key-col", default="url")
+    bl.add_argument("--m-bits", type=int, default=1 << 24)
+    bl.add_argument("--hashes", type=int, default=4)
+    bl.add_argument("--out")
 
     hv = sub.add_parser("hashvec")
     hv.add_argument("--docs", required=True)
@@ -521,6 +533,31 @@ def main(argv: list[str] | None = None) -> int:
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "bloom":
+        from efficient_graph_algorithms_spark.operators.bloom import (
+            bloom_build, bloom_contains)
+
+        keys = spark.read.parquet(args.keys)
+        probes = spark.read.parquet(args.probes)
+        bloom = bloom_build(keys, key_col=args.key_col, m_bits=args.m_bits,
+                            n_hashes=args.hashes).persist()
+        verdicts = bloom_contains(probes, bloom, key_col=args.key_col,
+                                  m_bits=args.m_bits, n_hashes=args.hashes)
+        if args.out:
+            verdicts.write.mode("overwrite").parquet(args.out)
+            verdicts = spark.read.parquet(args.out)
+        agg = verdicts.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("maybe_member").cast("int")).alias("hits")).first()
+        n_bits = bloom.count()
+        bloom.unpersist()
+        print(json.dumps({
+            "cmd": "bloom", "m_bits": args.m_bits, "hashes": args.hashes,
+            "set_bits": n_bits, "probes": int(agg["n"] or 0),
+            "maybe_members": int(agg["hits"] or 0),
+            "sec": round(time.time() - t0, 2)}))
         return 0
 
     if args.cmd == "hashvec":

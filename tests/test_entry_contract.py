@@ -115,4 +115,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_diff", "emb_quantize",
                        "text_anchors", "graph_pr_warm",
                        "graph_modularity", "text_cms",
-                       "text_hashvec", "graph_frontier"}, outside
+                       "text_hashvec", "graph_frontier",
+                       "graph_bloom_seen"}, outside
