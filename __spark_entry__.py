@@ -1189,6 +1189,54 @@ GROUP BY probe.key
 """
 
 
+SSSP_SQL_ROUNDS = 2
+SSSP_SRC_MOD = 400
+
+
+def q_graph_sssp2(spark, sf_dir):
+    """Weighted multi-source SSSP, 2 exact Bellman-Ford relaxation
+    rounds through the real operator (bounded-hop contract: after r
+    rounds the state is exactly min-cost-over-<=r-edge paths, so the
+    oracle unrolls the identical arithmetic). Deterministic integer
+    weights w = 1 + (src+dst) % 5; sources = ids % 400 == 0."""
+    import warnings as _w
+
+    from efficient_graph_algorithms_spark.operators.sssp import shortest_paths
+
+    e = _graph_edges(spark, sf_dir).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("w")
+    )
+    sources = _vertices(_graph_edges(spark, sf_dir)).where(
+        F.col("id") % SSSP_SRC_MOD == 0
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", UserWarning)  # expected max_iter stop
+        dist, info = shortest_paths(spark, e, sources, max_iter=SSSP_SQL_ROUNDS)
+    assert info["rounds"] == SSSP_SQL_ROUNDS
+    return dist.select("id", "dist")
+
+
+def _sssp_oracle_sql() -> str:
+    inf = "1e308"
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"w AS (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM e),",
+        f"v AS ({_V_SQL}),",
+        f"d0 AS (SELECT id, 0.0::DOUBLE AS dist FROM v WHERE id % {SSSP_SRC_MOD} = 0),",
+    ]
+    for i in range(1, SSSP_SQL_ROUNDS + 1):
+        p = i - 1
+        lines += [
+            f"c{i} AS (SELECT w.dst AS id, min(d{p}.dist + w.w) AS c "
+            f"FROM w JOIN d{p} ON w.src = d{p}.id GROUP BY w.dst),",
+            f"d{i} AS (SELECT coalesce(d{p}.id, c{i}.id) AS id, "
+            f"least(coalesce(d{p}.dist, {inf}), coalesce(c{i}.c, {inf})) AS dist "
+            f"FROM d{p} FULL JOIN c{i} ON d{p}.id = c{i}.id),",
+        ]
+    lines.append(f"fin AS (SELECT id, dist FROM d{SSSP_SQL_ROUNDS})")
+    return "\n".join(lines) + "\nSELECT id, dist FROM fin"
+
+
 def q_graph_modularity(spark, sf_dir):
     """Leicht-Newman directed modularity of the synthetic host
     partition (id % HOST_MOD — the same deterministic partition the
@@ -4168,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashvec": q_text_hashvec,
         "graph_frontier": q_graph_frontier,
         "graph_bloom_seen": q_graph_bloom_seen,
+        "graph_sssp2": q_graph_sssp2,
     }
 
 
@@ -4190,6 +4239,7 @@ _MATERIALIZE_CHAINS = (
     "graph_spam_mass3",
     "graph_gw2",
     "graph_gw_partition",
+    "graph_sssp2",
 )
 
 
@@ -4240,6 +4290,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "text_hashvec": _text_hashvec_oracle_sql(),
         "graph_frontier": _frontier_oracle_sql(),
         "graph_bloom_seen": _bloom_seen_oracle_sql(),
+        "graph_sssp2": _sssp_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

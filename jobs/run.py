@@ -24,6 +24,7 @@ Commands:
     betweenness --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
     modularity --graph /path/graph [--labels DIR --label-col label] [--top 5] [--out DIR]
     frontier   --graph /path/graph [--shards 64] [--out DIR]
+    sssp       --graph /path/graph [--sources-mod 400 --weights hash|unit --max-iter 100] [--out DIR]
     stats      --graph /path/graph [--out DIR]
     cocite     --graph /path/graph [--k 20 --mode cocitation|coupling --cap 256] [--out DIR]
     closeness  --graph /path/graph [--max-radius 3 --sample-mod N] [--out DIR]
@@ -81,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                  "spammass", "hostgraph",
                  "kcore", "ktruss", "anf", "scc", "walks", "stats", "cocite",
                  "closeness", "bowtie", "betweenness", "linkpred", "localcc",
-                 "mis", "diff", "modularity", "frontier"):
+                 "mis", "diff", "modularity", "frontier", "sssp"):
         p = sub.add_parser(name)
         p.add_argument("--graph", required=True)
         p.add_argument("--out")
@@ -161,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
                            help="drop wedge centers above this degree")
         if name == "mis":
             p.add_argument("--max-rounds", type=int, default=100)
+        if name == "sssp":
+            p.add_argument("--sources-mod", type=int, default=400,
+                           help="seed set = vertices with id %% mod == 0")
+            p.add_argument("--max-iter", type=int, default=100)
+            p.add_argument("--weights", default="hash", choices=["hash", "unit"],
+                           help="hash: w = 1 + (src+dst) %% 5; unit: hop count")
         if name == "frontier":
             p.add_argument("--shards", type=int, default=64,
                            help="number of fetch shards to deal hosts into")
@@ -1005,6 +1012,32 @@ def main(argv: list[str] | None = None) -> int:
             "converged": info["converged"],
             "mis_size": sizes.get("mis", 0), "removed": sizes.get("out", 0),
             "live": sizes.get("live", 0),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "sssp":
+        from efficient_graph_algorithms_spark.operators.sssp import shortest_paths
+
+        if args.weights == "unit":
+            wedges = edges.select("src", "dst", F.lit(1.0).alias("w"))
+        else:
+            wedges = edges.select(
+                "src", "dst",
+                (1 + (F.col("src") + F.col("dst")) % 5).cast("double").alias("w"))
+        sources = vertices.where(F.col("id") % args.sources_mod == 0)
+        dist, info = shortest_paths(spark, wedges, sources,
+                                    max_iter=args.max_iter)
+        if args.out:
+            dist.write.mode("overwrite").parquet(args.out)
+            dist = spark.read.parquet(args.out)
+        agg = dist.agg(F.count("*").alias("n"), F.avg("dist").alias("avg"),
+                       F.max("dist").alias("mx")).first()
+        print(json.dumps({
+            "cmd": "sssp", "weights": args.weights,
+            "sources": sources.count(), "rounds": info["rounds"],
+            "converged": info["converged"], "reached": int(agg["n"] or 0),
+            "avg_dist": round(float(agg["avg"] or 0), 4),
+            "max_dist": float(agg["mx"] or 0),
             "sec": round(time.time() - t0, 2)}))
         return 0
 
