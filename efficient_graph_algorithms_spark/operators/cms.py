@@ -56,6 +56,31 @@ def corpus_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Non-zero CMS counters (d, bucket, cnt) — the aggregation core,
+    valid on bounded AND unbounded (streaming) frames: tokenize →
+    ×depth fan-out → one count aggregate. ``cms_build`` zero-fills it
+    into the fixed d×w shape; `streaming/sketch.py` runs it as an
+    incremental stateful aggregation."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    occ = corpus_terms(docs, text_col)
+    return (
+        occ.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+            "term",
+        )
+        .select("d", _bucket(F.col("term"), F.col("d"), width).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def cms_build(
     docs: DataFrame,
     text_col: str = "text",
@@ -65,19 +90,8 @@ def cms_build(
     """Build the sketch: (d, bucket, cnt), exactly depth×width rows
     (zero counters included, so the sketch table has a fixed shape and
     unions/merges across corpus shards stay aligned)."""
-    if depth < 1 or width < 1:
-        raise ValueError("depth and width must be >= 1")
     spark = docs.sparkSession
-    occ = corpus_terms(docs, text_col)
-    counted = (
-        occ.select(
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-            "term",
-        )
-        .select("d", _bucket(F.col("term"), F.col("d"), width).alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    counted = bucket_counts(docs, text_col, depth, width)
     grid = spark.range(depth).select(
         F.col("id").cast("int").alias("d")
     ).crossJoin(spark.range(width).select(F.col("id").cast("long").alias("bucket")))
