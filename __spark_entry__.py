@@ -1237,6 +1237,51 @@ def _sssp_oracle_sql() -> str:
     return "\n".join(lines) + "\nSELECT id, dist FROM fin"
 
 
+def q_image_dhash(spark, sf_dir):
+    """REAL BMP decode → perceptual dHash, hash-verified via a closed
+    form: doc_id % 4 == 1 rows carry an 18×16 step-gradient BMP
+    (bright for x < 2m, dark after, m = 1 + doc_id % 7). Every cell
+    row sees exactly one bright→dark cell boundary at column m−1, so
+    dhash = 2^(m−1) · 0x0101010101010101 — pure arithmetic on doc_id
+    for the oracle while Spark actually decodes the bytes and averages
+    the 9×8 cell grid."""
+    from efficient_graph_algorithms_spark.operators.imagehash import image_dhashes
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_bmp24,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                m = 1 + did % 7
+                img = np.zeros((16, 18, 3), dtype=np.uint8)
+                img[:, : 2 * m, :] = 255
+                rows.append((did, "image", encode_bmp24(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return image_dhashes(media)
+
+
+def _image_dhash_oracle_sql() -> str:
+    # 0x0101010101010101: one set bit per 8-bit row stripe
+    return """
+SELECT doc_id AS media_id,
+       (CAST(1 AS BIGINT) << (doc_id % 7)) * 72340172838076673 AS dhash
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
 def q_graph_modularity(spark, sf_dir):
     """Leicht-Newman directed modularity of the synthetic host
     partition (id % HOST_MOD — the same deterministic partition the
@@ -4217,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_frontier": q_graph_frontier,
         "graph_bloom_seen": q_graph_bloom_seen,
         "graph_sssp2": q_graph_sssp2,
+        "image_dhash": q_image_dhash,
     }
 
 
@@ -4291,6 +4337,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_frontier": _frontier_oracle_sql(),
         "graph_bloom_seen": _bloom_seen_oracle_sql(),
         "graph_sssp2": _sssp_oracle_sql(),
+        "image_dhash": _image_dhash_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -264,26 +264,32 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 60,
     return grouped.mapInPandas(fold, "id long, simhash long")
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+def hamming_pairs(fp: DataFrame, fp_col: str, max_hamming: int, bits: int,
+                  id_col: str = "id") -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(fp_a, fp_b) <= max_hamming
+    over ANY long-typed fingerprint table (simhash, image dhash, ...).
 
     Candidate generation: split the fingerprint into max_hamming+1
     equal-width bands; any pair within distance max_hamming agrees on
-    >= 1 band (pigeonhole) — band equi-join, then exact popcount verify."""
-    fp = simhash_fingerprints(docs, bits, id_col, text_col)
+    >= 1 band (pigeonhole; leftover high bits outside the bands only
+    strengthen the bound) — band equi-join, then exact popcount
+    verify. shiftrightunsigned so a 64-bit fingerprint in a signed
+    long bands correctly (identical to shiftright for the 60-bit
+    simhash family, whose values are non-negative)."""
     nb = max_hamming + 1
     width = bits // nb
     band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
     mask = (1 << width) - 1
-    banded = fp.select("id", "simhash", band).select(
-        "id", "simhash", "band",
-        F.expr(f"shiftright(simhash, CAST(band * {width} AS INT))")
+    banded = fp.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("_fp"), band
+    ).select(
+        "id", "_fp", "band",
+        F.expr(f"shiftrightunsigned(_fp, CAST(band * {width} AS INT))")
         .bitwiseAND(F.lit(mask).cast("long"))
         .alias("bkey"),
     )
-    a = banded.select(F.col("id").alias("a"), F.col("simhash").alias("fa"), "band", "bkey")
-    b = banded.select(F.col("id").alias("b"), F.col("simhash").alias("fb"), "band", "bkey")
+    a = banded.select(F.col("id").alias("a"), F.col("_fp").alias("fa"), "band", "bkey")
+    b = banded.select(F.col("id").alias("b"), F.col("_fp").alias("fb"), "band", "bkey")
     cand = (
         a.join(b, ["band", "bkey"])
         .where(F.col("a") < F.col("b"))
@@ -293,6 +299,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
     return cand.select(
         "a", "b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) <=
+    max_hamming — the banded candidate join of ``hamming_pairs`` over
+    ``simhash_fingerprints``."""
+    fp = simhash_fingerprints(docs, bits, id_col, text_col)
+    return hamming_pairs(fp, "simhash", max_hamming, bits)
 
 
 def dedup_clusters(

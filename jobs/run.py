@@ -41,6 +41,7 @@ Commands:
     cms        --docs /path/documents.parquet [--depth 4 --width 65536 --min-count 100] [--out DIR]
     hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
+    imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -256,6 +257,14 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--shard-tokens", type=int, default=1 << 20)
     sh.add_argument("--seed", type=int, default=42)
     sh.add_argument("--out")
+
+    ih = sub.add_parser("imghash")
+    ih.add_argument("--media", required=True,
+                    help="parquet of (media_id, payload binary) image rows")
+    ih.add_argument("--pairs", action="store_true",
+                    help="also emit near-dup pairs (banded Hamming join)")
+    ih.add_argument("--max-hamming", type=int, default=6)
+    ih.add_argument("--out")
 
     bl = sub.add_parser("bloom")
     bl.add_argument("--keys", required=True,
@@ -540,6 +549,30 @@ def main(argv: list[str] | None = None) -> int:
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "imghash":
+        from efficient_graph_algorithms_spark.operators.imagehash import (
+            image_dhashes, image_near_dups)
+
+        media = spark.read.parquet(args.media)
+        out = {"cmd": "imghash"}
+        if args.pairs:
+            pairs = image_near_dups(media, max_hamming=args.max_hamming)
+            if args.out:
+                pairs.write.mode("overwrite").parquet(args.out)
+                pairs = spark.read.parquet(args.out)
+            out["pairs"] = pairs.count()
+            out["max_hamming"] = args.max_hamming
+        else:
+            hashes = image_dhashes(media)
+            if args.out:
+                hashes.write.mode("overwrite").parquet(args.out)
+                hashes = spark.read.parquet(args.out)
+            out["hashed"] = hashes.count()
+            out["distinct_hashes"] = hashes.select("dhash").distinct().count()
+        out["sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "bloom":

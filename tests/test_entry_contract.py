@@ -116,4 +116,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "text_anchors", "graph_pr_warm",
                        "graph_modularity", "text_cms",
                        "text_hashvec", "graph_frontier",
-                       "graph_bloom_seen", "graph_sssp2"}, outside
+                       "graph_bloom_seen", "graph_sssp2",
+                       "image_dhash"}, outside

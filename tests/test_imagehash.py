@@ -1,0 +1,104 @@
+"""Image dHash + near-dup pairs: closed forms, cross-format stability,
+banded join vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from efficient_graph_algorithms_spark.operators.imagehash import (
+    dhash64,
+    image_dhashes,
+    image_near_dups,
+)
+from efficient_graph_algorithms_spark.operators.multimodal import (
+    encode_bmp24,
+    encode_png,
+)
+
+
+def _img(seed, h=32, w=36):
+    rng = np.random.default_rng(seed)
+    return rng.random((h, w, 3)).astype(np.float32)
+
+
+def test_closed_form_gradients():
+    w, h = 18, 16
+    inc = np.tile(np.linspace(0.0, 1.0, w), (h, 1))  # brighter to the right
+    dec = inc[:, ::-1]
+    assert dhash64(inc) == 0  # left cell always darker -> every bit 0
+    assert dhash64(dec) == -1  # all 64 bits set == -1 in two's complement
+    flat = np.zeros((h, w))
+    assert dhash64(flat) == 0  # ties are not '>'
+
+
+def test_small_image_rejected():
+    with pytest.raises(ValueError, match="dhash grid"):
+        dhash64(np.zeros((4, 4)))
+
+
+def test_cross_format_stability_and_robustness():
+    """Same pixels as BMP and PNG hash identically (both lossless);
+    mild brightness shift stays near, random image is far."""
+    base = _img(1)
+    h_bmp = dhash64(base)
+    # dHash depends only on luminance ordering -> +0.08 brightness
+    # (clipped) flips at most a few cells near saturation
+    bright = np.clip(base + 0.08, 0.0, 1.0)
+    other = _img(2)
+    d_bright = bin((h_bmp ^ dhash64(bright)) & (1 << 64) - 1).count("1")
+    d_other = bin((h_bmp ^ dhash64(other)) & (1 << 64) - 1).count("1")
+    assert d_bright <= 8
+    assert d_other > 16  # two random orderings agree ~50% of 64 bits
+
+
+def test_spark_hashes_match_local(spark):
+    imgs = {i: _img(i) for i in range(6)}
+    rows = []
+    for i, a in imgs.items():
+        payload = encode_bmp24(a) if i % 2 == 0 else encode_png(a)
+        rows.append((i, "image", bytearray(payload)))
+    rows.append((99, "image", bytearray(b"not an image")))  # dropped
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhashes(media).collect()}
+    # byte-encode/decode round trip quantizes to uint8 — hash the
+    # quantized pixels, exactly what the executors decoded
+    want = {
+        i: dhash64(np.round(a * 255.0).astype(np.uint8).astype(np.float32) / 255.0)
+        for i, a in imgs.items()
+    }
+    assert got == want
+    assert 99 not in got
+
+
+def test_near_dups_banded_equals_bruteforce(spark):
+    base = _img(7)
+    variants = {
+        0: base,
+        1: np.clip(base + 0.05, 0, 1),   # near-dup of 0
+        2: base[:, ::-1].copy(),          # mirrored: far
+        3: _img(8),
+        4: np.clip(_img(8) + 0.04, 0, 1),  # near-dup of 3
+    }
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(encode_bmp24(a))) for i, a in variants.items()],
+        "media_id long, kind string, payload binary",
+    )
+    max_ham = 10
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in image_near_dups(media, max_hamming=max_ham).collect()
+    }
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhashes(media).collect()}
+    want = {}
+    for a in sorted(hashes):
+        for b in sorted(hashes):
+            if a < b:
+                d = bin((hashes[a] ^ hashes[b]) & (1 << 64) - 1).count("1")
+                if d <= max_ham:
+                    want[(a, b)] = d
+    assert got == want
+    assert (0, 1) in got and (3, 4) in got
+    assert (0, 2) not in got
