@@ -133,6 +133,47 @@ def test_ivf_topk_no_cartesian(spark):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_image_near_dups_no_cartesian(spark):
+    """dHash near-dup candidates come from the pigeonhole band
+    equi-join (hamming_pairs) — never a cartesian/nested-loop."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.imagehash import image_near_dups
+    from efficient_graph_algorithms_spark.operators.multimodal import encode_bmp24
+
+    rng = np.random.default_rng(5)
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_bmp24(rng.random((16, 18, 3))))) for i in range(6)],
+        "media_id long, payload binary",
+    )
+    plan = _plan(image_near_dups(media, max_hamming=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_bloom_and_cms_join_shapes(spark):
+    """Bloom membership is a plain long equi-join on position; the CMS
+    estimate joins a broadcast sketch — both cartesian-free."""
+    from efficient_graph_algorithms_spark.operators.bloom import (
+        bloom_build, bloom_contains)
+    from efficient_graph_algorithms_spark.operators.cms import (
+        cms_build, cms_estimate)
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    bloom = bloom_build(keys, m_bits=256, n_hashes=3)
+    plan = _plan(bloom_contains(keys, bloom, m_bits=256, n_hashes=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(10)], "doc_id long, text string"
+    )
+    sketch = cms_build(docs, depth=2, width=32)
+    eplan = _plan(cms_estimate(sketch, docs.selectExpr("text as term"), width=32))
+    assert "CartesianProduct" not in eplan
+    assert "BroadcastHashJoin" in eplan  # the sketch side is broadcast
+
+
 def test_state_cutter_bounds_stats(spark):
     """Iterated self-joins barriered by StateCutter keep Catalyst's size
     estimate bounded and real. Through localCheckpoint, Spark 4 carries
