@@ -1282,6 +1282,78 @@ FROM documents WHERE doc_id % 4 = 1
 """
 
 
+def q_audio_afp(spark, sf_dir):
+    """REAL WAV decode → FFT band energies → Haitsma-Kalker clip
+    fingerprint, verified via a closed form: doc_id % 4 == 2 rows carry
+    a 9-frame chirp stepping its exact-bin sine through band schedule
+    s_t = (doc_id + 3t) % 9. With a +3 step no band pair ever
+    interacts, so bit(t,b) = 1 iff b == s_t (band gains the energy) or
+    b == s_{t-1} - 1 (pair below the band that lost it) — pure
+    arithmetic on doc_id for the oracle while Spark actually parses
+    the RIFF bytes and runs the rfft."""
+    from efficient_graph_algorithms_spark.operators.audiohash import audio_afps
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.audiohash import (
+            AFP_BANDS,
+            AFP_FRAME,
+            AFP_FRAMES,
+        )
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_wav_pcm16,
+        )
+
+        per = (AFP_FRAME // 2) // AFP_BANDS
+        i = np.arange(AFP_FRAME)
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                sched = [(did + 3 * t) % AFP_BANDS for t in range(AFP_FRAMES)]
+                x = np.concatenate(
+                    [
+                        0.5 * np.sin(2 * np.pi * (1 + s * per + per // 2) * i / AFP_FRAME)
+                        for s in sched
+                    ]
+                )
+                rows.append((did, "audio", encode_wav_pcm16(x, 16000)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return audio_afps(media)
+
+
+def _audio_afp_oracle_sql() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id, g.t,
+         (doc_id + 3 * g.t) % 9 AS s_t,
+         (doc_id + 3 * (g.t - 1)) % 9 AS s_p
+  FROM documents, LATERAL unnest(generate_series(1, 8)) AS g(t)
+  WHERE doc_id % 4 = 2
+),
+raw AS (
+  SELECT doc_id,
+         sum(CASE WHEN s_t <= 7 THEN (1::HUGEINT << (8 * (t - 1) + s_t))
+                  ELSE 0::HUGEINT END
+           + CASE WHEN s_p >= 1 THEN (1::HUGEINT << (8 * (t - 1) + s_p - 1))
+                  ELSE 0::HUGEINT END) AS v
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       (CASE WHEN v >= (1::HUGEINT << 63) THEN v - (1::HUGEINT << 64)
+             ELSE v END)::BIGINT AS afp
+FROM raw
+"""
+
+
 def q_graph_modularity(spark, sf_dir):
     """Leicht-Newman directed modularity of the synthetic host
     partition (id % HOST_MOD — the same deterministic partition the
@@ -4263,6 +4335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bloom_seen": q_graph_bloom_seen,
         "graph_sssp2": q_graph_sssp2,
         "image_dhash": q_image_dhash,
+        "audio_afp": q_audio_afp,
     }
 
 
@@ -4338,6 +4411,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_bloom_seen": _bloom_seen_oracle_sql(),
         "graph_sssp2": _sssp_oracle_sql(),
         "image_dhash": _image_dhash_oracle_sql(),
+        "audio_afp": _audio_afp_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

@@ -42,6 +42,7 @@ Commands:
     hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
     imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
+    audiohash  --media /path/media.parquet [--pairs --max-hamming 8] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -265,6 +266,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="also emit near-dup pairs (banded Hamming join)")
     ih.add_argument("--max-hamming", type=int, default=6)
     ih.add_argument("--out")
+
+    af = sub.add_parser("audiohash")
+    af.add_argument("--media", required=True,
+                    help="parquet of (media_id, payload binary) WAV rows")
+    af.add_argument("--pairs", action="store_true",
+                    help="also emit near-dup pairs (banded Hamming join)")
+    af.add_argument("--max-hamming", type=int, default=8)
+    af.add_argument("--out")
 
     bl = sub.add_parser("bloom")
     bl.add_argument("--keys", required=True,
@@ -549,6 +558,30 @@ def main(argv: list[str] | None = None) -> int:
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "audiohash":
+        from efficient_graph_algorithms_spark.operators.audiohash import (
+            audio_afps, audio_near_dups)
+
+        media = spark.read.parquet(args.media)
+        out = {"cmd": "audiohash"}
+        if args.pairs:
+            pairs = audio_near_dups(media, max_hamming=args.max_hamming)
+            if args.out:
+                pairs.write.mode("overwrite").parquet(args.out)
+                pairs = spark.read.parquet(args.out)
+            out["pairs"] = pairs.count()
+            out["max_hamming"] = args.max_hamming
+        else:
+            hashes = audio_afps(media)
+            if args.out:
+                hashes.write.mode("overwrite").parquet(args.out)
+                hashes = spark.read.parquet(args.out)
+            out["hashed"] = hashes.count()
+            out["distinct_hashes"] = hashes.select("afp").distinct().count()
+        out["sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "imghash":
