@@ -1354,6 +1354,51 @@ FROM raw
 """
 
 
+def q_video_dhash(spark, sf_dir):
+    """REAL Y4M decode → per-sampled-frame perceptual dHash: doc_id %
+    4 == 3 rows carry a 6-frame step-gradient video (frame f bright
+    for x < 2m, m = 1 + (doc_id + f) % 7); sampling every_n=2 keeps
+    frames 0/2/4, each hashing to the image_dhash closed form
+    2^((doc_id+f)%7) · 0x0101010101010101."""
+    from efficient_graph_algorithms_spark.operators.imagehash import (
+        video_frame_dhashes,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from efficient_graph_algorithms_spark.operators.multimodal import (
+            encode_y4m,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                frames = np.zeros((6, 16, 18), dtype=np.uint8)
+                for f in range(6):
+                    frames[f, :, : 2 * (1 + (did + f) % 7)] = 255
+                rows.append((did, "video", encode_y4m(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = d.select("doc_id").mapInPandas(
+        gen, "media_id long, kind string, payload binary"
+    )
+    return video_frame_dhashes(media, every_n=2)
+
+
+def _video_dhash_oracle_sql() -> str:
+    return """
+SELECT doc_id AS media_id, g.f AS frame_idx,
+       (CAST(1 AS BIGINT) << ((doc_id + g.f) % 7)) * 72340172838076673 AS dhash
+FROM documents, LATERAL unnest([0, 2, 4]) AS g(f)
+WHERE doc_id % 4 = 3
+"""
+
+
 def q_graph_modularity(spark, sf_dir):
     """Leicht-Newman directed modularity of the synthetic host
     partition (id % HOST_MOD — the same deterministic partition the
@@ -4336,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp2": q_graph_sssp2,
         "image_dhash": q_image_dhash,
         "audio_afp": q_audio_afp,
+        "video_dhash": q_video_dhash,
     }
 
 
@@ -4412,6 +4458,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_sssp2": _sssp_oracle_sql(),
         "image_dhash": _image_dhash_oracle_sql(),
         "audio_afp": _audio_afp_oracle_sql(),
+        "video_dhash": _video_dhash_oracle_sql(),
         "graph_wpr3": _wpr3_oracle_sql(),
         "graph_bowtie": _bowtie_oracle_sql(),
         "mirror_sources": _mirror_sources_sql(),

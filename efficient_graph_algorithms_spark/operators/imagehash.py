@@ -118,3 +118,72 @@ def image_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     max_hamming — the banded pigeonhole join, never all-pairs."""
     fp = image_dhashes(media)
     return hamming_pairs(fp, "dhash", max_hamming, bits=64, id_col="media_id")
+
+
+# --- the video face: per-sampled-frame dHash + shared-frame pairing --------
+
+
+def video_frame_dhashes(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """(media_id, frame_idx, dhash) — dHash of every ``every_n``-th
+    luma frame of the REAL Y4M decode (frame 0 always included), the
+    frame-fingerprint table behind video near-dup. Non-Y4M / undersized
+    payloads are dropped (the image_dhashes contract). Same posture as
+    sample_video_frames: mapInPandas, payloads stay on executors,
+    output rows are tiny scalars."""
+    import pandas as pd
+
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        _is_y4m,
+        decode_y4m,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                data = bytes(payload)
+                try:
+                    if not _is_y4m(data):
+                        continue
+                    _fps, frames = decode_y4m(data)
+                    for i in range(0, len(frames), every_n):
+                        rows.append((mid, i, dhash64(frames[i])))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx long, dhash long"
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    every_n: int = 30,
+    min_shared: int = 2,
+    hot_cap: int = 64,
+) -> DataFrame:
+    """(a, b, shared) video pairs sharing ≥ min_shared distinct sampled
+    frame hashes — the inverted-index equi-join of the mirror-detection
+    family (cocite.py): videos join on EXACT frame dhash (the hash
+    already absorbs the near-duplication), hashes appearing in more
+    than ``hot_cap`` videos are dropped before pairing (black/flat
+    frames are the hot keys of video corpora; an uncapped hot hash
+    would pair quadratically). Never all-pairs."""
+    fp = video_frame_dhashes(media, every_n).select("media_id", "dhash").distinct()
+    hot = (
+        fp.groupBy("dhash")
+        .count()
+        .where(F.col("count") > hot_cap)
+        .select("dhash")
+    )
+    cold = fp.join(hot, "dhash", "left_anti")
+    a = cold.select(F.col("media_id").alias("a"), "dhash")
+    b = cold.select(F.col("media_id").alias("b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

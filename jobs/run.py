@@ -43,6 +43,7 @@ Commands:
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
     imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
     audiohash  --media /path/media.parquet [--pairs --max-hamming 8] [--out DIR]
+    vidhash    --media /path/media.parquet [--every-n 30 --pairs --min-shared 2] [--out DIR]
     pca        --embeddings /path/embeddings.parquet [--k 8 --no-center] [--out DIR]
     semdedup   --embeddings /path/embeddings.parquet [--threshold T --centroids C] [--out DIR]
     knn        --embeddings /path/embeddings.parquet [--k 5] [--method lsh|exact] [--out DIR]
@@ -266,6 +267,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="also emit near-dup pairs (banded Hamming join)")
     ih.add_argument("--max-hamming", type=int, default=6)
     ih.add_argument("--out")
+
+    vh = sub.add_parser("vidhash")
+    vh.add_argument("--media", required=True,
+                    help="parquet of (media_id, payload binary) Y4M rows")
+    vh.add_argument("--every-n", type=int, default=30)
+    vh.add_argument("--pairs", action="store_true",
+                    help="emit near-dup pairs (shared-frame inverted index)")
+    vh.add_argument("--min-shared", type=int, default=2)
+    vh.add_argument("--hot-cap", type=int, default=64)
+    vh.add_argument("--out")
 
     af = sub.add_parser("audiohash")
     af.add_argument("--media", required=True,
@@ -558,6 +569,32 @@ def main(argv: list[str] | None = None) -> int:
                           "docs": int(agg["n"]), "tokens": int(agg["t"] or 0),
                           "shards": int(agg["s"] or 0),
                           "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "vidhash":
+        from efficient_graph_algorithms_spark.operators.imagehash import (
+            video_frame_dhashes, video_near_dups)
+
+        media = spark.read.parquet(args.media)
+        out = {"cmd": "vidhash", "every_n": args.every_n}
+        if args.pairs:
+            pairs = video_near_dups(media, every_n=args.every_n,
+                                    min_shared=args.min_shared,
+                                    hot_cap=args.hot_cap)
+            if args.out:
+                pairs.write.mode("overwrite").parquet(args.out)
+                pairs = spark.read.parquet(args.out)
+            out["pairs"] = pairs.count()
+            out["min_shared"] = args.min_shared
+        else:
+            fp = video_frame_dhashes(media, every_n=args.every_n)
+            if args.out:
+                fp.write.mode("overwrite").parquet(args.out)
+                fp = spark.read.parquet(args.out)
+            out["frames_hashed"] = fp.count()
+            out["videos"] = fp.select("media_id").distinct().count()
+        out["sec"] = round(time.time() - t0, 2)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "audiohash":

@@ -117,4 +117,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "graph_modularity", "text_cms",
                        "text_hashvec", "graph_frontier",
                        "graph_bloom_seen", "graph_sssp2",
-                       "image_dhash", "audio_afp"}, outside
+                       "image_dhash", "audio_afp",
+                       "video_dhash"}, outside

@@ -102,3 +102,58 @@ def test_near_dups_banded_equals_bruteforce(spark):
     assert got == want
     assert (0, 1) in got and (3, 4) in got
     assert (0, 2) not in got
+
+
+def _vid_frames(ms, h=16, w=18):
+    """One step-gradient frame per m in ms (bright x<2m, dark after)."""
+    out = np.zeros((len(ms), h, w), dtype=np.float32)
+    for f, m in enumerate(ms):
+        out[f, :, : 2 * m] = 1.0
+    return out
+
+
+def test_video_frame_dhashes_closed_form(spark):
+    from efficient_graph_algorithms_spark.operators.imagehash import (
+        video_frame_dhashes,
+    )
+    from efficient_graph_algorithms_spark.operators.multimodal import encode_y4m
+
+    STRIPE = 72340172838076673  # 0x0101010101010101
+    ms = [1, 4, 7, 2]
+    media = spark.createDataFrame(
+        [(5, bytearray(encode_y4m(_vid_frames(ms)))),
+         (6, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r["dhash"]
+        for r in video_frame_dhashes(media, every_n=2).collect()
+    }
+    # sampled frames 0 and 2: one bright->dark boundary at cell m-1
+    assert got == {(5, 0): (1 << 0) * STRIPE, (5, 2): (1 << 6) * STRIPE}
+
+
+def test_video_near_dups_shared_frames_and_hot_cap(spark):
+    from efficient_graph_algorithms_spark.operators.imagehash import (
+        video_near_dups,
+    )
+    from efficient_graph_algorithms_spark.operators.multimodal import encode_y4m
+
+    flat = 0  # all-dark frame: hashes to 0, planted in EVERY video
+    vids = {
+        0: [1, 2, 3, flat],
+        1: [1, 2, 5, flat],   # shares gradients 1,2 with video 0
+        2: [6, 7, 5, flat],   # shares only gradient 5 with video 1
+        3: [4, 4, 4, flat],
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_y4m(_vid_frames(ms)))) for i, ms in vids.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["a"], r["b"]): r["shared"]
+        for r in video_near_dups(media, every_n=1, min_shared=2, hot_cap=3).collect()
+    }
+    # the flat frame appears in all 4 videos > hot_cap=3 -> dropped, so
+    # only (0,1) clears min_shared=2 via the two shared gradients
+    assert got == {(0, 1): 2}
