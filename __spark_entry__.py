@@ -1237,6 +1237,63 @@ def _sssp_oracle_sql() -> str:
     return "\n".join(lines) + "\nSELECT id, dist FROM fin"
 
 
+REDIR_ROUNDS = 4  # 2^4 = 16 >= the max chain length 8 of the derived map
+REDIR_KEY_MOD = 3  # 3 is coprime to GRAPH_V, so the affine target map
+# (13*id + 6) % GRAPH_V does NOT preserve id % 3 — targets land back in
+# the key set ~1/3 of the time and chains of up to 8 hops form
+# (measured on the fixed sf0.01 derived graph; a modulus dividing
+# GRAPH_V would make every chain length exactly 1).
+
+
+def q_graph_redirects(spark, sf_dir):
+    """Redirect-chain resolution (url canonicalization) by pointer
+    doubling through the real operator: redirect sources are derived
+    vertices with id % 3 == 1, target = (13*id + 6) % GRAPH_V; after
+    REDIR_ROUNDS doubling rounds every chain (max measured length 8)
+    is resolved to its terminal with exact hop count. The oracle
+    unrolls the identical doubling arithmetic — the fixed-round state
+    is deterministic even for cycles (none in this map; the cycle path
+    is pytest-covered)."""
+    from efficient_graph_algorithms_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    v = _vertices(_graph_edges(spark, sf_dir))
+    red = v.where(F.col("id") % REDIR_KEY_MOD == 1).select(
+        "id", ((F.col("id") * 13 + 6) % GRAPH_V).alias("target")
+    )
+    out, info = resolve_redirects(spark, red, rounds=REDIR_ROUNDS)
+    assert info["n_unresolved"] == 0, info
+    return out.select("id", "terminal", "hops", "resolved")
+
+
+def _redirects_oracle_sql() -> str:
+    lines = [
+        f"WITH e AS ({_E_SQL}),",
+        f"v AS ({_V_SQL}),",
+        f"r AS (SELECT id, (id * 13 + 6) % {GRAPH_V} AS target FROM v "
+        f"WHERE id % {REDIR_KEY_MOD} = 1),",
+        "s0 AS (SELECT r.id, r.target AS ptr, CAST(1 AS BIGINT) AS hops, "
+        "CASE WHEN t.id IS NULL THEN 1 ELSE 0 END AS done "
+        "FROM r LEFT JOIN r t ON r.target = t.id),",
+    ]
+    for i in range(1, REDIR_ROUNDS + 1):
+        p = i - 1
+        lines.append(
+            f"s{i} AS (SELECT s.id, "
+            "CASE WHEN s.done = 1 THEN s.ptr ELSE t.ptr END AS ptr, "
+            "CASE WHEN s.done = 1 THEN s.hops ELSE s.hops + t.hops END AS hops, "
+            "CASE WHEN s.done = 1 THEN 1 ELSE t.done END AS done "
+            f"FROM s{p} s LEFT JOIN s{p} t ON s.ptr = t.id),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    return (
+        "\n".join(lines)
+        + f"\nSELECT id, ptr AS terminal, hops, CAST(done AS INT) AS resolved "
+        f"FROM s{REDIR_ROUNDS}"
+    )
+
+
 def q_image_dhash(spark, sf_dir):
     """REAL BMP decode → perceptual dHash, hash-verified via a closed
     form: doc_id % 4 == 1 rows carry an 18×16 step-gradient BMP
@@ -4379,6 +4436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_frontier": q_graph_frontier,
         "graph_bloom_seen": q_graph_bloom_seen,
         "graph_sssp2": q_graph_sssp2,
+        "graph_redirects": q_graph_redirects,
         "image_dhash": q_image_dhash,
         "audio_afp": q_audio_afp,
         "video_dhash": q_video_dhash,
@@ -4405,6 +4463,7 @@ _MATERIALIZE_CHAINS = (
     "graph_gw2",
     "graph_gw_partition",
     "graph_sssp2",
+    "graph_redirects",
 )
 
 
@@ -4456,6 +4515,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_frontier": _frontier_oracle_sql(),
         "graph_bloom_seen": _bloom_seen_oracle_sql(),
         "graph_sssp2": _sssp_oracle_sql(),
+        "graph_redirects": _redirects_oracle_sql(),
         "image_dhash": _image_dhash_oracle_sql(),
         "audio_afp": _audio_afp_oracle_sql(),
         "video_dhash": _video_dhash_oracle_sql(),
