@@ -41,6 +41,7 @@ Commands:
     cms        --docs /path/documents.parquet [--depth 4 --width 65536 --min-count 100] [--out DIR]
     hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
+    redirects  --map /path/redirects.parquet [--rounds N] [--out DIR]
     imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
     audiohash  --media /path/media.parquet [--pairs --max-hamming 8] [--out DIR]
     vidhash    --media /path/media.parquet [--every-n 30 --pairs --min-shared 2] [--out DIR]
@@ -296,6 +297,15 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--m-bits", type=int, default=1 << 24)
     bl.add_argument("--hashes", type=int, default=4)
     bl.add_argument("--out")
+
+    rd = sub.add_parser("redirects")
+    rd.add_argument("--map", required=True, dest="redirect_map",
+                    help="parquet of (id, target) — the crawl's 3xx layer, "
+                         "one row per redirecting url")
+    rd.add_argument("--rounds", type=int,
+                    help="pointer-doubling rounds (default: enough for any "
+                         "acyclic chain)")
+    rd.add_argument("--out")
 
     hv = sub.add_parser("hashvec")
     hv.add_argument("--docs", required=True)
@@ -667,6 +677,31 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "bloom", "m_bits": args.m_bits, "hashes": args.hashes,
             "set_bits": n_bits, "probes": int(agg["n"] or 0),
             "maybe_members": int(agg["hits"] or 0),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "redirects":
+        from efficient_graph_algorithms_spark.operators.redirects import (
+            resolve_redirects)
+
+        rmap = spark.read.parquet(args.redirect_map)
+        out, info = resolve_redirects(spark, rmap, rounds=args.rounds)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("resolved")).alias("res"),
+            F.max(F.when(F.col("resolved") == 1, F.col("hops"))).alias("mx"),
+            F.avg(F.when(F.col("resolved") == 1, F.col("hops"))).alias("avg"),
+        ).first()
+        print(json.dumps({
+            "cmd": "redirects", "sources": int(agg["n"] or 0),
+            "resolved": int(agg["res"] or 0),
+            "unresolved": info["n_unresolved"],
+            "rounds_run": info["rounds_run"],
+            "max_chain": int(agg["mx"] or 0),
+            "avg_chain": round(float(agg["avg"] or 0), 4),
             "sec": round(time.time() - t0, 2)}))
         return 0
 
