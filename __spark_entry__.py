@@ -1294,6 +1294,69 @@ def _redirects_oracle_sql() -> str:
     )
 
 
+def q_text_robots(spark, sf_dir):
+    """robots.txt crawl-permission verdicts through the REAL parser +
+    matcher, oracled by a closed form: host h (= id % 50) publishes
+    'Disallow: /pDD' / 'Allow: /pDD/ok' for DD = h % 13 zero-padded,
+    plus 'Disallow: /*.bin$' on h % 5 == 0 hosts; url id gets path
+    /pXX for XX = id % 17, suffixed /ok on id % 3 == 0 else .bin on
+    id % 7 == 1. Longest-match + allow-wins-tie then reduce to pure
+    arithmetic on id (the image_dhash planted-closed-form pattern):
+    /ok rows always allowed; .bin rows blocked on wildcard hosts or
+    digit-equal; bare rows blocked iff digit-equal."""
+    from efficient_graph_algorithms_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    v = _vertices(_graph_edges(spark, sf_dir))
+    dd = F.lpad((F.col("h") % 13).cast("string"), 2, "0")
+    robots = (
+        v.select((F.col("id") % 50).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p"), dd,
+                F.lit("\nAllow: /p"), dd, F.lit("/ok"),
+                F.when(F.col("h") % 5 == 0, F.lit("\nDisallow: /*.bin$"))
+                .otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    urls = v.select(
+        F.col("id").cast("string").alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            F.lpad((F.col("id") % 17).cast("string"), 2, "0"),
+            F.when(F.col("id") % 3 == 0, F.lit("/ok"))
+            .when(F.col("id") % 7 == 1, F.lit(".bin"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    out = robots_filter(urls, parse_robots(robots, user_agent="egabot"))
+    return out.select("url", "host", "path", "allowed")
+
+
+_ROBOTS_ORACLE_SQL = f"""
+WITH e AS ({_E_SQL}),
+v AS ({_V_SQL}),
+u AS (SELECT id, id % 50 AS h, id % 17 AS x,
+  '/p' || lpad(CAST(id % 17 AS VARCHAR), 2, '0') ||
+  CASE WHEN id % 3 = 0 THEN '/ok'
+       WHEN id % 7 = 1 THEN '.bin' ELSE '' END AS path
+ FROM v)
+SELECT CAST(id AS VARCHAR) AS url,
+ 'h' || CAST(h AS VARCHAR) AS host, path,
+ CAST(CASE WHEN id % 3 = 0 THEN 1
+      WHEN id % 7 = 1 THEN
+        CASE WHEN h % 5 = 0 OR x = h % 13 THEN 0 ELSE 1 END
+      ELSE CASE WHEN x = h % 13 THEN 0 ELSE 1 END END AS INT) AS allowed
+FROM u
+"""
+
+
 def q_image_dhash(spark, sf_dir):
     """REAL BMP decode → perceptual dHash, hash-verified via a closed
     form: doc_id % 4 == 1 rows carry an 18×16 step-gradient BMP
@@ -4437,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bloom_seen": q_graph_bloom_seen,
         "graph_sssp2": q_graph_sssp2,
         "graph_redirects": q_graph_redirects,
+        "text_robots": q_text_robots,
         "image_dhash": q_image_dhash,
         "audio_afp": q_audio_afp,
         "video_dhash": q_video_dhash,
@@ -4516,6 +4580,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_bloom_seen": _bloom_seen_oracle_sql(),
         "graph_sssp2": _sssp_oracle_sql(),
         "graph_redirects": _redirects_oracle_sql(),
+        "text_robots": _ROBOTS_ORACLE_SQL,
         "image_dhash": _image_dhash_oracle_sql(),
         "audio_afp": _audio_afp_oracle_sql(),
         "video_dhash": _video_dhash_oracle_sql(),

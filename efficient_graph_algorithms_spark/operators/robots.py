@@ -1,0 +1,186 @@
+"""robots.txt crawl-permission matching (RFC 9309 / Google REP).
+
+The politeness layer above the crawl frontier: given each host's
+robots.txt body and a url table, decide per url whether the crawler's
+user-agent may fetch it.  Frontier sharding (`operators/frontier.py`)
+spreads hosts across fetchers; this operator decides what those
+fetchers may touch.
+
+Semantics implemented (the RFC 9309 core):
+
+- groups: consecutive ``User-agent:`` lines share the following
+  ``Allow:``/``Disallow:`` rules; a ``User-agent:`` line after a rule
+  line starts a new group.
+- group selection: if any group names the crawler's agent token
+  exactly (case-insensitive), exactly those groups apply; otherwise
+  the ``*`` groups apply; a host with neither (or no robots.txt row
+  at all) allows everything.
+- rule match: patterns are path prefixes with ``*`` (any chars) and a
+  trailing ``$`` (end anchor); comments (``#``) stripped; empty
+  patterns ignored (an empty Disallow allows all).
+- precedence: the LONGEST matching pattern wins (raw pattern length,
+  the Google-REP rule); at equal length Allow beats Disallow; no
+  matching rule means allowed.
+
+Plan shape — everything stays in JVM whole-stage codegen:
+parsing is split/posexplode + regexp_extract per line, group ids are
+one running-sum window per (host, line) — robots bodies are small
+(crawlers cap them at 500 KiB) so the per-host window is bounded;
+matching is one equi-join urls ⋈ rules on host followed by a per-url
+ranking window.  Hot hosts fan out rules-per-host times, which is
+bounded by the robots size cap, never by the corpus.  No Python in
+the path: the ``RLIKE`` pattern column is compiled JVM-side per rule.
+
+No counterpart in ``reference src/ega``; engine extension in the
+§2.12 web-pipeline family (frontier/Bloom/redirects siblings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# escape every regex metacharacter EXCEPT * (wildcard); $ is escaped
+# too — the TRAILING anchor is stripped before escaping and re-appended
+# raw, so only interior (literal, per the REP) dollars reach this
+_ESCAPE_RX = r"([.^+?(){}\[\]|\\$])"
+
+
+def parse_robots(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into the applicable rule table.
+
+    robots: one row per host with the raw robots.txt body.  Returns
+    (host, pattern, is_allow, plen, rx) — only the rules of the
+    groups that apply to ``user_agent`` (exact-token groups when the
+    host has any, else the ``*`` groups), empty patterns dropped,
+    ``rx`` the anchored regex translation of the pattern.
+    """
+    agent = user_agent.strip().lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        # \r?\n so CRLF bodies don't leak \r into patterns (Spark trim
+        # strips spaces only, unlike Python strip)
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+        ).alias("ln", "raw"),
+    )
+    _strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    kv = lines.select(
+        "host",
+        "ln",
+        F.lower(
+            F.regexp_extract(F.col("raw"), r"^\s*([A-Za-z-]+)\s*:", 1)
+        ).alias("key"),
+        # value: after the first colon, comment-stripped, whitespace-stripped
+        _strip(
+            F.regexp_replace(
+                F.regexp_extract(F.col("raw"), r":(.*)$", 1), "#.*$", ""
+            )
+        ).alias("val"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = kv.select(
+        "host",
+        "ln",
+        "key",
+        "val",
+        F.sum(
+            # a user-agent line NOT preceded by another user-agent line
+            # opens a new group
+            F.when(
+                (F.col("key") == "user-agent")
+                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("gid"),
+    )
+
+    uas = grouped.where(F.col("key") == "user-agent").select(
+        "host", "gid", F.lower(F.col("val")).alias("ua")
+    )
+    # choose groups: exact-agent groups when the host has any, else *
+    chosen = (
+        uas.where(F.col("ua").isin(agent, "*"))
+        .groupBy("host", "gid")
+        .agg(F.max(F.when(F.col("ua") == agent, 1).otherwise(0)).alias("spec"))
+        .withColumn(
+            "best", F.max("spec").over(Window.partitionBy("host"))
+        )
+        .where(F.col("spec") == F.col("best"))
+        .select("host", "gid")
+    )
+
+    rules = (
+        grouped.where(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
+        .join(chosen, ["host", "gid"])
+        .select(
+            "host",
+            F.col("val").alias("pattern"),
+            (F.col("key") == "allow").cast("int").alias("is_allow"),
+            F.length("val").alias("plen"),
+        )
+        .distinct()
+    )
+    anchored = F.col("pattern").endswith("$")
+    body = F.when(anchored, F.expr("substring(pattern, 1, length(pattern) - 1)")).otherwise(
+        F.col("pattern")
+    )
+    rx_body = F.regexp_replace(
+        F.regexp_replace(body, _ESCAPE_RX, r"\\$1"), r"\*", ".*"
+    )
+    return rules.select(
+        "host",
+        "pattern",
+        "is_allow",
+        "plen",
+        F.concat(
+            F.lit("^"), rx_body, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+        ).alias("rx"),
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-url crawl verdicts against a parsed rule table.
+
+    urls: (url, host, path) — ``url`` must be unique (it keys the
+    ranking window).  Returns (url, host, path, allowed, matched_rule)
+    where matched_rule is the winning pattern (NULL when no rule
+    matched and the default-allow applied).
+    """
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+    )
+    matches = u.join(rules, "host").where(F.expr("path RLIKE rx"))
+    w = Window.partitionBy("url").orderBy(
+        F.desc("plen"), F.desc("is_allow"), F.asc("pattern")
+    )
+    winner = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("url", "is_allow", "pattern")
+    )
+    # urls whose host has no applicable rules — or none that match —
+    # fall through to the default allow via this left join
+    return u.join(winner, "url", "left").select(
+        "url",
+        "host",
+        "path",
+        F.coalesce(F.col("is_allow"), F.lit(1)).cast("int").alias("allowed"),
+        F.col("pattern").alias("matched_rule"),
+    )

@@ -42,6 +42,7 @@ Commands:
     hashvec    --docs /path/documents.parquet [--dim 262144 --unsigned] [--out DIR]
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
     redirects  --map /path/redirects.parquet [--rounds N] [--out DIR]
+    robots     --robots /path/robots.parquet --urls /path/urls.parquet [--agent NAME] [--out DIR]
     imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
     audiohash  --media /path/media.parquet [--pairs --max-hamming 8] [--out DIR]
     vidhash    --media /path/media.parquet [--every-n 30 --pairs --min-shared 2] [--out DIR]
@@ -297,6 +298,14 @@ def main(argv: list[str] | None = None) -> int:
     bl.add_argument("--m-bits", type=int, default=1 << 24)
     bl.add_argument("--hashes", type=int, default=4)
     bl.add_argument("--out")
+
+    rb = sub.add_parser("robots")
+    rb.add_argument("--robots", required=True,
+                    help="parquet of (host, robots_txt)")
+    rb.add_argument("--urls", required=True,
+                    help="parquet of (url, host, path)")
+    rb.add_argument("--agent", default="*")
+    rb.add_argument("--out")
 
     rd = sub.add_parser("redirects")
     rd.add_argument("--map", required=True, dest="redirect_map",
@@ -677,6 +686,31 @@ def main(argv: list[str] | None = None) -> int:
             "cmd": "bloom", "m_bits": args.m_bits, "hashes": args.hashes,
             "set_bits": n_bits, "probes": int(agg["n"] or 0),
             "maybe_members": int(agg["hits"] or 0),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "robots":
+        from efficient_graph_algorithms_spark.operators.robots import (
+            parse_robots, robots_filter)
+
+        rules = parse_robots(spark.read.parquet(args.robots),
+                             user_agent=args.agent).persist()
+        n_rules = rules.count()
+        out = robots_filter(spark.read.parquet(args.urls), rules)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum("allowed").alias("ok"),
+            F.countDistinct(F.when(F.col("allowed") == 0, F.col("host")))
+            .alias("blocking_hosts")).first()
+        rules.unpersist()
+        print(json.dumps({
+            "cmd": "robots", "agent": args.agent, "rules": n_rules,
+            "urls": int(agg["n"] or 0), "allowed": int(agg["ok"] or 0),
+            "disallowed": int((agg["n"] or 0) - (agg["ok"] or 0)),
+            "blocking_hosts": int(agg["blocking_hosts"] or 0),
             "sec": round(time.time() - t0, 2)}))
         return 0
 
