@@ -147,6 +147,93 @@ def parse_robots(
     )
 
 
+def robots_directives(
+    robots: DataFrame,
+    user_agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Non-rule REP directives: per-host ``Crawl-delay`` and ``Sitemap``.
+
+    Returns (host, crawl_delay, sitemaps): crawl_delay is the MINIMUM
+    delay (seconds, double) across the groups that apply to
+    ``user_agent`` (exact-agent groups when the host has any, else
+    ``*`` — the conservative politeness choice when several apply;
+    NULL when none is declared or the value isn't numeric); sitemaps
+    is the sorted distinct list of ``Sitemap:`` urls, which are
+    host-wide per the REP (they do not belong to groups and do not
+    split them here). Feeds the frontier politeness layer
+    (`operators/frontier.py`) and crawl discovery.
+    """
+    agent = user_agent.strip().lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+        ).alias("ln", "raw"),
+    )
+    strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    kv = lines.select(
+        "host",
+        "ln",
+        F.lower(
+            F.regexp_extract(F.col("raw"), r"^\s*([A-Za-z-]+)\s*:", 1)
+        ).alias("key"),
+        strip_ws(
+            F.regexp_replace(
+                F.regexp_extract(F.col("raw"), r":(.*)$", 1), "#.*$", ""
+            )
+        ).alias("val"),
+    ).where(F.col("key").isin("user-agent", "crawl-delay", "sitemap"))
+
+    sitemaps = (
+        kv.where((F.col("key") == "sitemap") & (F.col("val") != ""))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("val")).alias("sitemaps"))
+    )
+
+    gkv = kv.where(F.col("key") != "sitemap")
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = gkv.select(
+        "host",
+        "key",
+        "val",
+        F.sum(
+            F.when(
+                (F.col("key") == "user-agent")
+                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("gid"),
+    )
+    uas = grouped.where(F.col("key") == "user-agent").select(
+        "host", "gid", F.lower(F.col("val")).alias("ua")
+    )
+    chosen = (
+        uas.where(F.col("ua").isin(agent, "*"))
+        .groupBy("host", "gid")
+        .agg(F.max(F.when(F.col("ua") == agent, 1).otherwise(0)).alias("spec"))
+        .withColumn("best", F.max("spec").over(Window.partitionBy("host")))
+        .where(F.col("spec") == F.col("best"))
+        .select("host", "gid")
+    )
+    delays = (
+        grouped.where(F.col("key") == "crawl-delay")
+        .join(chosen, ["host", "gid"])
+        .groupBy("host")
+        .agg(F.min(F.col("val").try_cast("double")).alias("crawl_delay"))
+    )
+
+    hosts = robots.select(F.col(host_col).alias("host")).distinct()
+    return (
+        hosts.join(delays, "host", "left")
+        .join(sitemaps, "host", "left")
+        .select("host", "crawl_delay", "sitemaps")
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,

@@ -691,11 +691,16 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "robots":
         from efficient_graph_algorithms_spark.operators.robots import (
-            parse_robots, robots_filter)
+            parse_robots, robots_directives, robots_filter)
 
-        rules = parse_robots(spark.read.parquet(args.robots),
-                             user_agent=args.agent).persist()
+        robots_df = spark.read.parquet(args.robots)
+        rules = parse_robots(robots_df, user_agent=args.agent).persist()
         n_rules = rules.count()
+        dirs = robots_directives(robots_df, user_agent=args.agent).agg(
+            F.count(F.col("crawl_delay")).alias("delay_hosts"),
+            F.max("crawl_delay").alias("max_delay"),
+            F.sum(F.size(F.coalesce(F.col("sitemaps"), F.array())))
+            .alias("sitemaps")).first()
         out = robots_filter(spark.read.parquet(args.urls), rules)
         if args.out:
             out.write.mode("overwrite").parquet(args.out)
@@ -711,6 +716,10 @@ def main(argv: list[str] | None = None) -> int:
             "urls": int(agg["n"] or 0), "allowed": int(agg["ok"] or 0),
             "disallowed": int((agg["n"] or 0) - (agg["ok"] or 0)),
             "blocking_hosts": int(agg["blocking_hosts"] or 0),
+            "crawl_delay_hosts": int(dirs["delay_hosts"] or 0),
+            "max_crawl_delay": (None if dirs["max_delay"] is None
+                                else float(dirs["max_delay"])),
+            "sitemap_urls": int(dirs["sitemaps"] or 0),
             "sec": round(time.time() - t0, 2)}))
         return 0
 

@@ -122,6 +122,47 @@ def test_robots_match_mirror(spark, agent):
         assert got[url] == want, (url, agent, got[url], want)
 
 
+def test_robots_directives(spark):
+    from efficient_graph_algorithms_spark.operators.robots import (
+        robots_directives,
+    )
+
+    bodies = {
+        "h1": (
+            "Sitemap: https://h1/s1.xml\n"
+            "User-agent: EGAbot\n"
+            "Crawl-delay: 2.5\n"
+            "User-agent: *\n"
+            "Crawl-delay: 10\n"
+            "Sitemap: https://h1/s0.xml\n"  # host-wide, position-independent
+        ),
+        "h2": (
+            "User-agent: *\n"
+            "Crawl-delay: 7\n"
+            "Crawl-delay: 3\n"  # several in one group: min wins
+        ),
+        "h3": "User-agent: *\nDisallow: /x\n",  # no directives
+        "h4": "User-agent: *\nCrawl-delay: fast\n",  # non-numeric -> NULL
+    }
+    robots = spark.createDataFrame(
+        list(bodies.items()), "host string, robots_txt string"
+    )
+    got = {
+        r["host"]: (r["crawl_delay"], r["sitemaps"])
+        for r in robots_directives(robots, user_agent="egabot").collect()
+    }
+    assert got["h1"] == (2.5, ["https://h1/s0.xml", "https://h1/s1.xml"])
+    assert got["h2"] == (3.0, None)
+    assert got["h3"] == (None, None)
+    assert got["h4"] == (None, None)
+    # star agent picks the * group's delay on h1
+    star = {
+        r["host"]: r["crawl_delay"]
+        for r in robots_directives(robots, user_agent="*").collect()
+    }
+    assert star["h1"] == 10.0
+
+
 def test_robots_expected_verdicts(spark):
     """Spot-check the headline semantics directly (not via the mirror)."""
     robots = spark.createDataFrame(
