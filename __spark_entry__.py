@@ -1357,6 +1357,82 @@ FROM u
 """
 
 
+def q_text_sitemaps(spark, sf_dir):
+    """Sitemap XML parsing through the REAL regex operator over
+    deterministically synthesized bodies: h % 4 == 0 hosts publish a
+    2-child <sitemapindex>, the rest a <urlset> with 1 + h % 3 page
+    entries (even-indexed ones carrying <lastmod>) plus an
+    entity-escaped query url on h % 5 == 1 hosts. The oracle emits
+    the same rows by pure arithmetic — incl. the &amp;→& unescape."""
+    from efficient_graph_algorithms_spark.operators.sitemaps import (
+        parse_sitemaps,
+    )
+
+    v = _vertices(_graph_edges(spark, sf_dir))
+    hosts = v.select((F.col("id") % 50).alias("h")).distinct()
+    h = F.col("h")
+    hn = h.cast("string")
+    lm = F.concat(F.lit("2026-03-"), F.lpad((h % 28 + 1).cast("string"), 2, "0"))
+
+    def url_entry(j):
+        mod = (
+            F.concat(F.lit("<lastmod>"), lm, F.lit("</lastmod>"))
+            if j % 2 == 0
+            else F.lit("")
+        )
+        return F.concat(
+            F.lit("<url><loc>https://h"), hn, F.lit(f"/p{j}</loc>"),
+            mod, F.lit("</url>"),
+        )
+
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        url_entry(0),
+        F.when(h % 3 >= 1, url_entry(1)).otherwise(F.lit("")),
+        F.when(h % 3 >= 2, url_entry(2)).otherwise(F.lit("")),
+        F.when(
+            h % 5 == 1,
+            F.concat(
+                F.lit("<url><loc>https://h"), hn,
+                F.lit("/q?a=1&amp;b=2</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://h"), hn,
+        F.lit("/s0.xml</loc></sitemap><sitemap><loc>https://h"), hn,
+        F.lit("/s1.xml</loc></sitemap></sitemapindex>"),
+    )
+    bodies = hosts.select(
+        F.concat(F.lit("h"), hn).alias("host"),
+        F.when(h % 4 == 0, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    return parse_sitemaps(bodies).select("host", "kind", "url", "lastmod")
+
+
+_SITEMAPS_ORACLE_SQL = f"""
+WITH e AS ({_E_SQL}),
+v AS ({_V_SQL}),
+hs AS (SELECT DISTINCT id % 50 AS h FROM v)
+SELECT 'h' || CAST(h AS VARCHAR) AS host, 'url' AS kind,
+  'https://h' || CAST(h AS VARCHAR) || '/p' || CAST(j AS VARCHAR) AS url,
+  CASE WHEN j % 2 = 0
+       THEN '2026-03-' || lpad(CAST(h % 28 + 1 AS VARCHAR), 2, '0')
+  END AS lastmod
+FROM hs, range(0, 3) t(j) WHERE h % 4 <> 0 AND j <= h % 3
+UNION ALL
+SELECT 'h' || CAST(h AS VARCHAR), 'url',
+  'https://h' || CAST(h AS VARCHAR) || '/q?a=1&b=2', NULL
+FROM hs WHERE h % 4 <> 0 AND h % 5 = 1
+UNION ALL
+SELECT 'h' || CAST(h AS VARCHAR), 'sitemap',
+  'https://h' || CAST(h AS VARCHAR) || '/s' || CAST(j AS VARCHAR) || '.xml',
+  NULL
+FROM hs, range(0, 2) t(j) WHERE h % 4 = 0
+"""
+
+
 def q_image_dhash(spark, sf_dir):
     """REAL BMP decode → perceptual dHash, hash-verified via a closed
     form: doc_id % 4 == 1 rows carry an 18×16 step-gradient BMP
@@ -4501,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp2": q_graph_sssp2,
         "graph_redirects": q_graph_redirects,
         "text_robots": q_text_robots,
+        "text_sitemaps": q_text_sitemaps,
         "image_dhash": q_image_dhash,
         "audio_afp": q_audio_afp,
         "video_dhash": q_video_dhash,
@@ -4581,6 +4658,7 @@ FROM e JOIN f ON e.src = f.id GROUP BY e.dst
         "graph_sssp2": _sssp_oracle_sql(),
         "graph_redirects": _redirects_oracle_sql(),
         "text_robots": _ROBOTS_ORACLE_SQL,
+        "text_sitemaps": _SITEMAPS_ORACLE_SQL,
         "image_dhash": _image_dhash_oracle_sql(),
         "audio_afp": _audio_afp_oracle_sql(),
         "video_dhash": _video_dhash_oracle_sql(),

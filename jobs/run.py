@@ -43,6 +43,7 @@ Commands:
     bloom      --keys /path/old_urls --probes /path/new_urls [--key-col url --m-bits N --hashes 4] [--out DIR]
     redirects  --map /path/redirects.parquet [--rounds N] [--out DIR]
     robots     --robots /path/robots.parquet --urls /path/urls.parquet [--agent NAME] [--out DIR]
+    sitemaps   --sitemaps /path/sitemaps.parquet [--out DIR]
     imghash    --media /path/media.parquet [--pairs --max-hamming 6] [--out DIR]
     audiohash  --media /path/media.parquet [--pairs --max-hamming 8] [--out DIR]
     vidhash    --media /path/media.parquet [--every-n 30 --pairs --min-shared 2] [--out DIR]
@@ -306,6 +307,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet of (url, host, path)")
     rb.add_argument("--agent", default="*")
     rb.add_argument("--out")
+
+    sm2 = sub.add_parser("sitemaps")
+    sm2.add_argument("--sitemaps", required=True,
+                     help="parquet of (host, sitemap_xml)")
+    sm2.add_argument("--out")
 
     rd = sub.add_parser("redirects")
     rd.add_argument("--map", required=True, dest="redirect_map",
@@ -720,6 +726,29 @@ def main(argv: list[str] | None = None) -> int:
             "max_crawl_delay": (None if dirs["max_delay"] is None
                                 else float(dirs["max_delay"])),
             "sitemap_urls": int(dirs["sitemaps"] or 0),
+            "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "sitemaps":
+        from efficient_graph_algorithms_spark.operators.sitemaps import (
+            parse_sitemaps)
+
+        out = parse_sitemaps(spark.read.parquet(args.sitemaps))
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            out = spark.read.parquet(args.out)
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("kind") == "url").cast("int")).alias("n_urls"),
+            F.sum((F.col("kind") == "sitemap").cast("int")).alias("n_children"),
+            F.sum(F.col("lastmod").isNotNull().cast("int")).alias("n_lastmod"),
+            F.countDistinct("host").alias("hosts")).first()
+        print(json.dumps({
+            "cmd": "sitemaps", "entries": int(agg["n"] or 0),
+            "page_urls": int(agg["n_urls"] or 0),
+            "child_sitemaps": int(agg["n_children"] or 0),
+            "with_lastmod": int(agg["n_lastmod"] or 0),
+            "hosts": int(agg["hosts"] or 0),
             "sec": round(time.time() - t0, 2)}))
         return 0
 
