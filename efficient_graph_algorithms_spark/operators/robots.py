@@ -63,10 +63,11 @@ def parse_robots(
     agent = user_agent.strip().lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
-        # \r?\n so CRLF bodies don't leak \r into patterns (Spark trim
-        # strips spaces only, unlike Python strip)
+        # CRLF/CR/LF all terminate lines (lone \r included — Java's
+        # dot treats \r as a terminator, so letting it survive into a
+        # line would make ':(.*)$' silently fail on that line)
         F.posexplode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
         ).alias("ln", "raw"),
     )
     _strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
@@ -169,7 +170,7 @@ def robots_directives(
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r?\n")
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
         ).alias("ln", "raw"),
     )
     strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731

@@ -61,7 +61,7 @@ URLS = [
 def mirror_parse(body: str, agent: str):
     agent = agent.lower()
     entries = []
-    for raw in (body or "").split("\n"):
+    for raw in re.split(r"\r\n|\r|\n", body or ""):
         m = re.match(r"^\s*([A-Za-z-]+)\s*:", raw)
         if not m:
             continue
