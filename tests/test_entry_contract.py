@@ -118,4 +118,5 @@ def test_driver_row_window_covers_rotated_queries():
                        "text_hashvec", "graph_frontier",
                        "graph_bloom_seen", "graph_sssp2",
                        "image_dhash", "audio_afp",
-                       "video_dhash"}, outside
+                       "video_dhash", "graph_redirects",
+                       "text_robots", "text_sitemaps"}, outside
