@@ -106,11 +106,15 @@ def resolve_redirects(
     )
 
     rounds_run = 0
+    undone_agg = {"undone": F.sum(1 - F.col("done"))}
     with StateCutter(spark, "redirects") as cut:
-        state = cut(state)
+        # the unresolved counter rides every cut write as a
+        # CollectMetrics partial (the sssp/pagerank observe pattern) —
+        # one job per round, no separate early-stop scan
+        state, got = cut.observe(state, **undone_agg)
+        undone = int(got["undone"] or 0)
         for _ in range(rounds):
-            live = state.where(F.col("done") == 0)
-            if live.limit(1).count() == 0:
+            if undone == 0:
                 break  # identity from here on — agrees with any deeper unroll
             t = state.select(
                 F.col("id").alias("t_id"),
@@ -137,7 +141,8 @@ def resolve_redirects(
                 )
                 .repartition(sp, "id")
             )
-            state = cut(nxt)
+            state, got = cut.observe(nxt, **undone_agg)
+            undone = int(got["undone"] or 0)
             rounds_run += 1
 
         out = state.select(
@@ -146,9 +151,8 @@ def resolve_redirects(
             "hops",
             F.col("done").alias("resolved"),
         )
-        n_unresolved = out.where(F.col("resolved") == 0).count()
         # materialize before the cutter's scratch dir is torn down
         out = out.localCheckpoint(eager=True)
 
-    info = {"rounds_run": rounds_run, "rounds_max": rounds, "n_unresolved": n_unresolved}
+    info = {"rounds_run": rounds_run, "rounds_max": rounds, "n_unresolved": undone}
     return out, info

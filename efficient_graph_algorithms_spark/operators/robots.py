@@ -8,9 +8,13 @@ fetchers may touch.
 
 Semantics implemented (the RFC 9309 core):
 
-- groups: consecutive ``User-agent:`` lines share the following
-  ``Allow:``/``Disallow:`` rules; a ``User-agent:`` line after a rule
-  line starts a new group.
+- groups: consecutive ``User-agent:`` lines share the following group
+  records (``Allow:``/``Disallow:``/``Crawl-delay:``); ANY group
+  record after a ``User-agent:`` line ends that accumulation, so the
+  next ``User-agent:`` starts a new group.  ``Sitemap:`` is a
+  host-wide record — transparent to grouping.  Both faces of the
+  operator (rules and directives) share ONE grouping computation, so
+  they can never disagree about which group a line belongs to.
 - group selection: if any group names the crawler's agent token
   exactly (case-insensitive), exactly those groups apply; otherwise
   the ``*`` groups apply; a host with neither (or no robots.txt row
@@ -45,6 +49,81 @@ from pyspark.sql import functions as F
 # raw, so only interior (literal, per the REP) dollars reach this
 _ESCAPE_RX = r"([.^+?(){}\[\]|\\$])"
 
+# records that belong to (and delimit) user-agent groups
+_GROUP_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def _kv_lines(
+    robots: DataFrame, host_col: str, body_col: str, keys: tuple[str, ...]
+) -> DataFrame:
+    """(host, ln, key, val) per recognized robots.txt line."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        # CRLF/CR/LF all terminate lines (lone \r included — Java's
+        # dot treats \r as a terminator, so letting it survive into a
+        # line would make ':(.*)$' silently fail on that line)
+        F.posexplode(
+            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
+        ).alias("ln", "raw"),
+    )
+    strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
+    return lines.select(
+        "host",
+        "ln",
+        F.lower(
+            F.regexp_extract(F.col("raw"), r"^\s*([A-Za-z-]+)\s*:", 1)
+        ).alias("key"),
+        # value: after the first colon, comment-stripped, whitespace-stripped
+        strip_ws(
+            F.regexp_replace(
+                F.regexp_extract(F.col("raw"), r":(.*)$", 1), "#.*$", ""
+            )
+        ).alias("val"),
+    ).where(F.col("key").isin(*keys))
+
+
+def _grouped_chosen(
+    gkv: DataFrame, agent: str
+) -> tuple[DataFrame, DataFrame]:
+    """Group ids over the group-record stream + the applicable groups.
+
+    gkv must contain exactly the ``_GROUP_KEYS`` records (sitemap and
+    junk already dropped).  Returns (grouped, chosen): grouped is gkv
+    plus a ``gid`` column; chosen is the (host, gid) set that applies
+    to ``agent`` — exact-token groups when the host has any, else the
+    ``*`` groups.
+    """
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = gkv.select(
+        "host",
+        "key",
+        "val",
+        F.sum(
+            # a user-agent line NOT preceded by another user-agent line
+            # opens a new group — any group record in between ends the
+            # previous accumulation
+            F.when(
+                (F.col("key") == "user-agent")
+                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        )
+        .over(w)
+        .alias("gid"),
+    )
+    uas = grouped.where(F.col("key") == "user-agent").select(
+        "host", "gid", F.lower(F.col("val")).alias("ua")
+    )
+    chosen = (
+        uas.where(F.col("ua").isin(agent, "*"))
+        .groupBy("host", "gid")
+        .agg(F.max(F.when(F.col("ua") == agent, 1).otherwise(0)).alias("spec"))
+        .withColumn("best", F.max("spec").over(Window.partitionBy("host")))
+        .where(F.col("spec") == F.col("best"))
+        .select("host", "gid")
+    )
+    return grouped, chosen
+
 
 def parse_robots(
     robots: DataFrame,
@@ -61,63 +140,8 @@ def parse_robots(
     ``rx`` the anchored regex translation of the pattern.
     """
     agent = user_agent.strip().lower()
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        # CRLF/CR/LF all terminate lines (lone \r included — Java's
-        # dot treats \r as a terminator, so letting it survive into a
-        # line would make ':(.*)$' silently fail on that line)
-        F.posexplode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
-        ).alias("ln", "raw"),
-    )
-    _strip = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
-    kv = lines.select(
-        "host",
-        "ln",
-        F.lower(
-            F.regexp_extract(F.col("raw"), r"^\s*([A-Za-z-]+)\s*:", 1)
-        ).alias("key"),
-        # value: after the first colon, comment-stripped, whitespace-stripped
-        _strip(
-            F.regexp_replace(
-                F.regexp_extract(F.col("raw"), r":(.*)$", 1), "#.*$", ""
-            )
-        ).alias("val"),
-    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
-
-    w = Window.partitionBy("host").orderBy("ln")
-    grouped = kv.select(
-        "host",
-        "ln",
-        "key",
-        "val",
-        F.sum(
-            # a user-agent line NOT preceded by another user-agent line
-            # opens a new group
-            F.when(
-                (F.col("key") == "user-agent")
-                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
-                1,
-            ).otherwise(0)
-        )
-        .over(w)
-        .alias("gid"),
-    )
-
-    uas = grouped.where(F.col("key") == "user-agent").select(
-        "host", "gid", F.lower(F.col("val")).alias("ua")
-    )
-    # choose groups: exact-agent groups when the host has any, else *
-    chosen = (
-        uas.where(F.col("ua").isin(agent, "*"))
-        .groupBy("host", "gid")
-        .agg(F.max(F.when(F.col("ua") == agent, 1).otherwise(0)).alias("spec"))
-        .withColumn(
-            "best", F.max("spec").over(Window.partitionBy("host"))
-        )
-        .where(F.col("spec") == F.col("best"))
-        .select("host", "gid")
-    )
+    gkv = _kv_lines(robots, host_col, body_col, _GROUP_KEYS)
+    grouped, chosen = _grouped_chosen(gkv, agent)
 
     rules = (
         grouped.where(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
@@ -158,34 +182,16 @@ def robots_directives(
 
     Returns (host, crawl_delay, sitemaps): crawl_delay is the MINIMUM
     delay (seconds, double) across the groups that apply to
-    ``user_agent`` (exact-agent groups when the host has any, else
-    ``*`` — the conservative politeness choice when several apply;
-    NULL when none is declared or the value isn't numeric); sitemaps
-    is the sorted distinct list of ``Sitemap:`` urls, which are
-    host-wide per the REP (they do not belong to groups and do not
-    split them here). Feeds the frontier politeness layer
+    ``user_agent`` — grouping computed identically to ``parse_robots``,
+    so a delay declared in another agent's group is never inherited
+    (NULL when none is declared in an applicable group or the value
+    isn't numeric); sitemaps is the sorted distinct list of
+    ``Sitemap:`` urls, which are host-wide per the REP (they neither
+    belong to nor split groups). Feeds the frontier politeness layer
     (`operators/frontier.py`) and crawl discovery.
     """
     agent = user_agent.strip().lower()
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(body_col), F.lit("")), r"\r\n|\r|\n")
-        ).alias("ln", "raw"),
-    )
-    strip_ws = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
-    kv = lines.select(
-        "host",
-        "ln",
-        F.lower(
-            F.regexp_extract(F.col("raw"), r"^\s*([A-Za-z-]+)\s*:", 1)
-        ).alias("key"),
-        strip_ws(
-            F.regexp_replace(
-                F.regexp_extract(F.col("raw"), r":(.*)$", 1), "#.*$", ""
-            )
-        ).alias("val"),
-    ).where(F.col("key").isin("user-agent", "crawl-delay", "sitemap"))
+    kv = _kv_lines(robots, host_col, body_col, _GROUP_KEYS + ("sitemap",))
 
     sitemaps = (
         kv.where((F.col("key") == "sitemap") & (F.col("val") != ""))
@@ -193,32 +199,8 @@ def robots_directives(
         .agg(F.array_sort(F.collect_set("val")).alias("sitemaps"))
     )
 
-    gkv = kv.where(F.col("key") != "sitemap")
-    w = Window.partitionBy("host").orderBy("ln")
-    grouped = gkv.select(
-        "host",
-        "key",
-        "val",
-        F.sum(
-            F.when(
-                (F.col("key") == "user-agent")
-                & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent"),
-                1,
-            ).otherwise(0)
-        )
-        .over(w)
-        .alias("gid"),
-    )
-    uas = grouped.where(F.col("key") == "user-agent").select(
-        "host", "gid", F.lower(F.col("val")).alias("ua")
-    )
-    chosen = (
-        uas.where(F.col("ua").isin(agent, "*"))
-        .groupBy("host", "gid")
-        .agg(F.max(F.when(F.col("ua") == agent, 1).otherwise(0)).alias("spec"))
-        .withColumn("best", F.max("spec").over(Window.partitionBy("host")))
-        .where(F.col("spec") == F.col("best"))
-        .select("host", "gid")
+    grouped, chosen = _grouped_chosen(
+        kv.where(F.col("key") != "sitemap"), agent
     )
     delays = (
         grouped.where(F.col("key") == "crawl-delay")

@@ -67,7 +67,9 @@ def mirror_parse(body: str, agent: str):
             continue
         key = m.group(1).lower()
         val = re.sub("#.*$", "", re.search(r":(.*)$", raw).group(1)).strip()
-        if key in ("user-agent", "allow", "disallow"):
+        # crawl-delay is a group record too: it ends a user-agent
+        # accumulation even though it contributes no rule
+        if key in ("user-agent", "allow", "disallow", "crawl-delay"):
             entries.append((key, val))
     groups, prev = [], ""
     for key, val in entries:
@@ -75,7 +77,7 @@ def mirror_parse(body: str, agent: str):
             if prev != "user-agent":
                 groups.append(([], []))
             groups[-1][0].append(val.lower())
-        elif groups:
+        elif groups and key in ("allow", "disallow"):
             groups[-1][1].append((val, key == "allow"))
         prev = key
     sel = [g for g in groups if agent in g[0]]
@@ -143,6 +145,14 @@ def test_robots_directives(spark):
         ),
         "h3": "User-agent: *\nDisallow: /x\n",  # no directives
         "h4": "User-agent: *\nCrawl-delay: fast\n",  # non-numeric -> NULL
+        # the delay belongs to rudebot's group (the Disallow line ends
+        # egabot's accumulation) — egabot must NOT inherit it
+        "h5": (
+            "User-agent: egabot\n"
+            "Disallow: /a\n"
+            "User-agent: rudebot\n"
+            "Crawl-delay: 600\n"
+        ),
     }
     robots = spark.createDataFrame(
         list(bodies.items()), "host string, robots_txt string"
@@ -155,6 +165,7 @@ def test_robots_directives(spark):
     assert got["h2"] == (3.0, None)
     assert got["h3"] == (None, None)
     assert got["h4"] == (None, None)
+    assert got["h5"] == (None, None)  # rudebot's delay is not egabot's
     # star agent picks the * group's delay on h1
     star = {
         r["host"]: r["crawl_delay"]
