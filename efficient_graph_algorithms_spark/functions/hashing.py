@@ -60,6 +60,17 @@ def md5_60bit(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def md5_60bit_col(expr):
+    """Column form of md5_60bit — THE single definition of the
+    engine's portable hash as a pyspark expression. Every operator
+    (dedup, sampling, cms, bloom, hashvec, text fingerprint) routes
+    through here so the Spark side can never drift from md5_60bit and
+    the SQL-oracle fragments below."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+
+
 def spark_md5_60bit_sql(expr: str) -> str:
     """Spark SQL expression computing md5_60bit(expr)."""
     return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"

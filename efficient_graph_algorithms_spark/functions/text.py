@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 OUT_DECIMALS = 6
 
 # stopword markers per language, matched as whole words on lowercased text
@@ -111,7 +113,7 @@ def normalized_text(text: Column) -> Column:
 def fingerprint60(text: Column) -> Column:
     """Portable 60-bit content fingerprint (same value in DuckDB via
     ('0x'||substr(md5(x),1,15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(normalized_text(text)), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(normalized_text(text))
 
 
 # ---------------------------------------------------------------------------

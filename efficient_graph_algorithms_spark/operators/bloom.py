@@ -32,9 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 
 def _h60(expr: Column) -> Column:
-    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(expr)
 
 
 def _positions(key: Column, n_hashes: int, m_bits: int) -> Column:
@@ -86,8 +88,14 @@ def bloom_contains(
     probes = cand.select(
         "key", F.explode(_positions(F.col("key"), n_hashes, m_bits)).alias("pos")
     )
+    # distinct guard: a filter assembled by unioning built filters
+    # (bloom_a.union(bloom_b)) carries duplicate positions, and a probe
+    # row matching twice would push _hits past n_hashes — a false
+    # NEGATIVE on a true member. bloom_build output is already
+    # distinct, so this is a no-op there.
+    bits = bloom.select("pos").distinct()
     hits = (
-        probes.join(bloom.select("pos", F.lit(True).alias("_set")), "pos", "left")
+        probes.join(bits.select("pos", F.lit(True).alias("_set")), "pos", "left")
         .groupBy("key")
         .agg(F.sum(F.col("_set").isNotNull().cast("int")).alias("_hits"))
     )

@@ -59,7 +59,22 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
+    # normalize query terms exactly like the corpus tokenizer
+    # (normalized_text: lower + trim + whitespace collapse, then split)
+    # — a term pasted with surrounding spaces or internal whitespace
+    # would otherwise match no corpus token, silently scoring zero
+    import re as _re
+
+    terms = sorted(
+        {
+            w
+            for t in query_terms
+            for w in _re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            if w
+        }
+    )
+    if not terms:
+        raise ValueError("query_terms contain no tokens after normalization")
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

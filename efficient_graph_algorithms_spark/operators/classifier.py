@@ -59,12 +59,14 @@ def train_nb(
     token); ``stats`` is ONE row (tot0, tot1, n0, n1, v) — class token
     totals, class doc counts, vocabulary size.
     """
-    toks = _token_occurrences(labeled, id_col, text_col).join(
-        labeled.select(
-            F.col(id_col).alias("doc_id"), F.col(label_col).alias("y")
-        ),
-        "doc_id",
-    )
+    # project the label THROUGH the explode — one scan, no shuffle join
+    # back onto labeled (which would also double-count tokens of any
+    # duplicated doc_id quadratically: 2x from the explode AND 2x from
+    # the join match)
+    toks = labeled.select(
+        F.col(label_col).alias("y"),
+        F.explode(_tokens(F.col(text_col))).alias("w"),
+    ).where(F.col("w") != "")
     counts = (
         toks.groupBy("w")
         .agg(

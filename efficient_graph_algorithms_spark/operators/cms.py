@@ -32,12 +32,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 from efficient_graph_algorithms_spark.functions.text import normalized_text
 
 
 def _h60(expr: Column) -> Column:
     """Portable 60-bit md5 hash (functions/hashing.py convention)."""
-    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(expr)
 
 
 def _bucket(term: Column, d: Column, width: int) -> Column:
@@ -101,23 +103,46 @@ def cms_build(
     )
 
 
+def _sketch_dims(sketch: DataFrame, width: int | None) -> tuple[int, int]:
+    """(depth, width) from the sketch itself.
+
+    The built sketch is zero-filled to the full d×w grid, so both
+    dimensions are recoverable (max+1) — callers need not repeat the
+    build-time width, and a REPEATED width is validated: probing a
+    4096-wide sketch with width=1024 would hash into the wrong
+    counters and silently break the estimate ≥ exact guarantee, so a
+    width provably inconsistent with the sketch raises instead."""
+    row = sketch.agg(F.max("d").alias("md"), F.max("bucket").alias("mb")).first()
+    if row["md"] is None:
+        raise ValueError("empty sketch")
+    depth, wmin = int(row["md"]) + 1, int(row["mb"]) + 1
+    if width is None:
+        width = wmin
+    elif width < wmin:
+        raise ValueError(
+            f"width={width} inconsistent with sketch (bucket {wmin - 1} present)"
+        )
+    return depth, width
+
+
 def cms_estimate(
     sketch: DataFrame,
     candidates: DataFrame,
     term_col: str = "term",
-    width: int = 1024,
+    width: int | None = None,
 ) -> DataFrame:
     """CMS point estimate for each candidate term: (term, estimate).
 
     estimate = min over sketch rows of the term's counter — always ≥
     the term's true occurrence count. ``sketch`` is d·w rows, so the
-    join side is broadcastable at any corpus scale."""
-    depth = sketch.select(F.max("d")).first()[0]
-    if depth is None:
-        raise ValueError("empty sketch")
+    join side is broadcastable at any corpus scale. ``width`` is
+    inferred from the (zero-filled) sketch when omitted; pass it only
+    for sparse sketches (streaming bucket_counts output), where an
+    inconsistent value is still rejected when provable."""
+    depth, width = _sketch_dims(sketch, width)
     fan = candidates.select(F.col(term_col).alias("term")).distinct().select(
         "term",
-        F.explode(F.sequence(F.lit(0), F.lit(int(depth)))).alias("d"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
     probed = fan.select(
         "term", "d", _bucket(F.col("term"), F.col("d"), width).alias("bucket")
@@ -134,23 +159,33 @@ def cms_heavy_hitters(
     sketch: DataFrame,
     min_count: int,
     text_col: str = "text",
-    width: int = 1024,
+    width: int | None = None,
 ) -> DataFrame:
     """Terms whose CMS estimate ≥ min_count, with their exact counts:
     (term, estimate, exact). CMS ≥ exact guarantees NO false negatives
     — every true heavy hitter survives the sketch filter; the exact
-    column (one extra count over just the surviving terms) removes the
-    false positives. The second pass touches only distinct terms, the
-    standard two-pass heavy-hitter plan."""
-    exact = corpus_terms(docs, text_col).groupBy("term").agg(
-        F.count("*").alias("exact")
+    column removes the false positives caller-side. The genuine
+    two-pass plan: pass 1 probes the sketch per DISTINCT term (no
+    occurrence counting), pass 2 exact-counts ONLY the occurrences of
+    the surviving candidates (a broadcast semi-join gate on the
+    re-scan) — the full-vocabulary count the sketch exists to avoid
+    never happens."""
+    # referenced twice (semi-join gate + final join): persist so the
+    # vocabulary-distinct + sketch-probe subtree runs once (released
+    # with the session, the similarity.py semantic_dedup convention)
+    cand = (
+        cms_estimate(sketch, corpus_terms(docs, text_col), width=width)
+        .where(F.col("estimate") >= min_count)
+        .persist()
     )
-    est = cms_estimate(sketch, exact.select("term"), width=width)
-    return (
-        est.where(F.col("estimate") >= min_count)
-        .join(exact, "term")
-        .select("term", "estimate", "exact")
+    # survivors are ≤ N/min_count by the CMS bound — broadcast-sized
+    exact = (
+        corpus_terms(docs, text_col)
+        .join(F.broadcast(cand.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("exact"))
     )
+    return cand.join(exact, "term").select("term", "estimate", "exact")
 
 
 # ---------------------------------------------------------------------------

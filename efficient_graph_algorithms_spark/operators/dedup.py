@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 from efficient_graph_algorithms_spark.functions.hashing import minhash_seeds
 from efficient_graph_algorithms_spark.functions.text import normalized_text
 
@@ -124,7 +126,7 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_hash60(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(col)
 
 
 def _minhash_wide(docs: DataFrame, k: int = MINHASH_K, seed: int = 42,

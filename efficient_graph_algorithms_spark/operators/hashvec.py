@@ -28,11 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 from efficient_graph_algorithms_spark.functions.text import normalized_text
 
 
 def _h60(expr: Column) -> Column:
-    return F.conv(F.substring(F.md5(expr), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(expr)
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

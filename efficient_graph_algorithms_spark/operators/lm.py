@@ -107,11 +107,15 @@ def score_perplexity(
         F.count("*").cast("long").alias("n_bigrams"),
         F.sum("logp").alias("sum_logp"),
     )
+    # alias the caller's id to a private name before joining: with
+    # id_col="id" both join children would expose an "id" column and
+    # the equality condition would be AMBIGUOUS_REFERENCE (the bm25
+    # doc_id-alias convention)
     return (
-        docs.select(F.col(id_col))
-        .join(per_doc, F.col(id_col) == F.col("id"), "left")
+        docs.select(F.col(id_col).alias("_doc"))
+        .join(per_doc, F.col("_doc") == F.col("id"), "left")
         .select(
-            F.col(id_col),
+            F.col("_doc").alias(id_col),
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             F.coalesce(F.col("sum_logp"), F.lit(0.0)).alias("sum_logp"),
         )

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
 from efficient_graph_algorithms_spark.functions.text import lang_id
 
 _SCALE = 1 << 60
@@ -45,7 +47,7 @@ def sample_hash60(id_col: Column, seed: int) -> Column:
     """Portable 60-bit hash of 'smpl:<seed>:<id>' (functions/hashing.py
     md5-prefix family; same value via md5 in any engine)."""
     key = F.concat(F.lit(f"smpl:{seed}:"), id_col.cast("string"))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(key)
 
 
 def hash_sample(
@@ -118,7 +120,7 @@ def shard_hash60(id_col: Column, seed: int) -> Column:
     """Portable 60-bit hash of 'shrd:<seed>:<id>' — the deterministic
     global packing order (same value via md5 in any engine)."""
     key = F.concat(F.lit(f"shrd:{seed}:"), id_col.cast("string"))
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return md5_60bit_col(key)
 
 
 def assign_shards(

@@ -60,10 +60,18 @@ def shortest_paths(
         .repartition(sp, "src")
         .persist()
     )
-    n_neg = rel.where(F.col("_w") < 0).count()  # also materializes the persist
+    # null weights must fail too: null < 0 is null, so they'd slip the
+    # negative check and then silently drop their edges from every
+    # relaxation (dist + null is null, min() ignores it) — distances
+    # would overstate while reporting converged=True
+    n_neg = rel.where(
+        (F.col("_w") < 0) | F.col("_w").isNull()
+    ).count()  # also materializes the persist
     if n_neg:
         rel.unpersist()
-        raise ValueError(f"{n_neg} negative edge weights; SSSP requires w >= 0")
+        raise ValueError(
+            f"{n_neg} negative or null edge weights; SSSP requires w >= 0"
+        )
 
     state = sources.select("id").distinct().select(
         "id", F.lit(0).cast("double").alias("dist")

@@ -1,0 +1,119 @@
+"""Regression tests for the round-5 code-review findings: each case
+reproduces the reviewed failure scenario and pins the fixed behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cms_width_inferred_and_validated(spark):
+    """Probing a sketch with a mismatched width used to hash into the
+    wrong counters and silently break estimate >= exact; now width is
+    inferred from the zero-filled sketch and a provably-wrong explicit
+    width raises."""
+    from efficient_graph_algorithms_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    sketch = cms_build(docs, width=64, depth=3)
+    cands = spark.createDataFrame([("a",), ("b",)], "term string")
+    inferred = {
+        r["term"]: r["estimate"] for r in cms_estimate(sketch, cands).collect()
+    }
+    explicit = {
+        r["term"]: r["estimate"]
+        for r in cms_estimate(sketch, cands, width=64).collect()
+    }
+    assert inferred == explicit
+    assert inferred["a"] >= 4 and inferred["b"] >= 1  # CMS overcount bound
+    with pytest.raises(ValueError, match="inconsistent"):
+        cms_estimate(sketch, cands, width=32).collect()
+
+
+def test_bloom_union_of_filters_no_false_negative(spark):
+    """A filter assembled by unioning two built filters carries
+    duplicate positions; probing it used to overcount hits past
+    n_hashes and reject true members."""
+    from efficient_graph_algorithms_spark.operators.bloom import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",)], "key string")
+    b = spark.createDataFrame([("y",), ("z",)], "key string")
+    merged = bloom_build(a, m_bits=256, n_hashes=4).union(
+        bloom_build(b, m_bits=256, n_hashes=4)
+    )  # deliberately NOT distinct
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], "key string")
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_contains(probes, merged, m_bits=256, n_hashes=4).collect()
+    }
+    assert got == {"x": True, "y": True, "z": True}
+
+
+def test_sssp_rejects_null_weights(spark):
+    """Null weights used to slip the w < 0 validation and silently
+    drop their edges from every relaxation."""
+    from efficient_graph_algorithms_spark.operators.sssp import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, None)], "src long, dst long, w double"
+    )
+    sources = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="negative or null"):
+        shortest_paths(spark, edges, sources)
+
+
+def test_lm_score_with_id_col_named_id(spark):
+    """score_perplexity(id_col='id') used to raise AMBIGUOUS_REFERENCE
+    on its final join."""
+    from efficient_graph_algorithms_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c")], "id long, text string"
+    )
+    c2, c1, v = train_bigram_lm(docs, id_col="id", text_col="text")
+    rows = {
+        r["id"]: r["n_bigrams"]
+        for r in score_perplexity(docs, c2, c1, v, id_col="id").collect()
+    }
+    assert rows == {1: 3, 2: 0}
+
+
+def test_bm25_query_terms_normalized(spark):
+    """A query term with surrounding or internal whitespace used to
+    match no corpus token and score zero silently."""
+    from efficient_graph_algorithms_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cache control headers"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    messy = bm25_topk(docs, ["  Cache   control "], k=2).collect()
+    clean = bm25_topk(docs, ["cache", "control"], k=2).collect()
+    assert [r.asDict() for r in messy] == [r.asDict() for r in clean]
+    assert messy[0]["doc_id"] == 1 and messy[0]["n_terms"] == 2
+
+
+def test_train_nb_single_scan_counts(spark):
+    """The label now projects through the explode (no join back), so a
+    duplicated doc_id doubles its token counts — not quadruples them
+    through a 2x-explode x 2x-join match."""
+    from efficient_graph_algorithms_spark.operators.classifier import train_nb
+
+    labeled = spark.createDataFrame(
+        [(1, "a a b", 1), (1, "a a b", 1), (2, "b", 0)],
+        "doc_id long, text string, label int",
+    )
+    counts, _ = train_nb(labeled)
+    got = {r["w"]: (r["c0"], r["c1"]) for r in counts.collect()}
+    assert got == {"a": (0, 4), "b": (1, 2)}  # 2x, not 4x
