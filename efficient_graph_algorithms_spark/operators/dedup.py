@@ -43,6 +43,21 @@ def _tokens(text_col) -> F.Column:
     return F.split(normalized_text(text_col), " ")
 
 
+def token_windows(toks: F.Column, width: int) -> F.Column:
+    """Array of all width-token sliding windows over a PRE-PROJECTED
+    token array column (space-joined). The single definition shared by
+    shingles and the dup-span operator — toks must be a plain column
+    reference, never an inline split(normalized_text(..)) expression
+    (Catalyst re-evaluates the whole chain inside every element_at:
+    O(doc_len^2) regex work, measured 11 s -> 1.6 s)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - width),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(1, width + 1)]
+        ),
+    )
+
+
 def shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -63,14 +78,7 @@ def shingles(
     toks = F.col("_toks")
     sh = F.when(
         F.size(toks) < width, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - width),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(1, width + 1)]
-            ),
-        )
-    )
+    ).otherwise(token_windows(toks, width))
     return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from efficient_graph_algorithms_spark.operators.dedup import _tokens
+from efficient_graph_algorithms_spark.operators.dedup import _tokens, token_windows
 
 DUPSPAN_W = 8  # tokens per window (Lee et al. use 50 at full scale)
 
@@ -40,12 +40,7 @@ def _windows(docs: DataFrame, width: int, id_col: str, text_col: str) -> DataFra
         F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - width),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(1, width + 1)]
-        ),
-    )
+    wins = token_windows(toks, width)
     return base.where(F.size(toks) >= width).select(
         "id", F.explode(wins).alias("win")
     )
@@ -79,11 +74,14 @@ def dup_span_stats(
         .agg(F.count("*").cast("long").alias("n_dup_windows"))
     )
     perdoc = totals.join(dups, "id", "left")
+    # alias the caller's id before the join: with id_col="id" both
+    # children would expose "id" and the condition would be
+    # AMBIGUOUS_REFERENCE (the lm.py score_perplexity fix)
     return (
-        docs.select(F.col(id_col))
-        .join(perdoc, F.col(id_col) == F.col("id"), "left")
+        docs.select(F.col(id_col).alias("_doc"))
+        .join(perdoc, F.col("_doc") == F.col("id"), "left")
         .select(
-            F.col(id_col),
+            F.col("_doc").alias(id_col),
             F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
             F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
             F.when(F.coalesce(F.col("n_windows"), F.lit(0)) == 0, F.lit(0.0))

@@ -45,15 +45,22 @@ from pyspark.sql import functions as F
 from efficient_graph_algorithms_spark.operators.triangles import simple_undirected
 
 
-def adjacency_with_degree(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(adj, deg): symmetrized simple adjacency (id, nbr) and the
-    undirected degree table (id, deg)."""
+def adjacency_with_degree(
+    edges: DataFrame, persist_und: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(und, adj, deg): canonical undirected pairs (lo, hi), the
+    symmetrized simple adjacency (id, nbr), and the undirected degree
+    table (id, deg). ``persist_und`` caches the distinct pair set when
+    the caller re-reads it (both adj union branches + an anti-join);
+    released with the session (the semantic_dedup convention)."""
     und = simple_undirected(edges)
+    if persist_und:
+        und = und.persist()
     adj = und.select(F.col("lo").alias("id"), F.col("hi").alias("nbr")).unionByName(
         und.select(F.col("hi").alias("id"), F.col("lo").alias("nbr"))
     )
     deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
-    return adj, deg
+    return und, adj, deg
 
 
 def link_prediction_topk(
@@ -73,11 +80,7 @@ def link_prediction_topk(
     ``info`` reports n_capped_centers (hub centers the cap dropped).
     """
     info: dict[str, Any] = {}
-    und = simple_undirected(edges).persist()
-    adj = und.select(F.col("lo").alias("id"), F.col("hi").alias("nbr")).unionByName(
-        und.select(F.col("hi").alias("id"), F.col("lo").alias("nbr"))
-    )
-    deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
+    und, adj, deg = adjacency_with_degree(edges, persist_und=True)
 
     # Wedge centers: degree >= 2 (a 1-degree vertex has no wedge and
     # would evaluate 1/ln(1)); degree <= cap (hub pair-volume bound).
@@ -149,7 +152,7 @@ def local_clustering(edges: DataFrame, decimals: int = 9) -> DataFrame:
         triangles_per_vertex,
     )
 
-    _, deg = adjacency_with_degree(edges)
+    _, _, deg = adjacency_with_degree(edges)
     tri = triangles_per_vertex(edges, vertices=deg.select("id"))
     d = F.col("deg").cast("double")
     return deg.join(tri, "id").select(

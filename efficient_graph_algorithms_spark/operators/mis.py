@@ -45,11 +45,9 @@ _SALT = "mis:"
 
 
 def mis_priority(id_col) -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(_SALT), id_col.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
+
+    return md5_60bit_col(F.concat(F.lit(_SALT), id_col.cast("string")))
 
 
 def maximal_independent_set(

@@ -74,9 +74,13 @@ def community_contributions(
     with contribution = internal/m − dout·din/m² (Leicht–Newman term;
     Σ contributions = Q). dout/din are the community's out-/in-stub
     counts (directed degree sums)."""
-    ec = _edge_communities(edges, assignment, community_col)
+    # ec (two joins onto the assignment) is read three times: the m
+    # count and both groupBys — persist so the join subtree runs once
+    # (released with the session, the semantic_dedup convention)
+    ec = _edge_communities(edges, assignment, community_col).persist()
     m = ec.count()
     if m == 0:
+        ec.unpersist()
         raise ValueError("modularity undefined on an empty edge set")
     douts = ec.groupBy(F.col("cs").alias("community")).agg(
         F.count("*").alias("dout"),

@@ -40,9 +40,17 @@ from pyspark.sql import functions as F
 
 
 def _dim(emb: DataFrame, vec_col: str) -> int:
-    row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    # filter NULL vectors BEFORE sampling a row: size(NULL) is NULL and
+    # int(None) would crash partition-order-dependently on tables that
+    # legitimately contain NULL vectors (which every entry point skips)
+    row = (
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(1)
+        .collect()
+    )
     if not row:
-        raise ValueError("empty embedding table")
+        raise ValueError("empty embedding table (no non-null vectors)")
     return int(row[0]["d"])
 
 
@@ -185,6 +193,9 @@ def project(
                 {id_col: b.loc[keep, id_col].to_numpy(), out_col: list(p)}
             )
 
+    # derive the id field's type from the input instead of assuming
+    # long — string/hash document keys are first-class elsewhere
+    id_type = emb.schema[id_col].dataType.simpleString()
     return emb.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, {out_col} array<double>"
+        run, f"{id_col} {id_type}, {out_col} array<double>"
     )

@@ -64,14 +64,23 @@ def encode_int8(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>): one scan-stage zip_with pass, no
-    shuffle. Zero-scale dimensions encode to 0."""
+    shuffle. Zero-scale dimensions encode to 0. Codes are CLAMPED to
+    [-LEVELS, LEVELS]: when ``svec`` was fitted on a sample (the
+    train/serve split that makes it a parameter), full-table values
+    can exceed the fitted absmax, and unclamped codes would silently
+    leave the int8 range — faiss's ScalarQuantizer clamps too."""
+    lim = F.lit(float(LEVELS))
     return emb.select(
         F.col(id_col),
         F.zip_with(
             F.col(vec_col),
             _scales_arr(svec),
             lambda x, s: F.when(
-                s > 0, F.round(x.cast("double") / s * F.lit(float(LEVELS)))
+                s > 0,
+                F.greatest(
+                    -lim,
+                    F.least(lim, F.round(x.cast("double") / s * lim)),
+                ),
             )
             .otherwise(F.lit(0.0))
             .cast("int"),

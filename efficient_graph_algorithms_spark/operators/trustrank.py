@@ -45,6 +45,26 @@ def trustrank(
     set as the teleport distribution. ``seeds``: (id) or (id, p) —
     unweighted seeds get uniform teleport weight."""
     s = seeds if "p" in seeds.columns else seeds.select("id", F.lit(1.0).alias("p"))
+    # seed hygiene: curated trust lists routinely contain pages absent
+    # from the current crawl — pagerank normalizes the teleport mass
+    # over ALL personalization rows but drops non-graph ids in the
+    # join, so absent seeds would silently leak trust mass every
+    # iteration; duplicate ids would duplicate vertex rows. Restrict
+    # to the vertex set, combine duplicates, and refuse an empty set.
+    v = (
+        vertices
+        if vertices is not None
+        else edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    s = (
+        s.join(v.select("id"), "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("p").alias("p"))
+    )
+    if s.limit(1).count() == 0:
+        raise ValueError("no trusted seeds present in the graph")
     return pagerank(spark, edges, vertices=vertices, personalization=s, **pr_kwargs)
 
 
@@ -56,9 +76,21 @@ def spam_mass(
     **pr_kwargs: Any,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """(id, rank, trust, spam_mass): PageRank, TrustRank, and the
-    relative spam mass (rank - trust) / rank per vertex."""
-    ranks, pr_info = pagerank(spark, edges, vertices=vertices, **pr_kwargs)
-    trust, tr_info = trustrank(spark, edges, seeds, vertices=vertices, **pr_kwargs)
+    relative spam mass (rank - trust) / rank per vertex.
+
+    A caller-provided ``checkpoint_dir`` is split into per-run
+    subdirectories: the checkpoint params (alpha, tol, n) do NOT stamp
+    the personalization vector, so sharing one directory would let the
+    TrustRank run resume from the plain run's snapshots — restoring
+    the uniform teleport vector and silently zeroing spam_mass."""
+    pr_kw = dict(pr_kwargs)
+    tr_kw = dict(pr_kwargs)
+    ckpt = pr_kwargs.get("checkpoint_dir")
+    if ckpt:
+        pr_kw["checkpoint_dir"] = f"{ckpt}/pagerank"
+        tr_kw["checkpoint_dir"] = f"{ckpt}/trustrank"
+    ranks, pr_info = pagerank(spark, edges, vertices=vertices, **pr_kw)
+    trust, tr_info = trustrank(spark, edges, seeds, vertices=vertices, **tr_kw)
     out = (
         ranks.join(trust.withColumnRenamed("rank", "trust"), "id")
         .select(

@@ -117,3 +117,85 @@ def test_train_nb_single_scan_counts(spark):
     counts, _ = train_nb(labeled)
     got = {r["w"]: (r["c0"], r["c1"]) for r in counts.collect()}
     assert got == {"a": (0, 4), "b": (1, 2)}  # 2x, not 4x
+
+
+def test_spam_mass_checkpoint_dirs_split(spark, tmp_path):
+    """Sharing one checkpoint dir let the TrustRank run resume from
+    the plain PageRank run's snapshots (personalization is not in the
+    checkpoint params), silently zeroing spam_mass."""
+    from efficient_graph_algorithms_spark.operators.trustrank import spam_mass
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (4, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    ck = str(tmp_path / "ck")
+    out, _ = spam_mass(spark, edges, seeds, checkpoint_dir=ck, tol=1e-10)
+    rows = {r["id"]: r for r in out.collect()}
+    # trust must differ from rank (seeded teleport vs uniform): the
+    # non-seed-reachable-only vertex 4 has rank > 0 but trust ~ 0
+    assert rows[4]["trust"] < rows[4]["rank"]
+    assert rows[4]["spam_mass"] > 0.5
+    import os
+
+    assert os.path.isdir(f"{ck}/pagerank") and os.path.isdir(f"{ck}/trustrank")
+
+
+def test_trustrank_seed_hygiene(spark):
+    """Seeds absent from the graph used to deflate the teleport mass;
+    duplicates duplicated vertex rows; empty seed sets crashed deep in
+    pagerank."""
+    from efficient_graph_algorithms_spark.operators.trustrank import trustrank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    # seed 99 is not in the graph, seed 0 appears twice
+    seeds = spark.createDataFrame([(0,), (0,), (99,)], "id long")
+    trust, _ = trustrank(spark, edges, seeds, tol=1e-10)
+    got = {r["id"]: r["rank"] for r in trust.collect()}
+    assert len(got) == 2  # no duplicated vertex rows
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # no teleport-mass leak
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no trusted seeds"):
+        trustrank(spark, edges, spark.createDataFrame([(99,)], "id long"))
+
+
+def test_pca_dim_with_null_first_row(spark):
+    """_dim used to crash when the sampled row's vector was NULL."""
+    from efficient_graph_algorithms_spark.operators.pca import pca_fit, project
+
+    rows = [(0, None), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(emb, k=1)
+    assert len(model["mean"]) == 2
+    # string ids project too (schema derived from input, not assumed long)
+    s_emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = project(s_emb, model).collect()
+    assert sorted(r["vec_id"] for r in got) == ["a", "b"]
+
+
+def test_dupspans_id_col_named_id(spark):
+    """dup_span_stats(id_col='id') used to raise AMBIGUOUS_REFERENCE."""
+    from efficient_graph_algorithms_spark.operators.dupspans import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "short")], "id long, text string"
+    )
+    rows = {r["id"]: r["n_windows"] for r in
+            dup_span_stats(docs, width=8, id_col="id").collect()}
+    assert rows == {1: 3, 2: 0}
+
+
+def test_encode_int8_clamps_out_of_range(spark):
+    """Codes from vectors exceeding the fitted absmax used to leave
+    the int8 range silently."""
+    from efficient_graph_algorithms_spark.operators.quantize import encode_int8
+
+    emb = spark.createDataFrame(
+        [(1, [2.0, -3.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    codes = encode_int8(emb, svec=[1.0, 1.0, 1.0]).first()["codes"]
+    assert codes == [127, -127, 64]  # clamped, clamped, round(0.5*127)
