@@ -102,7 +102,11 @@ def audio_afps(media: DataFrame) -> DataFrame:
                         continue
                     _rate, _n_ch, samples = decode_wav(data)
                     h = afp64(samples)
-                except ValueError:
+                # NotImplementedError too: recognized-but-unsupported
+                # variants (progressive JPEG, 24-bit WAV, exotic Y4M
+                # colourspaces) must DROP, not kill the job — the
+                # permissive contract, matching decode_media's list
+                except (ValueError, NotImplementedError):
                     continue
                 ids.append(mid)
                 hs.append(h)

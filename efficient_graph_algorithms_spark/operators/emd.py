@@ -113,7 +113,14 @@ def emd(
         red = m_cost - u[:, None] - v[None, :]
         enter_flat = int(np.argmin(red))
         ei, ej = divmod(enter_flat, nt)
-        if red[ei, ej] >= -_TOL:
+        # tolerance scales with the cost magnitude: duals are chained
+        # subtractions of m_cost entries, so their float noise is
+        # ~ulp(max|M|); a fixed 1e-11 would keep noise-pivoting past
+        # the optimum on large-valued cost matrices (squared distances
+        # easily reach 1e8) until max_iter. max(1, .) preserves the
+        # original absolute tolerance for small costs bit-for-bit.
+        pivot_tol = _TOL * max(1.0, float(np.abs(m_cost).max()))
+        if red[ei, ej] >= -pivot_tol:
             break  # optimal: all reduced costs nonnegative
 
         # --- cycle: unique path ei ~> ej through the basis tree ------

@@ -327,10 +327,15 @@ def fgw_barycenter(
     info: dict[str, Any] = {"err_feature": [], "err_structure": [], "iterations": 0}
     for it in range(1, max_iter + 1):
         c_prev, x_prev = c, x
+        # trans[k] is read three times per iteration (feature step,
+        # structure step, warm-start of the transport step) — ship the
+        # coupling ONCE per (iteration, graph) instead of rebuilding
+        # and re-uploading the identical DataFrame each time
+        t_dfs = {k: _ship_t(k) for k in ids}
         # ---- feature update: X = sum_k lam_k T_k^T Y_k / p_c --------
         x = np.zeros((n, nd))
         for k in ids:
-            t_df = _ship_t(k)
+            t_df = t_dfs[k]
             rows = (
                 t_df.join(feats_p[k], "i")
                 .groupBy("j", "d")
@@ -343,7 +348,7 @@ def fgw_barycenter(
         # ---- structure update: C = sum_k lam_k T^T C_k T / p_c p_c^T
         c = np.zeros((n, n))
         for k in ids:
-            t_df = _ship_t(k)
+            t_df = t_dfs[k]
             # (C_k T)(i, j_c) then T^T . : (j_r, j_c)
             ckt = (
                 costs_p[k]
@@ -379,18 +384,40 @@ def fgw_barycenter(
             ],
             "j long, d long, x double",
         )
+        xnorm = x_df.groupBy("j").agg(F.sum(F.col("x") ** 2).alias("xn"))
         for k in ids:
-            # M_k(i, j) = ||Y_k(i) - X(j)||^2, distributed sqeuclidean
-            m_df = (
+            # M_k(i, j) = ||Y_k(i) - X(j)||^2 with feats as SPARSE COO
+            # (implicit zeros): the naive join-on-d sum only covers
+            # dims where node i HAS a row, silently dropping x_jd^2 for
+            # the rest (and scoring featureless nodes 0 — maximally
+            # attractive). Decompose instead:
+            #   M(i,j) = sum_{d in D_i} [(y-x)^2 - x^2]  +  ||x_j||^2
+            # which is exact for any sparsity pattern, including
+            # feature-row-free nodes (left join -> coalesce 0).
+            cross = (
                 feats_p[k]
                 .join(x_df, "d")
                 .groupBy("i", "j")
-                .agg(F.sum((F.col("y") - F.col("x")) ** 2).alias("m"))
+                .agg(
+                    F.sum(
+                        (F.col("y") - F.col("x")) ** 2 - F.col("x") ** 2
+                    ).alias("mc")
+                )
+            )
+            i_df = spark.createDataFrame([(int(v),) for v in src_rows[k]], "i long")
+            m_df = (
+                i_df.crossJoin(xnorm)
+                .join(cross, ["i", "j"], "left")
+                .select(
+                    "i",
+                    "j",
+                    (F.coalesce(F.col("mc"), F.lit(0.0)) + F.col("xn")).alias("m"),
+                )
             )
             t_out, _, _ = gw_lp_transport(
                 spark, costs_p[k], c_df, ps[k], p_center.select("j", "p"),
                 reg=alpha, feature_cost=m_df, feature_weight=(1.0 - alpha),
-                max_iter=fw_iter, trans0=_ship_t(k),
+                max_iter=fw_iter, trans0=t_dfs[k],
             )
             rows_ = {v: m for m, v in enumerate(src_rows[k])}
             g = np.zeros((len(src_rows[k]), n))

@@ -220,6 +220,11 @@ def recursive_graph_partition(
                 )
                 .select("i", "leaf", "p")
             )
+            # localCheckpoint the child now: its size collect AND the
+            # level-end assign checkpoint both consume it, and without
+            # the pin the assignment join + renormalization window
+            # would execute twice per leaf
+            child = child.localCheckpoint(eager=True)
             new_assign = new_assign.where(F.col("leaf") != leaf).unionByName(child)
             sizes = {
                 r["leaf"]: r["n"]

@@ -102,7 +102,11 @@ def image_dhashes(media: DataFrame) -> DataFrame:
                     if img is None:
                         continue
                     h = dhash64(img)
-                except ValueError:
+                # NotImplementedError too: recognized-but-unsupported
+                # variants (progressive JPEG, 24-bit WAV, exotic Y4M
+                # colourspaces) must DROP, not kill the job — the
+                # permissive contract, matching decode_media's list
+                except (ValueError, NotImplementedError):
                     continue
                 ids.append(mid)
                 hs.append(h)
@@ -148,7 +152,11 @@ def video_frame_dhashes(media: DataFrame, every_n: int = 30) -> DataFrame:
                     _fps, frames = decode_y4m(data)
                     for i in range(0, len(frames), every_n):
                         rows.append((mid, i, dhash64(frames[i])))
-                except ValueError:
+                # NotImplementedError too: recognized-but-unsupported
+                # variants (progressive JPEG, 24-bit WAV, exotic Y4M
+                # colourspaces) must DROP, not kill the job — the
+                # permissive contract, matching decode_media's list
+                except (ValueError, NotImplementedError):
                     continue
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
 

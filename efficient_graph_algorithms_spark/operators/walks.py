@@ -262,6 +262,14 @@ def node2vec_walks(
         raise ValueError(f"walks_per_vertex must be >= 1, got {walks_per_vertex}")
 
     def step(state: DataFrame, e: DataFrame, t: int) -> DataFrame:
+        # step 1 has no real predecessor (prev is initialized to the
+        # start vertex), so every candidate classifies as a w_in move;
+        # proper node2vec's first step is UNIFORM. For w_in > 0 the
+        # all-equal weights already select uniformly (identical ticket
+        # counts), so w_in is kept for bit-compatibility with the
+        # unrolled SQL oracle; w_in == 0 would kill every walk at step
+        # 1, so it falls back to weight 1 — uniform, as intended.
+        w_in_eff = w_in if (t > 1 or w_in > 0) else 1
         pe = e.select(F.col("src").alias("_psrc"), F.col("dst").alias("_pdst"))
         cand = state.join(e, state["cur"] == e["src"], "inner").select(
             "walk", "prev", "cur", F.col("dst")
@@ -275,7 +283,7 @@ def node2vec_walks(
             "cur",
             "dst",
             F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
-            .when(F.col("_pdst").isNotNull(), F.lit(w_in))
+            .when(F.col("_pdst").isNotNull(), F.lit(w_in_eff))
             .otherwise(F.lit(w_out))
             .alias("_w"),
         )

@@ -199,3 +199,107 @@ def test_encode_int8_clamps_out_of_range(spark):
     )
     codes = encode_int8(emb, svec=[1.0, 1.0, 1.0]).first()["codes"]
     assert codes == [127, -127, 64]  # clamped, clamped, round(0.5*127)
+
+
+def test_media_hashes_drop_unsupported_variants(spark):
+    """Recognized-but-unsupported payloads (progressive JPEG, 24-bit
+    WAV) raise NotImplementedError in the decoders; the permissive
+    hash faces must DROP them, not kill the Spark job."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.audiohash import audio_afps
+    from efficient_graph_algorithms_spark.operators.imagehash import image_dhashes
+    from efficient_graph_algorithms_spark.operators.multimodal import (
+        encode_bmp24,
+        encode_jpeg,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(7)
+    good_img = encode_bmp24(rng.integers(0, 256, (16, 18, 3), dtype=np.uint8))
+    prog = bytearray(encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)))
+    i = bytes(prog).find(b"\xff\xc0")
+    assert i > 0
+    prog[i + 1] = 0xC2  # SOF0 -> SOF2: progressive, unsupported
+    imgs = spark.createDataFrame(
+        [(1, bytearray(good_img)), (2, prog)], "media_id long, payload binary"
+    )
+    got = image_dhashes(imgs).collect()
+    assert [r["media_id"] for r in got] == [1]  # progressive dropped, job alive
+
+    good_wav = encode_wav_pcm16(rng.uniform(-1, 1, (20000, 1)), 8000)
+    bad = bytearray(good_wav)
+    bad[34] = 24  # bits-per-sample 16 -> 24: unsupported PCM variant
+    auds = spark.createDataFrame(
+        [(1, bytearray(good_wav)), (2, bad)], "media_id long, payload binary"
+    )
+    got = audio_afps(auds).collect()
+    assert {r["media_id"] for r in got} == {1}
+
+
+def test_node2vec_surviving_with_w_in_zero(spark):
+    """prev=cur initialization classified all step-1 candidates as
+    w_in moves, so w_in=0 killed every walk at step 1; step 1 now
+    falls back to uniform weight."""
+    from efficient_graph_algorithms_spark.operators.walks import node2vec_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2)], "src long, dst long"
+    )
+    corpus, info = node2vec_walks(
+        spark, edges, walk_length=3, w_return=1, w_in=0, w_out=2
+    )
+    steps = corpus.groupBy("step").count().collect()
+    by_step = {r["step"]: r["count"] for r in steps}
+    assert by_step.get(1, 0) > 0  # walks survive step 1
+    assert max(by_step) >= 2
+
+
+def test_fgw_barycenter_sparse_equals_dense_features(spark):
+    """The sqeuclidean metric used to drop implicit-zero COO feature
+    entries (join-on-d covered only dims with rows); the norm
+    decomposition makes sparse input (zero rows OMITTED) produce
+    exactly the dense-input result."""
+    import numpy as np
+
+    from efficient_graph_algorithms_spark.operators.gw_fw import fgw_barycenter
+
+    n, d, ns = 2, 2, 3
+    cost = np.array([[0, 1, 0.5], [1, 0, 1], [0.5, 1, 0]])
+    # one-hot-ish features with real zeros; node 2 is ALL-zero
+    y = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
+    p = np.array([0.5, 0.3, 0.2])
+    p_c = np.array([0.6, 0.4])
+    init_c = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+    def run(feat_rows):
+        feats = {0: spark.createDataFrame(feat_rows, "i long, d long, y double")}
+        costs = {
+            0: spark.createDataFrame(
+                [(i, j, float(cost[i, j])) for i in range(ns) for j in range(ns)],
+                "i long, j long, c double",
+            )
+        }
+        ps = {0: spark.createDataFrame([(i, float(p[i])) for i in range(ns)], "i long, p double")}
+        pc = spark.createDataFrame([(j, float(p_c[j])) for j in range(n)], "j long, p double")
+        x_df, c_df, t_dfs, _ = fgw_barycenter(
+            spark, feats, costs, ps, pc,
+            init_c=spark.createDataFrame(
+                [(i, j, float(init_c[i, j])) for i in range(n) for j in range(n)],
+                "i long, j long, c double",
+            ),
+            init_x=spark.createDataFrame(
+                [(j, k, 0.0) for j in range(n) for k in range(d)],
+                "j long, d long, x double",
+            ),
+            max_iter=2, tol=0.0, fw_iter=3,
+        )
+        xs = sorted((r["j"], r["d"], round(r["x"], 12)) for r in x_df.collect())
+        ts = sorted(
+            (r["i"], r["j"], round(r["t"], 12)) for r in t_dfs[0].collect()
+        )
+        return xs, ts
+
+    dense = [(i, k, float(y[i, k])) for i in range(ns) for k in range(d)]
+    sparse = [(i, k, float(y[i, k])) for i in range(ns) for k in range(d) if y[i, k] != 0.0]
+    assert run(sparse) == run(dense)
