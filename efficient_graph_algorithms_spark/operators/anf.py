@@ -117,21 +117,30 @@ def neighborhood_function(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    # gather key is the out-neighbor: ball_{r+1}(v) = ball_r(v) U ball_r(u)
-    e = e.distinct().repartition(sp, "dst").persist()
-    e.count()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    # partition on the mode's actual join key: the sketch gather joins
+    # on dst (ball_{r+1}(v) = ball_r(v) U ball_r(u)), the exact BFS
+    # joins on src — persisting the wrong layout would re-shuffle the
+    # full edge table every round
+    e = e.distinct().repartition(sp, "src" if mode == "exact" else "dst").persist()
+    try:
+        e.count()
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
-    info: dict[str, Any] = {"mode": mode, "rounds": 0, "totals": []}
-    if mode == "exact":
-        out, inf = _exact(spark, e, verts, max_radius, sources, sp, info, stop_early)
-    else:
-        out, inf = _sketch(spark, e, verts, max_radius, registers, sp, info)
-    e.unpersist()
+        info: dict[str, Any] = {"mode": mode, "rounds": 0, "totals": []}
+        if mode == "exact":
+            out, inf = _exact(
+                spark, e, verts, max_radius, sources, sp, info, stop_early
+            )
+        else:
+            out, inf = _sketch(spark, e, verts, max_radius, registers, sp, info)
+    finally:
+        # unpersist on the error path too (the betweenness.py shape) —
+        # a mid-loop failure must not leak the cached edges
+        e.unpersist()
     return out, inf
 
 
@@ -295,68 +304,71 @@ def truncated_closeness(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.distinct().repartition(sp, "src").persist()
-    e.count()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    src_ids = (sources.select("id") if sources is not None else verts).distinct()
+    try:
+        e.count()
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        src_ids = (sources.select("id") if sources is not None else verts).distinct()
 
-    info: dict[str, Any] = {"rounds": 0, "frontier_sizes": []}
-    with StateCutter(spark, "trunc_closeness") as cut:
-        state = src_ids.select("id", F.col("id").alias("m"), F.lit(0).alias("d"))
-        state, got = cut.observe(state, n=F.count(F.lit(1)))
-        prev_total = int(got["n"] or 0)
-        frontier = state
-        for r in range(1, max_radius + 1):
-            grown = (
-                frontier.join(e, frontier["m"] == e["src"])
-                .select("id", F.col("dst").alias("m"))
-                .distinct()
+        info: dict[str, Any] = {"rounds": 0, "frontier_sizes": []}
+        with StateCutter(spark, "trunc_closeness") as cut:
+            state = src_ids.select("id", F.col("id").alias("m"), F.lit(0).alias("d"))
+            state, got = cut.observe(state, n=F.count(F.lit(1)))
+            prev_total = int(got["n"] or 0)
+            frontier = state
+            for r in range(1, max_radius + 1):
+                grown = (
+                    frontier.join(e, frontier["m"] == e["src"])
+                    .select("id", F.col("dst").alias("m"))
+                    .distinct()
+                )
+                new = grown.join(state.select("id", "m"), ["id", "m"], "left_anti").select(
+                    "id", "m", F.lit(r).alias("d")
+                )
+                # one cut pins BOTH faces of the round: the union (next
+                # visited set) and the frontier slice read from it
+                state, got = cut.observe(state.unionByName(new), n=F.count(F.lit(1)))
+                frontier = state.where(F.col("d") == r)
+                total = int(got["n"] or 0)
+                n_new = total - prev_total
+                prev_total = total
+                info["rounds"] = r
+                info["frontier_sizes"].append(n_new)
+                if n_new == 0:
+                    break
+            agg = (
+                state.where(F.col("d") > 0)
+                .groupBy("id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_reached"),
+                    F.sum("d").cast("long").alias("sum_dist"),
+                    F.sum(F.lit(1.0) / F.col("d")).alias("_h"),
+                )
             )
-            new = grown.join(state.select("id", "m"), ["id", "m"], "left_anti").select(
-                "id", "m", F.lit(r).alias("d")
+            cols = [
+                F.col("id"),
+                F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
+                F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias("sum_dist"),
+                F.when(
+                    F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
+                    F.round(F.col("n_reached") / F.col("sum_dist"), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("closeness"),
+            ]
+            if with_harmonic:
+                cols.append(
+                    F.round(F.coalesce(F.col("_h"), F.lit(0.0)), 6).alias("harmonic")
+                )
+            out = (
+                src_ids.join(agg, "id", "left")
+                .select(*cols)
+                .localCheckpoint(eager=True)  # pin before the cut dir drops
             )
-            # one cut pins BOTH faces of the round: the union (next
-            # visited set) and the frontier slice read from it
-            state, got = cut.observe(state.unionByName(new), n=F.count(F.lit(1)))
-            frontier = state.where(F.col("d") == r)
-            total = int(got["n"] or 0)
-            n_new = total - prev_total
-            prev_total = total
-            info["rounds"] = r
-            info["frontier_sizes"].append(n_new)
-            if n_new == 0:
-                break
-        agg = (
-            state.where(F.col("d") > 0)
-            .groupBy("id")
-            .agg(
-                F.count(F.lit(1)).alias("n_reached"),
-                F.sum("d").cast("long").alias("sum_dist"),
-                F.sum(F.lit(1.0) / F.col("d")).alias("_h"),
-            )
-        )
-        cols = [
-            F.col("id"),
-            F.coalesce(F.col("n_reached"), F.lit(0)).cast("long").alias("n_reached"),
-            F.coalesce(F.col("sum_dist"), F.lit(0)).cast("long").alias("sum_dist"),
-            F.when(
-                F.coalesce(F.col("sum_dist"), F.lit(0)) > 0,
-                F.round(F.col("n_reached") / F.col("sum_dist"), 6),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("closeness"),
-        ]
-        if with_harmonic:
-            cols.append(
-                F.round(F.coalesce(F.col("_h"), F.lit(0.0)), 6).alias("harmonic")
-            )
-        out = (
-            src_ids.join(agg, "id", "left")
-            .select(*cols)
-            .localCheckpoint(eager=True)  # pin before the cut dir drops
-        )
-    e.unpersist()
+    finally:
+        # unpersist on the error path too (betweenness.py shape)
+        e.unpersist()
     return out, info

@@ -201,6 +201,7 @@ def ann_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     multiprobe: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: multi-table RP-LSH with query-side multi-probe
     (each query also probes the n_planes buckets at Hamming distance 1,
@@ -219,12 +220,13 @@ def ann_topk(
             "qid", "table",
             F.expr("bucket").bitwiseXOR(F.col("_flip")).alias("bucket"),
         )
-    cand = (
-        qb.join(corpus, ["table", "bucket"])
-        .select("qid", "vec_id")
-        .where(F.col("qid") != F.col("vec_id"))
-        .distinct()
-    )
+    cand = qb.join(corpus, ["table", "bucket"]).select("qid", "vec_id")
+    if exclude_self:
+        # shared-id-namespace semantics (queries drawn from the
+        # corpus); pass exclude_self=False for an independent query id
+        # space, where a coincidental equality would drop a neighbor
+        cand = cand.where(F.col("qid") != F.col("vec_id"))
+    cand = cand.distinct()
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qv"))
     scored = (
@@ -329,6 +331,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     centroids: list[list[float]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: (qid, vec_id, cos, rn), same contract as
     ``ann_topk`` / ``similarity.cosine_topk``.
@@ -359,9 +362,12 @@ def ivf_topk(
         )
         .select("qid", "_qv", F.col("_p.i").alias("list_id"))
     )
+    scored = probes.join(corpus, "list_id")
+    if exclude_self:
+        # shared-namespace semantics — see ann_topk
+        scored = scored.where(F.col("qid") != F.col("vec_id"))
     scored = (
-        probes.join(corpus, "list_id")
-        .where(F.col("qid") != F.col("vec_id"))
+        scored
         .select(
             "qid",
             "vec_id",

@@ -126,7 +126,10 @@ def betweenness(
             delta = cur
             acc = cur if acc is None else acc.unionByName(cur)
         if acc is None:
-            out = spark.createDataFrame([], "id long, bc double")
+            # derive the id type from the input so the empty path has
+            # the same schema as a non-empty run (string-id graphs)
+            _idt = edges.schema["src"].dataType.simpleString()
+            out = spark.createDataFrame([], f"id {_idt}, bc double")
         else:
             out = (
                 acc.groupBy(F.col("m").alias("id"))

@@ -42,6 +42,11 @@ def _pair_counts(
     counted into ``info['n_capped_keys']`` (one small aggregate job)."""
     base = e.select(key, item).distinct()
     if degree_cap is not None:
+        # persist the pre-cap distinct: the hot-key aggregate (and its
+        # count job) plus the anti-join all read it — without the cache
+        # the dominant distinct shuffle ran once for the count and
+        # again when the wedge materialized
+        base = base.persist()
         hot = (
             base.groupBy(key)
             .agg(F.count("*").alias("d"))

@@ -48,7 +48,13 @@ def decontaminate(
     texts shorter than ``width`` words contribute their full text as a
     single n-gram (same convention as dedup shingling).
     """
-    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, width=width)
+    # empty-string shingles are excluded on BOTH sides: a blank/null
+    # probe row emits "" (the shorter-than-width path over no tokens),
+    # which would "contaminate" every blank training doc — content-free
+    # matches are not contamination
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, width=width).where(
+        F.col("shingle") != ""
+    )
     probe_sh = (
         shingles(
             probes.select(F.monotonically_increasing_id().alias("_pid"), probe_text_col),
@@ -56,6 +62,7 @@ def decontaminate(
             text_col=probe_text_col,
             width=width,
         )
+        .where(F.col("shingle") != "")
         .select("shingle")
         .distinct()
     )

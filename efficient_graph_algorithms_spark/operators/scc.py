@@ -83,167 +83,171 @@ def strongly_connected_components(
         .repartition(sp, "src")
         .persist()
     )
-    # vertex domain from the ORIGINAL edges, not e0: a vertex whose only
-    # edges are self-loops must still get its singleton-SCC row (the
-    # docstring's contract); it enters with degree 0 in e0 and the TRIM
-    # peel assigns it scc = own id
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    try:
+        # vertex domain from the ORIGINAL edges, not e0: a vertex whose only
+        # edges are self-loops must still get its singleton-SCC row (the
+        # docstring's contract); it enters with degree 0 in e0 and the TRIM
+        # peel assigns it scc = own id
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
 
-    info: dict[str, Any] = {"outer_rounds": 0, "trim_assigned": 0, "hops": 0}
-    assigned_parts: list[DataFrame] = []
-    converged = False
+        info: dict[str, Any] = {"outer_rounds": 0, "trim_assigned": 0, "hops": 0}
+        assigned_parts: list[DataFrame] = []
+        converged = False
 
-    with StateCutter(spark, "scc_live", keep=3) as cut_live, \
-         StateCutter(spark, "scc_rem", keep=3) as cut_rem, \
-         StateCutter(spark, "scc_col", keep=3) as cut_col, \
-         StateCutter(spark, "scc_mark", keep=3) as cut_mark:
-        live, got = cut_live.observe(e0, n=F.count(F.lit(1)))
-        remaining, got = cut_rem.observe(verts, n=F.count(F.lit(1)))
-        n_remaining = int(got["n"] or 0)
+        with StateCutter(spark, "scc_live", keep=3) as cut_live, \
+             StateCutter(spark, "scc_rem", keep=3) as cut_rem, \
+             StateCutter(spark, "scc_col", keep=3) as cut_col, \
+             StateCutter(spark, "scc_mark", keep=3) as cut_mark:
+            live, got = cut_live.observe(e0, n=F.count(F.lit(1)))
+            remaining, got = cut_rem.observe(verts, n=F.count(F.lit(1)))
+            n_remaining = int(got["n"] or 0)
 
-        for outer in range(1, max_outer + 1):
-            if n_remaining == 0:
-                converged = True
-                break
-            info["outer_rounds"] = outer
-
-            # -- 1. TRIM to fixpoint ---------------------------------
-            while True:
-                has_out = live.select(F.col("src").alias("id")).distinct()
-                has_in = live.select(F.col("dst").alias("id")).distinct()
-                keep = remaining.join(has_out, "id", "left_semi").join(
-                    has_in, "id", "left_semi"
-                )
-                keep, got = cut_rem.observe(keep, n=F.count(F.lit(1)))
-                info["hops"] += 1
-                n_keep = int(got["n"] or 0)
-                if n_keep == n_remaining:
+            for outer in range(1, max_outer + 1):
+                if n_remaining == 0:
+                    converged = True
                     break
-                trivial = remaining.join(keep, "id", "left_anti").select(
-                    "id", F.col("id").alias("scc")
+                info["outer_rounds"] = outer
+
+                # -- 1. TRIM to fixpoint ---------------------------------
+                while True:
+                    has_out = live.select(F.col("src").alias("id")).distinct()
+                    has_in = live.select(F.col("dst").alias("id")).distinct()
+                    keep = remaining.join(has_out, "id", "left_semi").join(
+                        has_in, "id", "left_semi"
+                    )
+                    keep, got = cut_rem.observe(keep, n=F.count(F.lit(1)))
+                    info["hops"] += 1
+                    n_keep = int(got["n"] or 0)
+                    if n_keep == n_remaining:
+                        break
+                    trivial = remaining.join(keep, "id", "left_anti").select(
+                        "id", F.col("id").alias("scc")
+                    ).localCheckpoint(eager=True)
+                    assigned_parts.append(trivial)
+                    info["trim_assigned"] += n_remaining - n_keep
+                    remaining = keep
+                    n_remaining = n_keep
+                    live, _ = cut_live.observe(
+                        live.join(remaining, live["src"] == remaining["id"], "left_semi")
+                        .join(remaining, live["dst"] == remaining["id"], "left_semi"),
+                        n=F.count(F.lit(1)),
+                    )
+                    if n_remaining == 0:
+                        break
+                if n_remaining == 0:
+                    converged = True
+                    break
+
+                # -- 2. COLOR forward to fixpoint ------------------------
+                colors = remaining.select("id", F.col("id").alias("color"))
+                colors, got = cut_col.observe(colors, s=F.sum("color"))
+                prev_sum = int(got["s"] or 0)
+                for _ in range(max_hops):
+                    inc = (
+                        live.join(colors, live["src"] == colors["id"], "inner")
+                        .groupBy(live["dst"].alias("id"))
+                        .agg(F.min("color").alias("in_color"))
+                    )
+                    nxt = colors.join(inc, "id", "left").select(
+                        colors["id"],
+                        F.least(
+                            F.col("color"), F.coalesce("in_color", F.col("color"))
+                        ).alias("color"),
+                    )
+                    colors, got = cut_col.observe(nxt, s=F.sum("color"))
+                    info["hops"] += 1
+                    cur = int(got["s"] or 0)
+                    if cur == prev_sum:  # color sum is monotone decreasing
+                        break
+                    prev_sum = cur
+                else:
+                    warnings.warn("scc: coloring hit max_hops", stacklevel=2)
+
+                # -- 3. MARK backward within color classes to fixpoint ---
+                state = colors.select(
+                    "id", "color", (F.col("id") == F.col("color")).alias("mark")
+                )
+                state, got = cut_mark.observe(state, m=F.sum(F.col("mark").cast("long")))
+                prev_marked = int(got["m"] or 0)
+                for _ in range(max_hops):
+                    dstside = state.select(
+                        F.col("id").alias("w"),
+                        F.col("color").alias("wcolor"),
+                        F.col("mark").alias("wmark"),
+                    )
+                    hit = (
+                        live.join(dstside, live["dst"] == dstside["w"], "inner")
+                        .where(F.col("wmark"))
+                        .select(live["src"].alias("id"), F.col("wcolor").alias("color"))
+                        .distinct()
+                        .withColumn("hit", F.lit(True))
+                    )
+                    # at most one hit row per (id, color): no row explosion
+                    nxt = state.join(hit, ["id", "color"], "left").select(
+                        "id",
+                        "color",
+                        (F.col("mark") | F.coalesce("hit", F.lit(False))).alias("mark"),
+                    )
+                    state, got = cut_mark.observe(nxt, m=F.sum(F.col("mark").cast("long")))
+                    info["hops"] += 1
+                    cur = int(got["m"] or 0)
+                    if cur == prev_marked:  # marked set is monotone increasing
+                        break
+                    prev_marked = cur
+                else:
+                    warnings.warn("scc: marking hit max_hops", stacklevel=2)
+
+                # -- 4. EXTRACT + PARTITION ------------------------------
+                found = state.where("mark").select(
+                    "id", F.col("color").alias("scc")
                 ).localCheckpoint(eager=True)
-                assigned_parts.append(trivial)
-                info["trim_assigned"] += n_remaining - n_keep
-                remaining = keep
-                n_remaining = n_keep
+                assigned_parts.append(found)
+                remaining, got = cut_rem.observe(
+                    state.where(~F.col("mark")).select("id"), n=F.count(F.lit(1))
+                )
+                n_remaining = int(got["n"] or 0)
+                # monochromatic-SCC partition: drop cross-color edges forever,
+                # plus edges touching assigned vertices
+                csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("c1"))
+                cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("c2"))
                 live, _ = cut_live.observe(
-                    live.join(remaining, live["src"] == remaining["id"], "left_semi")
-                    .join(remaining, live["dst"] == remaining["id"], "left_semi"),
+                    live.join(csrc, "src").join(cdst, "dst")
+                    .where(F.col("c1") == F.col("c2"))
+                    .select("src", "dst")
+                    .join(remaining, F.col("src") == remaining["id"], "left_semi")
+                    .join(remaining, F.col("dst") == remaining["id"], "left_semi"),
                     n=F.count(F.lit(1)),
                 )
+            else:
                 if n_remaining == 0:
-                    break
-            if n_remaining == 0:
-                converged = True
-                break
+                    # the final EXTRACT emptied the graph on exactly the last
+                    # outer round; the top-of-loop check never re-ran
+                    converged = True
+                else:
+                    warnings.warn(
+                        f"scc hit max_outer={max_outer} with {n_remaining} "
+                        "vertices unassigned — their labels are missing from "
+                        "the result",
+                        stacklevel=2,
+                    )
 
-            # -- 2. COLOR forward to fixpoint ------------------------
-            colors = remaining.select("id", F.col("id").alias("color"))
-            colors, got = cut_col.observe(colors, s=F.sum("color"))
-            prev_sum = int(got["s"] or 0)
-            for _ in range(max_hops):
-                inc = (
-                    live.join(colors, live["src"] == colors["id"], "inner")
-                    .groupBy(live["dst"].alias("id"))
-                    .agg(F.min("color").alias("in_color"))
-                )
-                nxt = colors.join(inc, "id", "left").select(
-                    colors["id"],
-                    F.least(
-                        F.col("color"), F.coalesce("in_color", F.col("color"))
-                    ).alias("color"),
-                )
-                colors, got = cut_col.observe(nxt, s=F.sum("color"))
-                info["hops"] += 1
-                cur = int(got["s"] or 0)
-                if cur == prev_sum:  # color sum is monotone decreasing
-                    break
-                prev_sum = cur
-            else:
-                warnings.warn("scc: coloring hit max_hops", stacklevel=2)
+            if assigned_parts:
+                labels = assigned_parts[0]
+                for part in assigned_parts[1:]:
+                    labels = labels.unionByName(part)
+            else:  # edgeless input: no vertices, empty labelling
+                _idt = edges.schema["src"].dataType.simpleString()
+                labels = spark.createDataFrame([], f"id {_idt}, scc {_idt}")
+            labels = labels.localCheckpoint(eager=True)
 
-            # -- 3. MARK backward within color classes to fixpoint ---
-            state = colors.select(
-                "id", "color", (F.col("id") == F.col("color")).alias("mark")
-            )
-            state, got = cut_mark.observe(state, m=F.sum(F.col("mark").cast("long")))
-            prev_marked = int(got["m"] or 0)
-            for _ in range(max_hops):
-                dstside = state.select(
-                    F.col("id").alias("w"),
-                    F.col("color").alias("wcolor"),
-                    F.col("mark").alias("wmark"),
-                )
-                hit = (
-                    live.join(dstside, live["dst"] == dstside["w"], "inner")
-                    .where(F.col("wmark"))
-                    .select(live["src"].alias("id"), F.col("wcolor").alias("color"))
-                    .distinct()
-                    .withColumn("hit", F.lit(True))
-                )
-                # at most one hit row per (id, color): no row explosion
-                nxt = state.join(hit, ["id", "color"], "left").select(
-                    "id",
-                    "color",
-                    (F.col("mark") | F.coalesce("hit", F.lit(False))).alias("mark"),
-                )
-                state, got = cut_mark.observe(nxt, m=F.sum(F.col("mark").cast("long")))
-                info["hops"] += 1
-                cur = int(got["m"] or 0)
-                if cur == prev_marked:  # marked set is monotone increasing
-                    break
-                prev_marked = cur
-            else:
-                warnings.warn("scc: marking hit max_hops", stacklevel=2)
-
-            # -- 4. EXTRACT + PARTITION ------------------------------
-            found = state.where("mark").select(
-                "id", F.col("color").alias("scc")
-            ).localCheckpoint(eager=True)
-            assigned_parts.append(found)
-            remaining, got = cut_rem.observe(
-                state.where(~F.col("mark")).select("id"), n=F.count(F.lit(1))
-            )
-            n_remaining = int(got["n"] or 0)
-            # monochromatic-SCC partition: drop cross-color edges forever,
-            # plus edges touching assigned vertices
-            csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("c1"))
-            cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("c2"))
-            live, _ = cut_live.observe(
-                live.join(csrc, "src").join(cdst, "dst")
-                .where(F.col("c1") == F.col("c2"))
-                .select("src", "dst")
-                .join(remaining, F.col("src") == remaining["id"], "left_semi")
-                .join(remaining, F.col("dst") == remaining["id"], "left_semi"),
-                n=F.count(F.lit(1)),
-            )
-        else:
-            if n_remaining == 0:
-                # the final EXTRACT emptied the graph on exactly the last
-                # outer round; the top-of-loop check never re-ran
-                converged = True
-            else:
-                warnings.warn(
-                    f"scc hit max_outer={max_outer} with {n_remaining} "
-                    "vertices unassigned — their labels are missing from "
-                    "the result",
-                    stacklevel=2,
-                )
-
-        if assigned_parts:
-            labels = assigned_parts[0]
-            for part in assigned_parts[1:]:
-                labels = labels.unionByName(part)
-        else:  # edgeless input: no vertices, empty labelling
-            labels = spark.createDataFrame([], "id long, scc long")
-        labels = labels.localCheckpoint(eager=True)
-
-    info["converged"] = converged
-    e0.unpersist()
+        info["converged"] = converged
+    finally:
+        # unpersist on the error path too (betweenness.py shape)
+        e0.unpersist()
     return labels, info
 
 
@@ -319,37 +323,46 @@ def bowtie_classes(
         .repartition(sp, "src")
         .persist()
     )
-    e.count()
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    fwd = _reach_fixpoint(spark, e, core, "bowtie_fwd")     # core ∪ OUT
-    bwd = _reach_fixpoint(spark, rev, core, "bowtie_bwd")   # core ∪ IN
+    try:
+        e.count()
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        fwd = _reach_fixpoint(spark, e, core, "bowtie_fwd")     # core ∪ OUT
+        bwd = _reach_fixpoint(spark, rev, core, "bowtie_bwd")   # core ∪ IN
 
-    from efficient_graph_algorithms_spark.operators.components import (
-        connected_components,
-    )
-
-    weak, _ = connected_components(spark, e, num_partitions=sp)
-    core_weak = int(
-        weak.join(core.limit(1), "id").select("component").first()["component"]
-    )
-
-    out = (
-        labels.join(fwd.select("id", F.lit(1).alias("_f")), "id", "left")
-        .join(bwd.select("id", F.lit(1).alias("_b")), "id", "left")
-        .join(weak, "id")
-        .select(
-            "id",
-            "scc",
-            F.when(F.col("scc") == core_label, F.lit("CORE"))
-            .when(F.col("_b").isNotNull(), F.lit("IN"))
-            .when(F.col("_f").isNotNull(), F.lit("OUT"))
-            .when(F.col("component") == core_weak, F.lit("TEND"))
-            .otherwise(F.lit("DISC"))
-            .alias("cls"),
+        from efficient_graph_algorithms_spark.operators.components import (
+            connected_components,
         )
-        .localCheckpoint(eager=True)
-    )
-    e.unpersist()
+
+        # pass the FULL vertex universe: e excludes self-loops, so a
+        # vertex whose only edges are self-loops would otherwise be absent
+        # from weak — silently dropped by the inner join below (and, were
+        # it the core vertex, first() would return None and crash)
+        weak, _ = connected_components(
+            spark, e, vertices=labels.select("id"), num_partitions=sp
+        )
+        core_weak = int(
+            weak.join(core.limit(1), "id").select("component").first()["component"]
+        )
+
+        out = (
+            labels.join(fwd.select("id", F.lit(1).alias("_f")), "id", "left")
+            .join(bwd.select("id", F.lit(1).alias("_b")), "id", "left")
+            .join(weak, "id")
+            .select(
+                "id",
+                "scc",
+                F.when(F.col("scc") == core_label, F.lit("CORE"))
+                .when(F.col("_b").isNotNull(), F.lit("IN"))
+                .when(F.col("_f").isNotNull(), F.lit("OUT"))
+                .when(F.col("component") == core_weak, F.lit("TEND"))
+                .otherwise(F.lit("DISC"))
+                .alias("cls"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # unpersist on the error path too (betweenness.py shape)
+        e.unpersist()
     counts = {r["cls"]: r["n"] for r in
               out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
     return out, {"core_scc": core_label, "class_counts": counts, **scc_info}

@@ -52,16 +52,26 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     vectors: (vec_id, embedding); queries: (qid, embedding). The query
     side is broadcast — corpus never shuffles. Returns
     (qid, vec_id, cos) with deterministic ordering (cos desc, vec_id asc).
+
+    ``exclude_self`` (default True) drops rows where qid == vec_id —
+    the right semantics when queries are drawn FROM the corpus (one
+    shared id namespace). Pass False when query ids live in their own
+    namespace: a coincidental qid == vec_id equality would otherwise
+    silently drop a legitimate neighbor.
     """
     q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec")))
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vvec"))
-    scored = v.crossJoin(q).where(F.col("qid") != F.col("vec_id")).select(
+    pairs = v.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.where(F.col("qid") != F.col("vec_id"))
+    scored = pairs.select(
         "qid",
         "vec_id",
         F.round(cosine(F.col("qvec"), F.col("vvec")), ROUND_DP).alias("cos"),
@@ -95,8 +105,25 @@ def cosine_pairs(
         from efficient_graph_algorithms_spark.operators.ann import grid_candidate_pairs
 
         if dim is None:
-            dim = len(vectors.select(vec_col).first()[0])
-        eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+            first = (
+                vectors.where(F.col(vec_col).isNotNull())
+                .select(vec_col)
+                .first()
+            )
+            if first is None:  # empty input: empty result, brute-compatible
+                return vectors.sparkSession.createDataFrame(
+                    [], f"a {vectors.schema[id_col].dataType.simpleString()}, "
+                        f"b {vectors.schema[id_col].dataType.simpleString()}, "
+                        "cos double"
+                )
+            dim = len(first[0])
+        # eps covers the ROUNDED-cosine acceptance boundary: the final
+        # filter keeps rounded cos >= t, which admits true cosines down
+        # to t - 0.5*10^-ROUND_DP — deriving eps from the raw t would
+        # let such boundary pairs land outside the grid's candidate
+        # radius and silently diverge from the brute method/oracle
+        t_eff = threshold - 0.5 * 10.0 ** (-ROUND_DP)
+        eps = float(np.sqrt(max(2.0 - 2.0 * t_eff, 1e-12)))
         # norm projected FIRST: referencing _norm(vec) inside the
         # transform lambda would re-evaluate the O(dim) aggregate per
         # element (O(dim^2)/row — same Catalyst-inlining trap as
@@ -142,7 +169,15 @@ def rp_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: (vec_id, bucket bigint). bucket bit i =
     sign(v · r_i) with r_i deterministic (hash-based) Rademacher
-    vectors. Vectors in the same bucket are near-duplicate candidates;
+    vectors.
+
+    NOTE: ann.multi_table_buckets implements the same sign-bucket
+    scheme with DIFFERENT hash-stream constants (100+i here vs
+    1000+t*n_planes there); both families are pinned by their own SQL
+    oracles, so delegating one to the other would change published
+    bucket values — the duplication is deliberate and frozen.
+
+    Vectors in the same bucket are near-duplicate candidates;
     expected collision prob = (1 - theta/pi)^n_planes."""
     planes = [
         [1.0 if u >= 0.5 else -1.0 for u in uniform01(seed, np.arange(dim, dtype=np.uint64), stream=100 + i)]

@@ -303,3 +303,84 @@ def test_fgw_barycenter_sparse_equals_dense_features(spark):
     dense = [(i, k, float(y[i, k])) for i in range(ns) for k in range(d)]
     sparse = [(i, k, float(y[i, k])) for i in range(ns) for k in range(d) if y[i, k] != 0.0]
     assert run(sparse) == run(dense)
+
+
+def test_bowtie_self_loop_only_vertex(spark):
+    """A vertex whose only edges are self-loops was absent from the
+    weak-CC table and silently dropped from the bowtie output (or
+    crashed when it was the core)."""
+    from efficient_graph_algorithms_spark.operators.scc import bowtie_classes
+
+    edges = spark.createDataFrame(
+        [(0, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    out, info = bowtie_classes(spark, edges)
+    rows = {r["id"]: r["cls"] for r in out.collect()}
+    assert rows[1] == "CORE" and rows[2] == "CORE"
+    assert rows[0] == "DISC"  # present, disconnected from the core
+    # the reviewer's crash shape: core vertex itself self-loop-only
+    edges2 = spark.createDataFrame([(1, 1), (2, 3)], "src long, dst long")
+    out2, _ = bowtie_classes(spark, edges2)
+    assert out2.count() == 3  # no crash, every vertex classified
+
+
+def test_cosine_pairs_grid_equals_brute_at_boundary(spark):
+    """The grid eps is derived from the ROUNDED-cosine acceptance
+    boundary, so a pair whose true cosine sits just below the
+    threshold but rounds up is found by both methods."""
+    import math
+
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_pairs
+
+    th = 0.95
+    c = 0.94996  # rounds to 0.9500 >= th, but true cos < th
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [c, math.sqrt(1 - c * c)]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    grid = sorted(
+        (r["a"], r["b"], r["cos"])
+        for r in cosine_pairs(emb, threshold=th, method="grid").collect()
+    )
+    brute = sorted(
+        (r["a"], r["b"], r["cos"])
+        for r in cosine_pairs(emb, threshold=th, method="brute").collect()
+    )
+    assert grid == brute == [(1, 2, 0.95)]
+    # empty input: grid returns empty instead of crashing on first()
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_pairs(empty, threshold=th, method="grid").count() == 0
+
+
+def test_cosine_topk_separate_namespace(spark):
+    """qid == vec_id used to be dropped unconditionally; with an
+    independent query id space that silently removed a legitimate
+    neighbor."""
+    from efficient_graph_algorithms_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "qid long, embedding array<double>"
+    )  # qid 7 coincides with unrelated corpus vec_id 7
+    default = cosine_topk(corpus, queries, k=1).collect()
+    assert [r["vec_id"] for r in default] == [8]  # shared-namespace default
+    separate = cosine_topk(corpus, queries, k=1, exclude_self=False).collect()
+    assert [r["vec_id"] for r in separate] == [7]  # true nearest kept
+
+
+def test_decontam_blank_probe_not_contaminating(spark):
+    """A blank probe row emitted the empty-string shingle and flagged
+    every blank training doc as contaminated."""
+    from efficient_graph_algorithms_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real content words here okay fine yes")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("",), ("   ",)], "text string")
+    hits = decontaminate(docs, probes, width=3)
+    assert hits.count() == 0
