@@ -27,14 +27,10 @@ Scale notes (the part that must survive 10^12 docs):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.functions.extract import (
-    extract_hrefs_expr,
     extract_hrefs_udf,
 )
 
@@ -244,7 +240,13 @@ def build_edges(
     a one-time scan guarding every downstream algorithm.
     """
     # persist: the href-extraction UDF output feeds three consumers
-    # (url universe + two dictionary joins) — extract once, not thrice
+    # (url universe + two dictionary joins) — extract once, not thrice.
+    # Cache lifecycle note: this persist (and the partition-pinning one
+    # inside assign_dense_ids) is deliberately NOT unpersisted here —
+    # the returned DataFrames are lazy and still read it; the primary
+    # callers (extract CLI, bench) write both outputs to parquet and
+    # exit. A long-lived session doing REPEATED builds should
+    # spark.catalog.clearCache() between them.
     pairs = raw_link_pairs(pages).persist()
     # no distinct(): assign_dense_ids dedupes inside its range shuffle
     all_urls = pages.select("url").unionByName(
@@ -258,6 +260,11 @@ def build_edges(
             F.min("id").alias("lo"),
             F.max("id").alias("hi"),
         ).collect()[0]
+        if stats["n"] == 0:
+            raise ValueError(
+                "empty corpus: no pages and no extracted links "
+                "(url dictionary has zero rows)"
+            )
         if not (stats["n"] == stats["n_ids"] == stats["hi"] + 1 and stats["lo"] == 0):
             raise AssertionError(f"url dictionary is not a dense bijection: {stats}")
     edges = (
@@ -289,7 +296,7 @@ def adjacency_blocks(edges: DataFrame, salt_threshold: int = SALT_THRESHOLD) -> 
     degree so rank/out_deg contributions remain correct under salting.
     Non-hubs (out_deg ≤ salt_threshold) keep a single salt-0 row.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = out_degrees(edges)
     n_salts = F.ceil(F.lit(2.0) * F.col("out_deg") / F.lit(salt_threshold)).cast("long")
     salted = (
         edges.join(deg, "src")

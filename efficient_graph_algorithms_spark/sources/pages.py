@@ -69,11 +69,12 @@ def _domain_of(idx: np.ndarray, n: int, seed: int) -> np.ndarray:
 
 
 def _out_degree(idx: np.ndarray, seed: int) -> np.ndarray:
-    """Zipf-truncated out-degree in [0, 50]; ~2% dangling (degree 0)."""
+    """Zipf-truncated out-degree in {0} ∪ [4, 50]: u <= 1 makes
+    4·u^-0.5 >= 4, so non-dangling pages always carry at least 4
+    links; ~2% dangling (degree 0)."""
     u_dangle = uniform01(seed, idx, stream=2)
     u = np.clip(uniform01(seed, idx, stream=3), 1e-12, 1.0)
     deg = np.minimum((4.0 * u**-0.5).astype(np.int64), MAX_OUT_DEGREE)
-    deg = np.maximum(deg, 1)
     deg[u_dangle < DANGLING_FRAC] = 0
     return deg
 

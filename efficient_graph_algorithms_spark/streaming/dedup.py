@@ -93,6 +93,23 @@ def dedup_verdicts_stream(
 
     horizon_us = None if horizon_sec is None else int(horizon_sec) * 1_000_000
 
+    # Arrow hands SESSION-LOCAL naive timestamps while the watermark /
+    # timeout APIs speak UTC epoch ms — convert at the boundary (the
+    # sessions.py fix; identity under the UTC session pin).
+    from datetime import datetime, timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    _tz = ZoneInfo(docs.sparkSession.conf.get("spark.sql.session.timeZone"))
+    _EPOCH = datetime(1970, 1, 1)
+    _US = timedelta(microseconds=1)
+
+    def _wm_local_us(wm_ms: int) -> int:
+        dt = datetime.fromtimestamp(wm_ms / 1000.0, tz=timezone.utc)
+        return (dt.astimezone(_tz).replace(tzinfo=None) - _EPOCH) // _US
+
+    def _local_us_to_utc_ms(us: int) -> int:
+        return int((_EPOCH + us * _US).replace(tzinfo=_tz).timestamp() * 1000)
+
     def fn(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: "GroupState"
     ) -> Iterator["pd.DataFrame"]:
@@ -116,7 +133,7 @@ def dedup_verdicts_stream(
             if state.exists:
                 state.remove()
             return
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_us = _wm_local_us(state.getCurrentWatermarkMs())
         # strict: a doc at ts == watermark could still be preceded by an
         # admissible same-ts arrival with a smaller id
         finals = sorted(t for t in pending if t[0] < wm_us)
@@ -147,7 +164,7 @@ def dedup_verdicts_stream(
                     [d for _, d in pending],
                 )
             )
-            horizon_ms = min(t for t, _ in pending) // 1000 + 1
+            horizon_ms = _local_us_to_utc_ms(min(t for t, _ in pending)) + 1
             state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1))
         elif w is None:
             if state.exists:
@@ -162,7 +179,7 @@ def dedup_verdicts_stream(
             if horizon_us is not None:
                 state.setTimeoutTimestamp(
                     max(
-                        (w[0] + horizon_us) // 1000 + 1,
+                        _local_us_to_utc_ms(w[0] + horizon_us) + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )

@@ -53,7 +53,15 @@ def windowed_event_counts(
 def user_activity(events: DataFrame, streaming: bool = False, watermark: str = "2 hours") -> DataFrame:
     """Per-user running aggregates (streaming state analogue of the
     batch degree table)."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    # same TIMESTAMP cast as windowed_event_counts: watermarks need a
+    # tz-aware timestamp and parquet streams often carry NTZ
+    src = (
+        events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
+        if streaming
+        else events
+    )
     return src.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),

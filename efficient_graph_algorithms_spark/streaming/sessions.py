@@ -112,11 +112,45 @@ def sessionize_stream(
     minus ``session_idx`` — for ANY delivery order of events the
     watermark admits (asserted in tests, including shuffled batches).
     """
+    import math
+    from datetime import datetime, timedelta, timezone
+    from zoneinfo import ZoneInfo
+
     import pandas as pd  # driver + worker import; keep module import light
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_sec) * 1_000_000
+
+    # Arrow hands the UDF SESSION-LOCAL naive timestamps, but
+    # getCurrentWatermarkMs()/setTimeoutTimestamp speak UTC epoch — on
+    # a non-UTC session the raw comparison would shift finalization by
+    # the tz offset (hours-early emission). Capture the session tz at
+    # build time and convert at the boundary; under UTC (session.py's
+    # pin) both conversions are the identity, so existing behavior is
+    # bit-for-bit unchanged. (Naive local times are inherently
+    # ambiguous for one hour at DST fall-back; fold=0 resolution.)
+    _tz = ZoneInfo(events.sparkSession.conf.get("spark.sql.session.timeZone"))
+    _EPOCH = datetime(1970, 1, 1)
+    _US = timedelta(microseconds=1)
+
+    def _wm_local_us(wm_ms: int) -> int:
+        dt = datetime.fromtimestamp(wm_ms / 1000.0, tz=timezone.utc)
+        return (dt.astimezone(_tz).replace(tzinfo=None) - _EPOCH) // _US
+
+    def _local_us_to_utc_ms(us: int) -> int:
+        naive = _EPOCH + us * _US
+        return int(naive.replace(tzinfo=_tz).timestamp() * 1000)
+
+    def _nadd(a: float, b: float) -> float:
+        """NaN-skipping add: NaN encodes 'no non-null values yet', the
+        batch F.sum null-skip semantics (all-null group stays NaN and
+        is emitted as NULL)."""
+        if math.isnan(b):
+            return a
+        if math.isnan(a):
+            return b
+        return a + b
 
     def _rows(uid: int, intervals: list[list]) -> "pd.DataFrame":
         return pd.DataFrame(
@@ -125,7 +159,13 @@ def sessionize_stream(
                 "session_start": [pd.Timestamp(m[0] * 1000) for m in intervals],
                 "session_end": [pd.Timestamp(m[1] * 1000) for m in intervals],
                 "n_events": [m[2] for m in intervals],
-                "sum_value": [_round6_half_up(m[3]) for m in intervals],
+                "sum_value": pd.array(
+                    [
+                        None if math.isnan(m[3]) else _round6_half_up(m[3])
+                        for m in intervals
+                    ],
+                    dtype="Float64",  # nullable: NaN-sentinel -> true NULL
+                ),
             }
         )
 
@@ -139,10 +179,10 @@ def sessionize_stream(
                 m = merged[-1]
                 m[1] = max(m[1], it[1])
                 m[2] += it[2]
-                m[3] += it[3]
+                m[3] = _nadd(m[3], it[3])
             else:
                 merged.append(list(it))
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_us = _wm_local_us(state.getCurrentWatermarkMs())
         # strict: an event at exactly last+gap (== watermark) still merges
         final = [m for m in merged if m[1] + gap_us < wm_us]
         pending = [m for m in merged if m[1] + gap_us >= wm_us]
@@ -155,7 +195,11 @@ def sessionize_stream(
                     [m[3] for m in pending],
                 )
             )
-            horizon_ms = min(m[1] for m in pending) // 1000 + int(gap_sec) * 1000 + 1
+            horizon_ms = (
+                _local_us_to_utc_ms(min(m[1] for m in pending))
+                + int(gap_sec) * 1000
+                + 1
+            )
             state.setTimeoutTimestamp(max(horizon_ms, state.getCurrentWatermarkMs() + 1))
         elif state.exists:
             state.remove()

@@ -384,3 +384,84 @@ def test_decontam_blank_probe_not_contaminating(spark):
     probes = spark.createDataFrame([("",), ("   ",)], "text string")
     hits = decontaminate(docs, probes, width=3)
     assert hits.count() == 0
+
+
+def test_sessionize_stream_non_utc_session(spark, tmp_path):
+    """The streaming sessionizer compared session-LOCAL naive event
+    micros against the UTC watermark, finalizing sessions hours early
+    on non-UTC sessions (splitting sessions a later admissible event
+    should have extended); null values poisoned sums with NaN. Both
+    now match the batch result under America/Los_Angeles."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from efficient_graph_algorithms_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, payload string"
+    )
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 3, 20, 12, 0, 0)
+    h = timedelta(hours=1)
+    rows = [
+        (1, t0, 1, "a", 1.5, "{}"),
+        (2, t0 + 2 * h, 2, "a", 2.0, "{}"),          # advances watermark
+        (3, t0 + 2 * h, 1, "a", None, "{}"),          # must MERGE with event 1
+        (4, t0 + 30 * h, 3, "a", None, "{}"),         # all-null session
+    ]
+    sentinel = (999, t0 + timedelta(days=400), -1, "s", 0.0, "{}")
+    events = spark.createDataFrame(rows, schema)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        sdir = tmp_path / "tz_stream"
+        chunks = [rows[:1], rows[1:2], rows[2:3], rows[3:4], [sentinel]]
+        for i, c in enumerate(chunks):
+            p = sdir / f"chunk{i}"
+            spark.createDataFrame(c, schema).coalesce(1).write.parquet(str(p))
+            for f in p.glob("*.parquet"):
+                os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+            _time.sleep(0.01)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{sdir}/chunk*")
+        )
+        q = (
+            sessionize_stream(stream, gap_sec=3 * 3600, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("sess_tz")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = spark.sql("select * from sess_tz where user_id >= 0").toPandas()
+        want = (
+            sessionize(events, gap_sec=3 * 3600).drop("session_idx").toPandas()
+        )
+
+        def norm(df):
+            df = df.copy()
+            for c in ("session_start", "session_end"):
+                df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df["sum_value"] = df["sum_value"].astype("Float64")
+            cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+            return sorted(df[cols].itertuples(index=False), key=str)
+
+        assert len(got) == len(want) == 3
+        assert norm(got) == norm(want)
+        byuser = {r["user_id"]: r for _, r in got.iterrows()}
+        assert byuser[1]["n_events"] == 2  # NOT split by early finalization
+        assert byuser[1]["sum_value"] == 1.5  # null skipped, not NaN
+        assert pd.isna(byuser[3]["sum_value"])  # all-null -> NULL
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
