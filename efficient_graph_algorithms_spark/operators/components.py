@@ -117,6 +117,10 @@ def connected_components(
             )
             .persist()
         )
+        if it == start_iter + 1:
+            from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+            dump_plan(jumped, "cc_round")
         changed = int(
             jumped.agg(
                 F.sum((F.col("component") != F.col("old")).cast("long"))

@@ -82,6 +82,10 @@ def k_core(
             nxt = live.join(
                 removed, live["src"] == removed["rid"], "left_anti"
             ).join(removed, live["dst"] == removed["rid"], "left_anti")
+            if it == 1:
+                from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+                dump_plan(nxt, "kcore_round")
             live, got = cut.observe(nxt, live_edges=F.count(F.lit(1)))
             info["rounds"] = it
             live_edges = int(got["live_edges"] or 0)

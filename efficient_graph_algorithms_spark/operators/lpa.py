@@ -91,6 +91,10 @@ def label_propagation(
             )
             .persist()
         )
+        if it == start_iter + 1:
+            from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+            dump_plan(stepped, "lpa_round")
         changed = int(
             stepped.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
             or 0

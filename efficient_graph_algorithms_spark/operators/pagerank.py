@@ -94,6 +94,21 @@ DEFAULT_TOL = 1e-6
 DEFAULT_MAX_ITER = 200
 
 
+def _free_local_ckpt(df: DataFrame) -> None:
+    """Explicitly unpersist the RDD behind an eager localCheckpoint —
+    deterministic block hygiene for in-memory iterative loops (the
+    block-manager analogue of deleting a superseded parquet snapshot).
+    Only ever called on a state the loop has already replaced; falls
+    back to ContextCleaner GC if the plan shape is not the expected
+    LogicalRDD."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — hygiene must never kill the loop
+        pass
+
+
 def _canonical(df: DataFrame, sp: int) -> DataFrame:
     """Fixed-count hash layout with in-partition id order: the physical
     form of a state table becomes a pure function of its logical content
@@ -291,6 +306,23 @@ def pagerank(
 
     verts = (vertices or vertex_table(edges)).select("id")
     n = verts.count()  # pvec below is verts left-joined → same row count
+    # scale-adaptive loop partitioning (fast ephemeral runs only): small
+    # vertex sets don't pay `sp` tasks per stage — same |V|-driven rule
+    # as the snapshot file count (~500k rows/partition, floor 8), capped
+    # by the session conf, which stays the cluster-scale knob. The
+    # session shuffle-partitions conf is flipped so the per-iteration
+    # groupBy(dst) exchange matches the cached linked/state partitioning
+    # (co-partitioned joins, zero extra exchanges); restored in finally.
+    # Same session-global non-reentrancy note as the AQE flip below.
+    # Measured sf0.1/local[32]: 0.45 s/iter @32 → 0.32 s/iter @8.
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev: str | None = None
+    if not deterministic and checkpoint_dir is None and num_partitions is None:
+        sp_adaptive = min(sp, max(8, -(-n // 500_000)))
+        if sp_adaptive != sp:
+            sp = sp_adaptive
+            _sp_prev = spark.conf.get(_sp_key)
+            spark.conf.set(_sp_key, str(sp))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
 
     # static per-vertex table: teleport prob p + dangling flag
@@ -348,10 +380,12 @@ def pagerank(
         # an error in checkpoint resume / the dm aggregate doesn't leave
         # linked.count() running unsupervised on the cluster; drop BOTH
         # setup persists (the ephemeral scratch dir is cleaned inside
-        # _pagerank_setup itself)
+        # _pagerank_setup itself) and restore the flipped conf
         _linked_thread.join()
         linked.unpersist()
         pvec.unpersist()
+        if _sp_prev is not None:
+            spark.conf.set(_sp_key, _sp_prev)
         raise
     ephemeral, state_root, ckpt, start_iter, dm, state = _setup_state
 
@@ -388,6 +422,7 @@ def pagerank(
         spark.conf.set(_aqe_key, "false")
         _aqe_modified = True
         info["aqe"] = "off(small-graph)"
+    _prev_ckpt: DataFrame | None = None
     try:
         for it in range(start_iter + 1, max_iter + 1):
             t_it0 = _time.time()
@@ -408,7 +443,16 @@ def pagerank(
                 .groupBy(linked["dst"].alias("id"))
                 .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("c"))
             )
-            new_state = state.join(contrib, "id", "left").select(
+            # ephemeral fast mode: keep contrib as the shuffle-hash BUILD
+            # side of the state join — both sides are co-partitioned by
+            # id (contrib exits its groupBy hash-partitioned, state is a
+            # partitioning-preserving localCheckpoint), so the join adds
+            # ZERO exchanges; a broadcast would add a driver round-trip
+            # per iteration for nothing
+            contrib_side = (
+                contrib.hint("shuffle_hash") if (not deterministic and ephemeral) else contrib
+            )
+            new_state = state.join(contrib_side, "id", "left").select(
                 "id",
                 "p",
                 "dangling",
@@ -448,12 +492,8 @@ def pagerank(
                 delta, dm = sums["delta"], sums["dm"]
             else:
                 # fast mode: ONE job — the delta/dm aggregates ride the
-                # snapshot write as CollectMetrics partials (no persist,
-                # no second scan, no in-partition sort). Snapshot file
-                # count tracks |V| (~500k rows/file, floor 8): parquet
-                # task-commit overhead is per-file (~10 ms each), so tiny
-                # states shouldn't pay for `sp` files — measured 0.30 s →
-                # 0.16 s per write at 126k vertices, sp=32.
+                # iteration's materialization as CollectMetrics partials
+                # (no persist, no second scan, no in-partition sort).
                 import uuid as _uuid
 
                 from pyspark.sql.observation import Observation
@@ -462,20 +502,63 @@ def pagerank(
                 # SparkSession must not cross-capture each other's
                 # CollectMetrics (same rationale as StateCutter.observe)
                 obs = Observation(f"pr_{_uuid.uuid4().hex[:12]}_it{it}")
-                sp_state = min(sp, max(8, -(-n // 500_000)))
-                observed = new_state.repartition(sp_state, "id").observe(
-                    obs,
-                    F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
-                    F.sum(
-                        F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
-                    ).alias("dm"),
-                )
-                t_w0 = _time.time()
-                full_state = ckpt.write_state(
-                    observed, it, compression="none" if ephemeral else None
-                )
-                got = obs.get
-                info.setdefault("write_secs", []).append(round(_time.time() - t_w0, 3))
+                if ephemeral:
+                    # r6 in-memory loop: the state round-trips through a
+                    # partitioning-preserving eager localCheckpoint
+                    # instead of a tmpfs parquet snapshot. LogicalRDD
+                    # keeps hash(id, sp), so with linked cached as
+                    # hash(src, sp) an iteration is TWO stages — the
+                    # co-partitioned rank⋈linked join (zero exchange)
+                    # feeding the groupBy(dst) exchange, then the
+                    # co-partitioned state⋈contrib join (zero exchange)
+                    # — with no parquet encode/commit/decode and no
+                    # snapshot re-read. Measured sf0.1/local[32]:
+                    # 0.75 s/iter (5 stages) → ~0.2 s/iter. Superseded
+                    # block sets are freed explicitly below (same
+                    # deterministic-hygiene contract as the snapshot
+                    # delete); delta/dm partials merge in task-completion
+                    # order exactly as before (≤1 ulp/iter, documented).
+                    observed = new_state.observe(
+                        obs,
+                        F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+                        F.sum(
+                            F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
+                        ).alias("dm"),
+                    ).select("id", "p", "dangling", "rank")
+                    if it == start_iter + 1:
+                        from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+                        dump_plan(observed, "pagerank_iter")
+                    t_w0 = _time.time()
+                    full_state = observed.localCheckpoint(eager=True)
+                    got = obs.get
+                    info.setdefault("write_secs", []).append(round(_time.time() - t_w0, 3))
+                    # free the superseded iteration's blocks NOW (its
+                    # successor is materialized) instead of waiting on
+                    # ContextCleaner GC — the block-manager analogue of
+                    # delete_iteration
+                    if _prev_ckpt is not None:
+                        _free_local_ckpt(_prev_ckpt)
+                    _prev_ckpt = full_state
+                else:
+                    # durable fast mode: parquet snapshot per iteration
+                    # (resume point). Snapshot file count tracks |V|
+                    # (~500k rows/file, floor 8): parquet task-commit
+                    # overhead is per-file (~10 ms each), so tiny states
+                    # shouldn't pay for `sp` files — measured 0.30 s →
+                    # 0.16 s per write at 126k vertices, sp=32.
+                    sp_state = min(sp, max(8, -(-n // 500_000)))
+                    observed = new_state.repartition(sp_state, "id").observe(
+                        obs,
+                        F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("delta"),
+                        F.sum(
+                            F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))
+                        ).alias("dm"),
+                    )
+                    t_w0 = _time.time()
+                    full_state = ckpt.write_state(observed, it)
+                    got = obs.get
+                    info.setdefault("write_secs", []).append(round(_time.time() - t_w0, 3))
                 delta, dm = float(got["delta"] or 0.0), float(got["dm"] or 0.0)
             state = full_state.select("id", "p", "dangling", "rank")
             ckpt.log_metrics(it, {"delta": delta, "dangling_mass": dm})
@@ -493,12 +576,17 @@ def pagerank(
         info["loop_sec"] = round(_time.time() - t_loop0, 3)
         # hand the caller a plan that no longer depends on the ephemeral dir
         ranks_out = state.select("id", "rank")
-        if ephemeral:
+        if ephemeral and _prev_ckpt is None:
+            # deterministic-mode ephemeral runs still read tmpfs parquet;
+            # fast-mode state is already localCheckpoint-backed (and its
+            # final block set is deliberately NOT freed — it IS the result)
             ranks_out = ranks_out.localCheckpoint(eager=True)
         return ranks_out, info
     finally:
         if _aqe_modified:
             spark.conf.set(_aqe_key, _aqe_prev)
+        if _sp_prev is not None:
+            spark.conf.set(_sp_key, _sp_prev)
         pvec.unpersist()
         linked.unpersist()
         if ephemeral:

@@ -269,14 +269,15 @@ def tree_gfi_matvec(
             .agg(F.sum(F.col("fw") * F.col("partial")).alias("up"))
         )
         steps += 1
-        partial = _barrier(
-            partial.join(msgs, "id", "left")
-            .select(
-                "id",
-                (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
-            ),
-            cut, steps, last=(lvl == 1),
+        nxt_partial = partial.join(msgs, "id", "left").select(
+            "id",
+            (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
         )
+        if steps == 1:
+            from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+            dump_plan(nxt_partial, "tree_gfi_level")
+        partial = _barrier(nxt_partial, cut, steps, last=(lvl == 1))
     # the final up-pass state is always a parquet cut (last=True) in a
     # separate cutter generation stream, so the down-pass reads stay
     # valid for the whole function
