@@ -19,6 +19,25 @@ hash-to-min + pointer jumping: O(log d) rounds on graphs of diameter d,
 each round = one join + one aggregate (+ one join for halving).
 All updates are min-based so the result is schedule-independent and
 matches the union-find oracle exactly.
+
+Physical shape per round (r6, ephemeral runs — the guide §2.4 "remove
+shuffles outright" pass):
+
+- ``sym`` is cached hash-partitioned by **src** — the key it is joined
+  on — so the gather join is co-partitioned with the label state and
+  adds ZERO exchanges (it was partitioned by dst before r6, which
+  re-shuffled the whole doubled edge table every round).
+- label state round-trips through a partitioning-preserving eager
+  ``localCheckpoint`` (the pagerank r6 loop): no tmpfs parquet
+  encode/commit/decode, and the ``changed`` convergence count rides the
+  materialization as a CollectMetrics partial — TWO jobs per round
+  (stepped, jumped) instead of two actions plus a snapshot write.
+- loop partitioning is scale-adaptive (|V|-driven, floor 8, capped by
+  the session conf — restored afterwards) so small graphs and the tiny
+  pair graphs of dedup_clusters stop paying 32 tasks per stage.
+
+Durable (checkpoint_dir) runs keep the r5 parquet-snapshot loop — the
+resume contract is byte-level and untouched.
 """
 
 from __future__ import annotations
@@ -42,7 +61,10 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (labels(id, component), info). component = min reachable id."""
+    from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
+
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ephemeral = checkpoint_dir is None
 
     verts = vertices
     if verts is None:
@@ -51,107 +73,171 @@ def connected_components(
             .unionByName(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    verts = verts.select("id").repartition(sp, "id").persist()
+    verts = verts.select("id").persist()
+    n = verts.count()
 
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(sp, "dst")
-        .persist()
-    )
-    sym.count()
+    # scale-adaptive loop partitioning (ephemeral runs only) — same
+    # |V|-driven rule as pagerank (~500k rows/partition, floor 8, capped
+    # by the session conf). The session shuffle-partitions conf is
+    # flipped so the per-round groupBy(dst) exchange matches the cached
+    # sym/labels partitioning; restored in finally. Session-global, same
+    # non-reentrancy caveat as pagerank's AQE flip.
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev: str | None = None
+    if ephemeral and num_partitions is None:
+        sp_adaptive = min(sp, max(8, -(-n // 500_000)))
+        if sp_adaptive != sp:
+            sp = sp_adaptive
+            _sp_prev = spark.conf.get(_sp_key)
+            spark.conf.set(_sp_key, str(sp))
 
-    # memory-only runs still need a REAL state medium: the pointer-jump
-    # is a self-join, and a localCheckpoint barrier lets Catalyst's
-    # multiplied size estimate double per round (plans/lineage.py) —
-    # ephemeral tmpfs parquet resets stats to actual file sizes
-    from efficient_graph_algorithms_spark.operators.pagerank import _ephemeral_state_dir
+    # same size-driven AQE policy (and session-global non-reentrancy
+    # caveat) as pagerank: at small |V| the per-stage replan round-trip
+    # is pure overhead and AQE's partition coalescing would break the
+    # co-partitioning the localCheckpoint loop relies on
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_prev: str | None = None
+    if ephemeral and n <= 2_000_000:
+        _aqe_prev = spark.conf.get(_aqe_key)
+        spark.conf.set(_aqe_key, "false")
 
-    ephemeral = checkpoint_dir is None
-    state_root = _ephemeral_state_dir() if ephemeral else checkpoint_dir
-    ckpt = CheckpointManager(spark, state_root, "connected_components", {})
-    labels = verts.select("id", F.col("id").alias("component"))
-    start_iter = 0
-    if resume and checkpoint_dir:
-        latest = ckpt.latest_iteration()
-        if latest is not None:
-            labels = ckpt.load_iteration(latest)
-            start_iter = latest
-    labels0 = labels = labels.repartition(sp, "id").persist()
-    labels.count()
-
-    info: dict[str, Any] = {"rounds": start_iter}
-    converged = False
-    for it in range(start_iter + 1, max_iter + 1):
-        # hash-to-min: candidate = min over neighbors' components
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy(sym["dst"].alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
+    try:
+        sym = (
+            edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            # partitioned by the JOIN key (src): the per-round gather join
+            # is then co-partitioned with the label state — zero exchange
+            .repartition(sp, "src")
+            .persist()
         )
-        stepped = (
-            labels.join(nbr_min, "id", "left")
-            .select(
+        sym.count()
+
+        ckpt = CheckpointManager(spark, checkpoint_dir, "connected_components", {})
+        labels = verts.select("id", F.col("id").alias("component"))
+        start_iter = 0
+        if resume and checkpoint_dir:
+            latest = ckpt.latest_iteration()
+            if latest is not None:
+                labels = ckpt.load_iteration(latest)
+                start_iter = latest
+        labels0 = labels = labels.repartition(sp, "id").persist()
+        labels.count()
+
+        info: dict[str, Any] = {"rounds": start_iter}
+        converged = False
+        _prev_ckpts: list[DataFrame] = []
+        for it in range(start_iter + 1, max_iter + 1):
+            # hash-to-min: candidate = min over neighbors' components.
+            # labels is the shuffle-hash BUILD side (it is |V|-sized next
+            # to the doubled edge table); min() is order-insensitive so
+            # there is no determinism constraint on the probe order.
+            nbr_min = (
+                sym.join(
+                    labels.hint("shuffle_hash"), sym["src"] == labels["id"]
+                )
+                .groupBy(sym["dst"].alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            stepped = labels.join(nbr_min.hint("shuffle_hash"), "id", "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
                 F.col("component").alias("old"),
             )
-            .persist()  # consumed twice by the self-join below
-        )
-        # pointer jumping (path halving): component ← component's component
-        jumped = (
-            stepped.alias("s")
-            .join(
-                stepped.select(F.col("id").alias("pid"), F.col("component").alias("pcomp")).alias("p"),
-                F.col("s.component") == F.col("p.pid"),
-                "left",
+            if ephemeral:
+                # job 1: materialize stepped (consumed twice by the jump
+                # self-join below) as a partitioning-preserving block set
+                stepped = stepped.localCheckpoint(eager=True)
+            else:
+                stepped = stepped.persist()
+            # pointer jumping (path halving): component ← component's component
+            jumped = (
+                stepped.alias("s")
+                .join(
+                    stepped.select(
+                        F.col("id").alias("pid"), F.col("component").alias("pcomp")
+                    ).alias("p"),
+                    F.col("s.component") == F.col("p.pid"),
+                    "left",
+                )
+                .select(
+                    F.col("s.id").alias("id"),
+                    F.coalesce(F.col("p.pcomp"), F.col("s.component")).alias("component"),
+                    F.col("s.old").alias("old"),
+                )
             )
-            .select(
-                F.col("s.id").alias("id"),
-                F.coalesce(F.col("p.pcomp"), F.col("s.component")).alias("component"),
-                F.col("s.old").alias("old"),
+            if it == start_iter + 1:
+                from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+                dump_plan(jumped, "cc_round")
+            if ephemeral:
+                # job 2: restore the id partitioning (the jump join is
+                # keyed by component), ride the changed-count on the
+                # materialization as a CollectMetrics partial, cut
+                # lineage with an eager localCheckpoint — no snapshot
+                # write, no separate count job
+                import uuid as _uuid
+
+                from pyspark.sql.observation import Observation
+
+                obs = Observation(f"cc_{_uuid.uuid4().hex[:12]}_it{it}")
+                observed = (
+                    jumped.repartition(sp, "id")
+                    .observe(
+                        obs,
+                        F.sum((F.col("component") != F.col("old")).cast("long")).alias(
+                            "changed"
+                        ),
+                    )
+                    .select("id", "component")
+                )
+                new_labels = observed.localCheckpoint(eager=True)
+                changed = int(obs.get["changed"] or 0)
+                ckpt.log_metrics(it, {"changed": changed})
+                # free superseded block sets now that the successor is
+                # materialized (block-manager analogue of the old
+                # delete_iteration call)
+                for df in _prev_ckpts:
+                    _free_local_ckpt(df)
+                _prev_ckpts = [stepped, new_labels]
+                labels = new_labels
+            else:
+                jumped = jumped.persist()
+                changed = int(
+                    jumped.agg(
+                        F.sum((F.col("component") != F.col("old")).cast("long"))
+                    ).collect()[0][0]
+                    or 0
+                )
+                labels = ckpt.save_iteration(
+                    jumped.select("id", "component"), it, {"changed": changed}
+                )
+                jumped.unpersist()
+                stepped.unpersist()
+            info["rounds"] = it
+            if changed == 0:
+                converged = True
+                break
+        info["converged"] = converged
+        if not converged:
+            warnings.warn(
+                f"connected_components hit max_iter={max_iter} before fixpoint — "
+                "labels are NOT final (rerun with resume=True to continue)",
+                stacklevel=2,
             )
-            .persist()
-        )
-        if it == start_iter + 1:
-            from efficient_graph_algorithms_spark.plans.explain import dump_plan
-
-            dump_plan(jumped, "cc_round")
-        changed = int(
-            jumped.agg(
-                F.sum((F.col("component") != F.col("old")).cast("long"))
-            ).collect()[0][0]
-            or 0
-        )
-        labels = ckpt.save_iteration(
-            jumped.select("id", "component"), it, {"changed": changed}
-        )
-        jumped.unpersist()
-        stepped.unpersist()
-        if ephemeral:
-            ckpt.delete_iteration(it - 1)  # deterministic cleanup
-        info["rounds"] = it
-        if changed == 0:
-            converged = True
-            break
-    info["converged"] = converged
-    if not converged:
-        warnings.warn(
-            f"connected_components hit max_iter={max_iter} before fixpoint — "
-            "labels are NOT final (rerun with resume=True to continue)",
-            stacklevel=2,
-        )
-    sym.unpersist()
-    verts.unpersist()
-    labels0.unpersist()  # initial-state persist, superseded by snapshots
-    if ephemeral:
-        # pin the result in block-manager memory, then drop the scratch dir
-        labels = labels.localCheckpoint(eager=True)
-        import shutil as _shutil
-
-        _shutil.rmtree(state_root, ignore_errors=True)
-    return labels, info
+        sym.unpersist()
+        verts.unpersist()
+        labels0.unpersist()  # initial-state persist, superseded by snapshots
+        if ephemeral and _prev_ckpts:
+            # the final label state IS the result: free only its stepped
+            # sibling, keep the labels block set alive for the caller
+            _free_local_ckpt(_prev_ckpts[0])
+        return labels, info
+    finally:
+        if _sp_prev is not None:
+            spark.conf.set(_sp_key, _sp_prev)
+        if _aqe_prev is not None:
+            spark.conf.set(_aqe_key, _aqe_prev)

@@ -12,15 +12,28 @@ Semantics (argmax cluster assignment of the reference,
 - stop when no label changes, or after max_iter rounds.
 
 Plan per round: edges ⋈ labels (gather) → groupBy(id,label).count →
-window argmax (count desc, label asc) → row_number()==1 — exactly the
-"per-row top-1" window pattern from SURVEY §2.5.
+groupBy(id) max_by argmax — the per-row top-1 computed as an
+AGGREGATE (``max_by(label, (cnt, -label))``) rather than a sort
+window: same (count desc, label asc) total order, but it gets
+map-side partial aggregation, skips the per-partition sort, and lands
+already hash-partitioned by id for the state join (r6; the window
+variant paid an extra sort on the same exchange).
+
+Physical shape per round (r6, ephemeral runs — mirrors components.py):
+``sym`` cached hash-partitioned by its JOIN key src (zero-exchange
+gather join against the label state), label state round-trips through
+a partitioning-preserving eager ``localCheckpoint``, the changed-count
+rides the materialization as a CollectMetrics partial (one job per
+round), and loop partitioning is scale-adaptive (|V|-driven, floor 8,
+capped by the session conf). Durable (checkpoint_dir) runs keep the
+parquet-snapshot loop.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.plans.checkpoint import CheckpointManager
@@ -36,7 +49,10 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (labels(id, label), info)."""
+    from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
+
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ephemeral = checkpoint_dir is None
 
     verts = vertices
     if verts is None:
@@ -45,76 +61,123 @@ def label_propagation(
             .unionByName(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    verts = verts.select("id").repartition(sp, "id").persist()
+    verts = verts.select("id").persist()
+    n = verts.count()
 
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(sp, "dst")
-        .persist()
-    )
-    sym.count()
+    # scale-adaptive loop partitioning + small-graph AQE policy: same
+    # rules and session-global non-reentrancy caveat as pagerank/CC
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev: str | None = None
+    if ephemeral and num_partitions is None:
+        sp_adaptive = min(sp, max(8, -(-n // 500_000)))
+        if sp_adaptive != sp:
+            sp = sp_adaptive
+            _sp_prev = spark.conf.get(_sp_key)
+            spark.conf.set(_sp_key, str(sp))
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _aqe_prev: str | None = None
+    if ephemeral and n <= 2_000_000:
+        _aqe_prev = spark.conf.get(_aqe_key)
+        spark.conf.set(_aqe_key, "false")
 
-    ckpt = CheckpointManager(spark, checkpoint_dir, "label_propagation", {"max_iter": max_iter})
-    labels = verts.select("id", F.col("id").alias("label"))
-    start_iter = 0
-    if resume and checkpoint_dir:
-        latest = ckpt.latest_iteration()
-        if latest is not None:
-            labels = ckpt.load_iteration(latest)
-            start_iter = latest
-    labels0 = labels = labels.repartition(sp, "id").persist()
-    labels.count()
-
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
-    info: dict[str, Any] = {"rounds": start_iter}
-    converged = False
-    for it in range(start_iter + 1, max_iter + 1):
-        votes = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy(sym["dst"].alias("id"), F.col("label"))
-            .agg(F.count("*").alias("cnt"))
+    try:
+        sym = (
+            edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            # partitioned by the JOIN key (src) — co-partitioned with the
+            # label state, zero exchange on the per-round gather join
+            .repartition(sp, "src")
+            .persist()
         )
-        winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
-        )
-        stepped = (
-            labels.join(winner, "id", "left")
-            .select(
+        sym.count()
+
+        ckpt = CheckpointManager(spark, checkpoint_dir, "label_propagation", {"max_iter": max_iter})
+        labels = verts.select("id", F.col("id").alias("label"))
+        start_iter = 0
+        if resume and checkpoint_dir:
+            latest = ckpt.latest_iteration()
+            if latest is not None:
+                labels = ckpt.load_iteration(latest)
+                start_iter = latest
+        labels0 = labels = labels.repartition(sp, "id").persist()
+        labels.count()
+
+        info: dict[str, Any] = {"rounds": start_iter}
+        converged = False
+        _prev_ckpt: DataFrame | None = None
+        for it in range(start_iter + 1, max_iter + 1):
+            votes = (
+                sym.join(labels.hint("shuffle_hash"), sym["src"] == labels["id"])
+                .groupBy(sym["dst"].alias("id"), F.col("label"))
+                .agg(F.count("*").alias("cnt"))
+            )
+            # argmax by (cnt desc, label asc) as an aggregate: max_by over
+            # the lexicographic (cnt, -label) struct — unique per label, so
+            # the tie-break is total and the result schedule-independent
+            winner = votes.groupBy("id").agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("new_label")
+            )
+            stepped = labels.join(winner.hint("shuffle_hash"), "id", "left").select(
                 "id",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
                 F.col("label").alias("old"),
             )
-            .persist()
-        )
-        if it == start_iter + 1:
-            from efficient_graph_algorithms_spark.plans.explain import dump_plan
+            if it == start_iter + 1:
+                from efficient_graph_algorithms_spark.plans.explain import dump_plan
 
-            dump_plan(stepped, "lpa_round")
-        changed = int(
-            stepped.agg(F.sum((F.col("label") != F.col("old")).cast("long"))).collect()[0][0]
-            or 0
-        )
-        labels = ckpt.save_iteration(
-            stepped.select("id", "label"), it, {"changed": changed}
-        )
-        stepped.unpersist()
-        info["rounds"] = it
-        if changed == 0:
-            info["rounds"] = it - 1
-            converged = True
-            break
-    info["converged"] = converged
-    if not converged:
-        # unlike CC, LPA has no fixpoint guarantee (labels can
-        # oscillate under synchronous update) — max_iter is a legitimate
-        # stopping rule, so record the fact without warning
-        info["stopped_at_max_iter"] = True
-    sym.unpersist()
-    verts.unpersist()
-    labels0.unpersist()  # initial-state persist, superseded by snapshots
-    return labels, info
+                dump_plan(stepped, "lpa_round")
+            if ephemeral:
+                # ONE job: changed-count rides the localCheckpoint
+                # materialization as a CollectMetrics partial
+                import uuid as _uuid
+
+                from pyspark.sql.observation import Observation
+
+                obs = Observation(f"lpa_{_uuid.uuid4().hex[:12]}_it{it}")
+                observed = stepped.observe(
+                    obs,
+                    F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+                ).select("id", "label")
+                new_labels = observed.localCheckpoint(eager=True)
+                changed = int(obs.get["changed"] or 0)
+                ckpt.log_metrics(it, {"changed": changed})
+                if _prev_ckpt is not None:
+                    _free_local_ckpt(_prev_ckpt)
+                _prev_ckpt = new_labels
+                labels = new_labels
+            else:
+                stepped = stepped.persist()
+                changed = int(
+                    stepped.agg(
+                        F.sum((F.col("label") != F.col("old")).cast("long"))
+                    ).collect()[0][0]
+                    or 0
+                )
+                labels = ckpt.save_iteration(
+                    stepped.select("id", "label"), it, {"changed": changed}
+                )
+                stepped.unpersist()
+            info["rounds"] = it
+            if changed == 0:
+                info["rounds"] = it - 1
+                converged = True
+                break
+        info["converged"] = converged
+        if not converged:
+            # unlike CC, LPA has no fixpoint guarantee (labels can
+            # oscillate under synchronous update) — max_iter is a legitimate
+            # stopping rule, so record the fact without warning
+            info["stopped_at_max_iter"] = True
+        sym.unpersist()
+        verts.unpersist()
+        labels0.unpersist()  # initial-state persist, superseded by snapshots
+        return labels, info
+    finally:
+        if _sp_prev is not None:
+            spark.conf.set(_sp_key, _sp_prev)
+        if _aqe_prev is not None:
+            spark.conf.set(_aqe_key, _aqe_prev)

@@ -93,6 +93,18 @@ DEFAULT_ALPHA = 0.85
 DEFAULT_TOL = 1e-6
 DEFAULT_MAX_ITER = 200
 
+# scale-adaptive loop partitioning for the iterative operators (r6):
+# partitions = clamp(ceil(n_vertices / LOOP_ROWS_PER_PARTITION),
+#                    LOOP_MIN_PARTITIONS, session shuffle partitions).
+# The session conf stays the cluster-scale knob; this rule only REDUCES
+# task counts for small inputs (guide §2.2 — fewer, larger partitions).
+
+
+def adaptive_partitions(sp: int, n: int, rows_per_partition: int = 125_000,
+                        floor: int = 8) -> int:
+    """|V|-driven loop partition count, capped by the session conf."""
+    return min(sp, max(floor, -(-n // rows_per_partition)))
+
 
 def _free_local_ckpt(df: DataFrame) -> None:
     """Explicitly unpersist the RDD behind an eager localCheckpoint —
