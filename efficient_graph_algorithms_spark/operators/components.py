@@ -128,6 +128,17 @@ def connected_components(
         info: dict[str, Any] = {"rounds": start_iter}
         converged = False
         _prev_ckpts: list[DataFrame] = []
+        # stats hygiene: the pointer-jump SELF-join doubles the carried
+        # Catalyst size estimate every round, and localCheckpoint
+        # faithfully preserves it (plans/lineage.py — the Borůvka
+        # meltdown; measured here: 5M digits after ~17 rounds on a 200k
+        # path graph). pagerank/LPA stay linear because their second
+        # state reference passes through an Aggregate, CC's does not —
+        # so every STATS_CUT_EVERY-th round does a real parquet
+        # round-trip that resets the estimate to the true file size.
+        STATS_CUT_EVERY = 8
+        _cut = None
+        _labels_on_cut = False
         for it in range(start_iter + 1, max_iter + 1):
             # hash-to-min: candidate = min over neighbors' components.
             # labels is the shuffle-hash BUILD side (it is |V|-sized next
@@ -194,7 +205,18 @@ def connected_components(
                     )
                     .select("id", "component")
                 )
-                new_labels = observed.localCheckpoint(eager=True)
+                if (it - start_iter) % STATS_CUT_EVERY == 0:
+                    if _cut is None:
+                        from efficient_graph_algorithms_spark.plans.lineage import (
+                            StateCutter,
+                        )
+
+                        _cut = StateCutter(spark, "cc", keep=2)
+                    new_labels = _cut(observed)  # parquet write drives obs
+                    _labels_on_cut = True
+                else:
+                    new_labels = observed.localCheckpoint(eager=True)
+                    _labels_on_cut = False
                 changed = int(obs.get["changed"] or 0)
                 ckpt.log_metrics(it, {"changed": changed})
                 # free superseded block sets now that the successor is
@@ -235,6 +257,11 @@ def connected_components(
             # the final label state IS the result: free only its stepped
             # sibling, keep the labels block set alive for the caller
             _free_local_ckpt(_prev_ckpts[0])
+        if _cut is not None:
+            if _labels_on_cut:
+                # pin the cutter-backed final state before its files go
+                labels = labels.localCheckpoint(eager=True)
+            _cut.close()
         return labels, info
     finally:
         if _sp_prev is not None:
