@@ -112,20 +112,30 @@ def multi_table_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, table, bucket) — one signature per LSH table. Recall is
-    controlled by n_tables (union of collisions across tables)."""
-    out = None
+    controlled by n_tables (union of collisions across tables).
+
+    ONE scan (r6): all n_tables signatures are computed in a single
+    projection and exploded, instead of a union of n_tables branches —
+    the r5 union re-read the corpus (and re-evaluated the projection
+    dot products, which are interpreted higher-order-function folds)
+    once per table, and every downstream consumer of the union paid it
+    again. The per-plane dot/sign/bucket expressions are byte-identical
+    to the r5 ones, so signatures (and everything downstream) are
+    unchanged."""
     v = F.col(vec_col)
+    sigs = []
     for t in range(n_tables):
         planes = unit_projections(n_planes, dim, seed, stream0=1000 + t * n_planes)
         bucket = F.lit(0).cast("long")
         for i, p in enumerate(planes):
             d = _dot(v, F.array(*[F.lit(x) for x in p]))
             bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        part = vectors.select(
-            F.col(id_col).alias("vec_id"), F.lit(t).alias("table"), bucket.alias("bucket")
+        sigs.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*sigs)).alias("_tb")
+    ).select("vec_id", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
 
 
 def knn_graph(
@@ -157,17 +167,39 @@ def knn_graph(
         b = v.select(F.col("_id").alias("b"), F.col("_v").alias("vb"))
         cand = a.join(b, F.col("a") < F.col("b"))
     elif method == "lsh":
-        bk = multi_table_buckets(points, n_tables, n_planes, dim, seed, id_col, vec_col)
-        sizes = bk.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
-        bk = bk.join(sizes.where(F.col("_n") <= bucket_cap), ["table", "bucket"], "left_semi")
-        withv = bk.join(v, bk["vec_id"] == v["_id"]).select("vec_id", "table", "bucket", "_v")
-        a = withv.select(F.col("vec_id").alias("a"), F.col("_v").alias("va"), "table", "bucket")
-        b = withv.select(F.col("vec_id").alias("b"), F.col("_v").alias("vb"), "table", "bucket")
+        # r6 plan shape: the signature table is computed ONCE (single-
+        # scan multi_table_buckets) and pinned; the bucket-size cap is a
+        # COUNT WINDOW over the same (table, bucket) shuffle the band
+        # self-join needs, so histogram + cap-filter + self-join all
+        # share ONE exchange (the r5 plan ran a separate groupBy
+        # histogram plus a semi-join, re-shuffling the signatures three
+        # times and recomputing the projection folds per consumer).
+        # Cache lifecycle follows the build_edges precedent: the
+        # returned DataFrame is lazy and still reads the persist, so it
+        # is deliberately not unpersisted here; a long-lived session
+        # doing repeated builds should clearCache() between them.
+        wb = Window.partitionBy("table", "bucket")
+        bk = (
+            multi_table_buckets(points, n_tables, n_planes, dim, seed, id_col, vec_col)
+            .withColumn("_n", F.count(F.lit(1)).over(wb))
+            .where(F.col("_n") <= bucket_cap)
+            .select("vec_id", "table", "bucket")
+            .persist()
+        )
+        a = bk.select(F.col("vec_id").alias("a"), "table", "bucket")
+        b = bk.select(F.col("vec_id").alias("b"), "table", "bucket")
+        # candidates are deduplicated on IDS ONLY, and the vectors are
+        # attached after (guide §8: decide with small rows, move heavy
+        # rows once) — the r5 plan carried both 64-double payloads
+        # through the band join AND the distinct shuffle
         cand = (
             a.join(b, ["table", "bucket"])
             .where(F.col("a") < F.col("b"))
-            .select("a", "va", "b", "vb")
+            .select("a", "b")
             .distinct()  # same pair may collide in several tables
+            .join(v.select(F.col("_id").alias("a"), F.col("_v").alias("va")), "a")
+            .join(v.select(F.col("_id").alias("b"), F.col("_v").alias("vb")), "b")
+            .select("a", "va", "b", "vb")
         )
     else:
         raise ValueError(f"unknown method {method!r}")
