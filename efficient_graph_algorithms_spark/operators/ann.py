@@ -122,6 +122,8 @@ def multi_table_buckets(
     again. The per-plane dot/sign/bucket expressions are byte-identical
     to the r5 ones, so signatures (and everything downstream) are
     unchanged."""
+    from efficient_graph_algorithms_spark.sources.edges import spread_narrow_scan
+
     v = F.col(vec_col)
     sigs = []
     for t in range(n_tables):
@@ -133,8 +135,12 @@ def multi_table_buckets(
         sigs.append(
             F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
         )
-    return vectors.select(
-        F.col(id_col).alias("vec_id"), F.explode(F.array(*sigs)).alias("_tb")
+    # spread a one-split corpus so the n_tables·n_planes projection
+    # folds parallelize (r6, guide §6); many-file corpora untouched
+    return spread_narrow_scan(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col))
+    ).select(
+        F.col("vec_id"), F.explode(F.array(*sigs)).alias("_tb")
     ).select("vec_id", F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket"))
 
 

@@ -72,9 +72,15 @@ def shingles(
     makes Catalyst re-evaluate the whole regex-normalize + split chain
     inside every element_at — O(doc_len^2) regex work per document
     (measured 11 s → 1.6 s for 5000 sf0.1 docs)."""
-    base = docs.select(
-        F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("_toks")
-    )
+    from efficient_graph_algorithms_spark.sources.edges import spread_narrow_scan
+
+    # spread the CPU-heavy tokenize/shingle scan when the corpus sits in
+    # a handful of sub-open-cost files (one scan split = one core); the
+    # projection is applied FIRST so only (id, text) bytes move (r6,
+    # guide §6 / §2.3). A real many-file corpus is untouched.
+    base = spread_narrow_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+    ).select("id", _tokens(F.col("_txt")).alias("_toks"))
     toks = F.col("_toks")
     sh = F.when(
         F.size(toks) < width, F.array(F.concat_ws(" ", toks))

@@ -70,8 +70,15 @@ def cosine_topk(
     namespace: a coincidental qid == vec_id equality would otherwise
     silently drop a legitimate neighbor.
     """
+    from efficient_graph_algorithms_spark.sources.edges import spread_narrow_scan
+
     q = F.broadcast(queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec")))
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vvec"))
+    # spread the corpus side when it arrives as one scan split (small
+    # single-file table): the per-row |q| cosine folds are the cost and
+    # would otherwise run on one core (r6, guide §6)
+    v = spread_narrow_scan(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vvec"))
+    )
     pairs = v.crossJoin(q)
     if exclude_self:
         pairs = pairs.where(F.col("qid") != F.col("vec_id"))

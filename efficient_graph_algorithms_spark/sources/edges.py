@@ -228,6 +228,23 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int = 32) ->
     return out
 
 
+def spread_narrow_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a CPU-heavy scan ONLY when its natural
+    split count is below the core count (r6, guide §6 input-split
+    sizing): small corpora written as a few sub-open-cost files pack
+    into one or two scan splits (24 files x 0.8 MB at the bench sf fit
+    in ONE 128 MB split after the 4 MB/file open-cost charge), so a
+    regex-extraction scan ran on 1-2 of 32 cores. Shuffling the handful
+    of MB is free next to the serialized regex work; a 100 TB corpus has
+    thousands of natural splits and is returned UNTOUCHED — this never
+    re-shuffles payload bytes at scale."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def build_edges(
     pages: DataFrame, id_partitions: int = 32, validate: bool = True
 ) -> tuple[DataFrame, DataFrame]:
@@ -247,7 +264,7 @@ def build_edges(
     # callers (extract CLI, bench) write both outputs to parquet and
     # exit. A long-lived session doing REPEATED builds should
     # spark.catalog.clearCache() between them.
-    pairs = raw_link_pairs(pages).persist()
+    pairs = raw_link_pairs(spread_narrow_scan(pages)).persist()
     # no distinct(): assign_dense_ids dedupes inside its range shuffle
     all_urls = pages.select("url").unionByName(
         pairs.select(F.col("dst_url").alias("url"))
