@@ -67,9 +67,12 @@ def k_core(
     )
     n_edges = sym.count()
 
+    from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
+
     info: dict[str, Any] = {"rounds": 0, "k": k}
     live = sym
     converged = False
+    _prev_live = None
     with StateCutter(spark, "kcore", keep=2) as cut:
         prev_edges = n_edges
         for it in range(1, max_iter + 1):
@@ -86,7 +89,30 @@ def k_core(
                 from efficient_graph_algorithms_spark.plans.explain import dump_plan
 
                 dump_plan(nxt, "kcore_round")
-            live, got = cut.observe(nxt, live_edges=F.count(F.lit(1)))
+            if it % 8 == 0:
+                # periodic parquet round-trip: stats reset (lineage.py)
+                live, got = cut.observe(nxt, live_edges=F.count(F.lit(1)))
+            else:
+                # r6: localCheckpoint barrier instead of a tmpfs parquet
+                # round-trip every peel — the degree side passes through
+                # an Aggregate so the carried stats estimate grows only
+                # linearly (the pagerank/LPA argument), and the cut
+                # above bounds it for deep peels
+                import uuid as _uuid
+
+                from pyspark.sql.observation import Observation
+
+                obs = Observation(f"kcore_{_uuid.uuid4().hex[:12]}_it{it}")
+                live = nxt.observe(
+                    obs, F.count(F.lit(1)).alias("live_edges")
+                ).localCheckpoint(eager=True)
+                got = {"live_edges": obs.get["live_edges"]}
+            # explicit block hygiene (pagerank pattern): free the
+            # superseded round's checkpoint now that its successor is
+            # materialized
+            if _prev_live is not None:
+                _free_local_ckpt(_prev_live)
+            _prev_live = live
             info["rounds"] = it
             live_edges = int(got["live_edges"] or 0)
             # a peel round is a no-op iff it deletes no edges: every
@@ -105,6 +131,8 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("degree"))
             .localCheckpoint(eager=True)  # pin before the cut dir is dropped
         )
+        if _prev_live is not None:
+            _free_local_ckpt(_prev_live)  # core is materialized; live done
     info["converged"] = converged
     info["core_edges"] = prev_edges
     if not converged:
