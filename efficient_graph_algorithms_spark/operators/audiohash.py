@@ -117,8 +117,17 @@ def audio_afps(media: DataFrame) -> DataFrame:
     )
 
 
-def audio_near_dups(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+def audio_near_dups(
+    media: DataFrame, max_hamming: int = 8, band_cap: int = 1024
+) -> DataFrame:
     """(a, b, hamming) audio pairs with fingerprint Hamming distance ≤
-    max_hamming — the banded pigeonhole join, never all-pairs."""
+    max_hamming — the banded pigeonhole join, never all-pairs.
+
+    band_cap (r6): hot fingerprint bands are dropped before pairing —
+    silent/constant clips all fingerprint to the same value, the audio
+    analogue of the flat-image hot key (see image_near_dups). Pass None
+    for the exact cap-free join at test scale."""
     fp = audio_afps(media)
-    return hamming_pairs(fp, "afp", max_hamming, bits=64, id_col="media_id")
+    return hamming_pairs(
+        fp, "afp", max_hamming, bits=64, id_col="media_id", band_cap=band_cap
+    )

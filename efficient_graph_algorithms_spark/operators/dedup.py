@@ -25,7 +25,7 @@ skew-join covers the rest).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.functions.hashing import md5_60bit_col
@@ -281,7 +281,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 60,
 
 
 def hamming_pairs(fp: DataFrame, fp_col: str, max_hamming: int, bits: int,
-                  id_col: str = "id") -> DataFrame:
+                  id_col: str = "id", band_cap: int | None = None) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(fp_a, fp_b) <= max_hamming
     over ANY long-typed fingerprint table (simhash, image dhash, ...).
 
@@ -291,7 +291,20 @@ def hamming_pairs(fp: DataFrame, fp_col: str, max_hamming: int, bits: int,
     strengthen the bound) — band equi-join, then exact popcount
     verify. shiftrightunsigned so a 64-bit fingerprint in a signed
     long bands correctly (identical to shiftright for the 60-bit
-    simhash family, whose values are non-negative)."""
+    simhash family, whose values are non-negative).
+
+    band_cap (r6, the r5-verdict skew hole): when set, (band, bkey)
+    groups with more than band_cap members are dropped before pairing —
+    the band-join analogue of the hot-shingle DF cap and the video
+    face's hot-hash anti-join. At web scale the degenerate fingerprints
+    (flat/solid images hash to a constant, silence to 0) make one band
+    group corpus-sized and the join O(n²); the cap bounds any group's
+    pair volume at band_cap²/2. Recall: a pair is lost only if EVERY
+    band it agrees on is hot — for near-dups of genuinely degenerate
+    content, which exact-dedup already catches upstream. The count
+    window shares the (band, bkey) exchange the self-join needs, so the
+    cap costs no extra shuffle. Default None preserves the exact
+    (cap-free) semantics of the simhash text face."""
     nb = max_hamming + 1
     width = bits // nb
     band = F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band")
@@ -304,6 +317,13 @@ def hamming_pairs(fp: DataFrame, fp_col: str, max_hamming: int, bits: int,
         .bitwiseAND(F.lit(mask).cast("long"))
         .alias("bkey"),
     )
+    if band_cap is not None:
+        wb = Window.partitionBy("band", "bkey")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .where(F.col("_n") <= band_cap)
+            .drop("_n")
+        )
     a = banded.select(F.col("id").alias("a"), F.col("_fp").alias("fa"), "band", "bkey")
     b = banded.select(F.col("id").alias("b"), F.col("_fp").alias("fb"), "band", "bkey")
     cand = (

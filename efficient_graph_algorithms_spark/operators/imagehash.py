@@ -117,11 +117,21 @@ def image_dhashes(media: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+def image_near_dups(
+    media: DataFrame, max_hamming: int = 6, band_cap: int = 1024
+) -> DataFrame:
     """(a, b, hamming) image pairs with dHash Hamming distance ≤
-    max_hamming — the banded pigeonhole join, never all-pairs."""
+    max_hamming — the banded pigeonhole join, never all-pairs.
+
+    band_cap (r6): hot fingerprint bands are dropped before pairing —
+    flat/solid images (spacers, backgrounds) all hash to a constant, so
+    one band group is corpus-sized at web scale and would pair O(n²);
+    the same rationale as the video face's hot_cap. Pass None for the
+    exact cap-free join at test scale."""
     fp = image_dhashes(media)
-    return hamming_pairs(fp, "dhash", max_hamming, bits=64, id_col="media_id")
+    return hamming_pairs(
+        fp, "dhash", max_hamming, bits=64, id_col="media_id", band_cap=band_cap
+    )
 
 
 # --- the video face: per-sampled-frame dHash + shared-frame pairing --------

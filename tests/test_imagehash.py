@@ -157,3 +157,35 @@ def test_video_near_dups_shared_frames_and_hot_cap(spark):
     # the flat frame appears in all 4 videos > hot_cap=3 -> dropped, so
     # only (0,1) clears min_shared=2 via the two shared gradients
     assert got == {(0, 1): 2}
+
+
+def test_image_near_dups_hot_band_cap(spark):
+    """r6 skew guard: a planted flat-image corpus (every flat image
+    hashes to the constant 0, so ALL its bands are hot) must not pair
+    quadratically once the band group exceeds band_cap, while distinct
+    near-dup pairs outside the hot bands survive."""
+    base = _img(7)
+    rows = [(0, base), (1, np.clip(base + 0.05, 0, 1))]  # a real near-dup pair
+    n_flat = 6
+    flat = np.zeros((32, 36, 3))
+    rows += [(10 + i, flat) for i in range(n_flat)]  # all dhash to 0
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(encode_bmp24(a))) for i, a in rows],
+        "media_id long, kind string, payload binary",
+    )
+    # cap below the flat-group size: every band of the flat hash is hot
+    # and dropped -> zero flat-flat pairs; the gradient pair survives
+    capped = {
+        (r["a"], r["b"])
+        for r in image_near_dups(media, max_hamming=10, band_cap=n_flat - 1).collect()
+    }
+    assert capped == {(0, 1)}
+    # cap at the group size (not hot): the exact join reappears —
+    # all C(6,2) flat pairs at hamming 0 plus the gradient pair
+    uncapped = {
+        (r["a"], r["b"])
+        for r in image_near_dups(media, max_hamming=10, band_cap=n_flat).collect()
+    }
+    flat_ids = [10 + i for i in range(n_flat)]
+    want = {(a, b) for a in flat_ids for b in flat_ids if a < b} | {(0, 1)}
+    assert uncapped == want
