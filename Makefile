@@ -43,7 +43,7 @@ multijvm:
 	test -d $(SCALING_GRAPH)/edges || $(PY) tools/gen_edges.py \
 		--vertices 12000000 --edges 100000000 --out $(SCALING_GRAPH)
 	$(PY) tools/bench_multijvm.py --graph $(SCALING_GRAPH) --repeats 3 \
-		--min-edges 90000000 \
+		--min-edges 90000000 --local-dir-base /dev/shm \
 		> BENCH/multijvm.json.tmp && mv BENCH/multijvm.json.tmp BENCH/multijvm.json
 
 membw:

@@ -55,6 +55,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # shuffle/spill scratch override (r6): concurrent multi-JVM probes
+    # showed the sandbox's shared virtio disk is the bottleneck for
+    # concurrent shuffle writers (BENCH/diskprobe.json: 4 writers =
+    # 1.29x one writer) — a resource real executor nodes don't share.
+    # SPARK_GRAFT_LOCAL_DIR points spark.local.dir at tmpfs (or any
+    # fast per-JVM scratch); unset = Spark's default, so single-JVM
+    # behaviour is unchanged.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

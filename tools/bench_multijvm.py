@@ -85,12 +85,24 @@ class _StealSampler:
         return {"mean": round(sum(xs) / len(xs), 1), "max": round(max(xs), 1)}
 
 
-def _spawn(cpus: int, graph: str) -> subprocess.Popen:
+def _spawn(cpus: int, graph: str, local_dir: str | None = None) -> subprocess.Popen:
+    import os
+
+    env = dict(os.environ)
+    if local_dir:
+        # per-JVM tmpfs shuffle scratch (r5 verdict #2): the record vs
+        # replication gap was measured to be the shared virtio write
+        # ceiling (BENCH/diskprobe.json) — give each concurrent JVM its
+        # own spark.local.dir on tmpfs so the probe measures CPU/memory
+        # scaling, not a host disk real executor nodes don't share
+        os.makedirs(local_dir, exist_ok=True)
+        env["SPARK_GRAFT_LOCAL_DIR"] = local_dir
     return subprocess.Popen(
         [sys.executable, "-c", RUNNER.format(repo=str(REPO)), str(cpus), graph],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
+        env=env,
     )
 
 
@@ -109,6 +121,13 @@ def main() -> int:
     ap.add_argument("--jvms", type=int, default=4)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--min-edges", type=int, default=0)
+    ap.add_argument(
+        "--local-dir-base",
+        default=None,
+        help="base dir for per-JVM spark.local.dir scratch (e.g. /dev/shm): "
+        "each JVM gets <base>/ega_ld_<i>, removed after its rep. Unset = "
+        "Spark default (the r5 shared-disk protocol).",
+    )
     args = ap.parse_args()
 
     if args.min_edges:
@@ -126,16 +145,28 @@ def main() -> int:
             )
             return 1
 
+    import shutil
+
+    def _ld(i: int) -> str | None:
+        if not args.local_dir_base:
+            return None
+        return f"{args.local_dir_base}/ega_ld_{i}"
+
     steal = _StealSampler().start()
     reps = []
     for rep in range(args.repeats):
         t0 = time.time()
-        single = _collect(_spawn(args.cpus_per_jvm, args.graph))
+        single = _collect(_spawn(args.cpus_per_jvm, args.graph, _ld(0)))
         t1 = time.time()
         print(f"rep {rep} single-jvm: {single}", file=sys.stderr, flush=True)
-        procs = [_spawn(args.cpus_per_jvm, args.graph) for _ in range(args.jvms)]
+        procs = [
+            _spawn(args.cpus_per_jvm, args.graph, _ld(i)) for i in range(args.jvms)
+        ]
         multi = [_collect(p) for p in procs]
         t2 = time.time()
+        if args.local_dir_base:
+            for i in range(args.jvms):
+                shutil.rmtree(_ld(i), ignore_errors=True)
         for i, m in enumerate(multi):
             print(f"rep {rep} concurrent jvm {i}: {m}", file=sys.stderr, flush=True)
         agg = sum(m["edges_per_sec_per_iter"] for m in multi)
@@ -175,6 +206,7 @@ def main() -> int:
             ),
         },
         "graph": args.graph,
+        "local_dir_base": args.local_dir_base,
         "n_edges": reps[0]["single"]["n_edges"],
         "cpus_per_jvm": args.cpus_per_jvm,
         "jvms": args.jvms,
