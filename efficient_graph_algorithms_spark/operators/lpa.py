@@ -108,9 +108,23 @@ def label_propagation(
         converged = False
         _prev_ckpt: DataFrame | None = None
         for it in range(start_iter + 1, max_iter + 1):
+            # ONE exchange per round (r6): the explicit hash(id)
+            # repartition satisfies ClusteredDistribution for BOTH the
+            # (id, label) vote count and the per-id argmax (partitioning
+            # exprs ⊆ grouping exprs), and it matches the label state's
+            # partitioning for the update join — the default plan paid a
+            # hash(id,label) exchange and then a hash(id) exchange. The
+            # traded-away map-side combine is near-worthless here: vote
+            # rows are (dst, neighbor-label) pairs, mostly distinct
+            # before convergence, so the partial aggregate barely shrank
+            # the shuffle (guide §2.3 "aggregate before you shuffle"
+            # cuts bytes only when the key space is much smaller than
+            # the row count — the opposite of LPA's early rounds).
             votes = (
                 sym.join(labels.hint("shuffle_hash"), sym["src"] == labels["id"])
-                .groupBy(sym["dst"].alias("id"), F.col("label"))
+                .select(sym["dst"].alias("id"), "label")
+                .repartition(sp, "id")
+                .groupBy("id", "label")
                 .agg(F.count("*").alias("cnt"))
             )
             # argmax by (cnt desc, label asc) as an aggregate: max_by over
