@@ -318,18 +318,33 @@ def pagerank(
 
     verts = (vertices or vertex_table(edges)).select("id")
     n = verts.count()  # pvec below is verts left-joined → same row count
-    # scale-adaptive loop partitioning (fast ephemeral runs only): small
-    # vertex sets don't pay `sp` tasks per stage — same |V|-driven rule
-    # as the snapshot file count (~500k rows/partition, floor 8), capped
-    # by the session conf, which stays the cluster-scale knob. The
-    # session shuffle-partitions conf is flipped so the per-iteration
-    # groupBy(dst) exchange matches the cached linked/state partitioning
-    # (co-partitioned joins, zero extra exchanges); restored in finally.
-    # Same session-global non-reentrancy note as the AQE flip below.
+    # SMALL-GRAPH REGIME (r6): |V| ≤ 2M gates all three small-input
+    # policies together — AQE off (replan round-trips dominate), the
+    # adaptive shuffle-partition reduction below, and the in-memory
+    # localCheckpoint loop. Above the gate the loop is the r5
+    # tmpfs-parquet shape at the conf partitioning: measured at 100M
+    # edges/local[8], reducing to the |V|-derived 24 partitions costs
+    # 20→26-72 s/iter (4M-edge tasks), and holding two 12M-row
+    # deserialized states in the block manager degrades 19.5→37 s/iter
+    # over five iterations (heap pressure the parquet snapshot never
+    # creates) — the in-memory win is a small-state phenomenon.
+    small_graph = n <= 2_000_000
+    # scale-adaptive loop partitioning (small fast ephemeral runs only):
+    # small vertex sets don't pay `sp` tasks per stage — same |V|-driven
+    # rule as the snapshot file count (~500k rows/partition, floor 8),
+    # capped by the session conf, which stays the cluster-scale knob.
+    # The session shuffle-partitions conf is flipped so the
+    # per-iteration groupBy(dst) exchange matches the cached
+    # linked/state partitioning (co-partitioned joins, zero extra
+    # exchanges); restored in finally. Same session-global
+    # non-reentrancy note as the AQE flip below.
     # Measured sf0.1/local[32]: 0.45 s/iter @32 → 0.32 s/iter @8.
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_prev: str | None = None
-    if not deterministic and checkpoint_dir is None and num_partitions is None:
+    if (
+        not deterministic and checkpoint_dir is None and num_partitions is None
+        and small_graph
+    ):
         sp_adaptive = min(sp, max(8, -(-n // 500_000)))
         if sp_adaptive != sp:
             sp = sp_adaptive
@@ -429,7 +444,7 @@ def pagerank(
     _aqe_key = "spark.sql.adaptive.enabled"
     _aqe_prev: str | None = None
     _aqe_modified = False
-    if not deterministic and n <= 2_000_000:
+    if not deterministic and small_graph:
         _aqe_prev = spark.conf.get(_aqe_key)
         spark.conf.set(_aqe_key, "false")
         _aqe_modified = True
@@ -462,7 +477,9 @@ def pagerank(
             # ZERO exchanges; a broadcast would add a driver round-trip
             # per iteration for nothing
             contrib_side = (
-                contrib.hint("shuffle_hash") if (not deterministic and ephemeral) else contrib
+                contrib.hint("shuffle_hash")
+                if (not deterministic and ephemeral and small_graph)
+                else contrib
             )
             new_state = state.join(contrib_side, "id", "left").select(
                 "id",
@@ -514,7 +531,7 @@ def pagerank(
                 # SparkSession must not cross-capture each other's
                 # CollectMetrics (same rationale as StateCutter.observe)
                 obs = Observation(f"pr_{_uuid.uuid4().hex[:12]}_it{it}")
-                if ephemeral:
+                if ephemeral and small_graph:
                     # r6 in-memory loop: the state round-trips through a
                     # partitioning-preserving eager localCheckpoint
                     # instead of a tmpfs parquet snapshot. LogicalRDD
@@ -553,12 +570,16 @@ def pagerank(
                         _free_local_ckpt(_prev_ckpt)
                     _prev_ckpt = full_state
                 else:
-                    # durable fast mode: parquet snapshot per iteration
-                    # (resume point). Snapshot file count tracks |V|
-                    # (~500k rows/file, floor 8): parquet task-commit
-                    # overhead is per-file (~10 ms each), so tiny states
-                    # shouldn't pay for `sp` files — measured 0.30 s →
-                    # 0.16 s per write at 126k vertices, sp=32.
+                    # durable fast mode AND large ephemeral graphs:
+                    # parquet snapshot per iteration (tmpfs, uncompressed
+                    # + rolling delete when ephemeral — the r5 loop; see
+                    # the small_graph note above for why big states do
+                    # NOT ride the block manager). Snapshot file count
+                    # tracks |V| (~500k rows/file, floor 8): parquet
+                    # task-commit overhead is per-file (~10 ms each), so
+                    # tiny states shouldn't pay for `sp` files —
+                    # measured 0.30 s → 0.16 s per write at 126k
+                    # vertices, sp=32.
                     sp_state = min(sp, max(8, -(-n // 500_000)))
                     observed = new_state.repartition(sp_state, "id").observe(
                         obs,
@@ -568,7 +589,9 @@ def pagerank(
                         ).alias("dm"),
                     )
                     t_w0 = _time.time()
-                    full_state = ckpt.write_state(observed, it)
+                    full_state = ckpt.write_state(
+                        observed, it, compression="none" if ephemeral else None
+                    )
                     got = obs.get
                     info.setdefault("write_secs", []).append(round(_time.time() - t_w0, 3))
                 delta, dm = float(got["delta"] or 0.0), float(got["dm"] or 0.0)
