@@ -93,7 +93,24 @@ def bloom_contains(
     # row matching twice would push _hits past n_hashes — a false
     # NEGATIVE on a true member. bloom_build output is already
     # distinct, so this is a no-op there.
-    bits = bloom.select("pos").distinct()
+    # row-level m_bits consistency guard (r6, ADVICE fix): probing with
+    # a SMALLER m_bits than build time re-hashes probes into positions
+    # the built filter never set and silently yields false negatives on
+    # true members. A set position >= the probe m_bits proves the
+    # mismatch; raise_error keeps the check in-stream (no extra job) —
+    # the cms._sketch_dims analogue of validating what is provable.
+    bits = bloom.select(
+        F.when(F.col("pos") < m_bits, F.col("pos"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"bloom_contains: filter has a set position >= m_bits="
+                    f"{m_bits} — probe-time m_bits does not match build time"
+                )
+            ).cast("long")
+        )
+        .alias("pos")
+    ).distinct()
     hits = (
         probes.join(bits.select("pos", F.lit(True).alias("_set")), "pos", "left")
         .groupBy("key")

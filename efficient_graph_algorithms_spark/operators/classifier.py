@@ -90,6 +90,18 @@ def train_nb(
             )
         )
     )
+    # fail-loud prior guard (r6, ADVICE fix): a split with zero docs in
+    # either class makes score_nb's log(n1/n0) infinite for EVERY doc.
+    # Row-level raise_error keeps train_nb lazy (no extra job); it
+    # fires the first time the stats row is actually computed.
+    _chk = lambda c: F.when(  # noqa: E731 — tiny local expr builder
+        F.col(c) >= 1, F.col(c)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"train_nb: class count {c} is 0 — llr would be infinite")
+        ).cast("double")
+    ).alias(c)
+    stats = stats.select("tot0", "tot1", "v", _chk("n0"), _chk("n1"))
     return counts, stats
 
 

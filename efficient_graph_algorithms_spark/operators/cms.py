@@ -147,10 +147,15 @@ def cms_estimate(
     probed = fan.select(
         "term", "d", _bucket(F.col("term"), F.col("d"), width).alias("bucket")
     )
+    # LEFT join + coalesce-0 (r6, ADVICE fix): on a SPARSE sketch
+    # (streaming bucket_counts output) a term whose counter row is
+    # absent has true count 0 — an inner join would take min over only
+    # the present counters and overstate it. Harmless for the
+    # zero-filled batch build (every (d, bucket) row exists).
     return (
-        probed.join(F.broadcast(sketch), ["d", "bucket"])
+        probed.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy("term")
-        .agg(F.min("cnt").alias("estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
     )
 
 

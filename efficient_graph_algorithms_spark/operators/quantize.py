@@ -102,11 +102,17 @@ def quantization_report(
     if svec is None:
         svec = collect_scales(fit_absmax_scales(emb, vec_col))
     arr = _scales_arr(svec)
+    # same [-LEVELS, LEVELS] clamp as encode_int8 (r6, ADVICE fix): with
+    # a sample-fitted svec the full table can exceed the fitted absmax,
+    # and an unclamped report would describe codes the encoder never
+    # emits. No-op for svec fitted on `emb` itself (the oracle case).
+    lim = F.lit(float(LEVELS))
     code = F.zip_with(
         F.col(vec_col),
         arr,
         lambda x, s: F.when(
-            s > 0, F.round(x.cast("double") / s * F.lit(float(LEVELS)))
+            s > 0,
+            F.greatest(-lim, F.least(lim, F.round(x.cast("double") / s * lim))),
         ).otherwise(F.lit(0.0)),
     )
     recon = F.zip_with(
