@@ -106,10 +106,13 @@ def connected_components(
             edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
-            # partitioned by the JOIN key (src): the per-round gather join
-            # is then co-partitioned with the label state — zero exchange
+            # repartition BEFORE distinct (r6): hash(src) satisfies the
+            # distinct's (src,dst) clustering requirement, so dedup and
+            # the loop's src-layout share ONE exchange (the map-side
+            # partial dedup it trades away removes next to nothing —
+            # the doubled edge set has no duplicates to combine)
             .repartition(sp, "src")
+            .distinct()
             .persist()
         )
         sym.count()

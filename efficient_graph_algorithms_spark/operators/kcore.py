@@ -61,8 +61,11 @@ def k_core(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        # repartition BEFORE distinct (r6): hash(src) satisfies the
+        # distinct's (src,dst) clustering, so dedup and the peel loop's
+        # src layout share ONE exchange
         .repartition(sp, "src")
+        .distinct()
         .persist()
     )
     n_edges = sym.count()
