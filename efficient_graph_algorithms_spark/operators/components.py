@@ -20,24 +20,31 @@ each round = one join + one aggregate (+ one join for halving).
 All updates are min-based so the result is schedule-independent and
 matches the union-find oracle exactly.
 
-Physical shape per round (r6, ephemeral runs — the guide §2.4 "remove
-shuffles outright" pass):
+Physical shape per round (r6 — the guide §2.4 "remove shuffles
+outright" pass):
 
 - ``sym`` is cached hash-partitioned by **src** — the key it is joined
-  on — so the gather join is co-partitioned with the label state and
-  adds ZERO exchanges (it was partitioned by dst before r6, which
-  re-shuffled the whole doubled edge table every round).
-- label state round-trips through a partitioning-preserving eager
-  ``localCheckpoint`` (the pagerank r6 loop): no tmpfs parquet
-  encode/commit/decode, and the ``changed`` convergence count rides the
-  materialization as a CollectMetrics partial — TWO jobs per round
-  (stepped, jumped) instead of two actions plus a snapshot write.
-- loop partitioning is scale-adaptive (|V|-driven, floor 8, capped by
-  the session conf — restored afterwards) so small graphs and the tiny
-  pair graphs of dedup_clusters stop paying 32 tasks per stage.
-
-Durable (checkpoint_dir) runs keep the r5 parquet-snapshot loop — the
-resume contract is byte-level and untouched.
+  on — with the dedup fused into the same exchange (hash(src) satisfies
+  the distinct's clustering); it was partitioned by dst before r6,
+  which re-shuffled the whole doubled edge table every round.
+- SMALL-GRAPH REGIME (|V| ≤ 2M, ephemeral runs): label state
+  round-trips through a partitioning-preserving eager
+  ``localCheckpoint`` (the pagerank r6 loop) — no tmpfs parquet
+  encode/commit/decode — and the ``changed`` convergence count rides
+  the materialization as a CollectMetrics partial: TWO jobs per round
+  instead of two actions plus a snapshot write. Loop partitioning is
+  scale-adaptive (|V|-driven, floor 8, capped by the session conf) and
+  AQE is off for the loop (both restored afterwards; session-global,
+  same non-reentrancy caveat as pagerank). Stats hazard: the
+  pointer-jump SELF-join doubles Catalyst's carried size estimate every
+  round and localCheckpoint preserves it (plans/lineage.py — measured
+  5M digits after 18 rounds on a 200k path graph), so every 8th round
+  does a real parquet round-trip that resets it.
+- LARGE graphs and durable (checkpoint_dir) runs keep the r5
+  parquet-snapshot loop at the conf partitioning: big deserialized
+  states in the block manager create heap pressure the tmpfs snapshot
+  never does (measured on the pagerank loop at 100M edges), and the
+  resume contract is byte-level and untouched.
 """
 
 from __future__ import annotations
@@ -61,7 +68,12 @@ def connected_components(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (labels(id, component), info). component = min reachable id."""
-    from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
+    import shutil as _shutil
+
+    from efficient_graph_algorithms_spark.operators.pagerank import (
+        _ephemeral_state_dir,
+        _free_local_ckpt,
+    )
 
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ephemeral = checkpoint_dir is None
@@ -76,30 +88,30 @@ def connected_components(
     verts = verts.select("id").persist()
     n = verts.count()
 
-    # scale-adaptive loop partitioning (ephemeral runs only) — same
-    # |V|-driven rule as pagerank (~500k rows/partition, floor 8, capped
-    # by the session conf). The session shuffle-partitions conf is
-    # flipped so the per-round groupBy(dst) exchange matches the cached
-    # sym/labels partitioning; restored in finally. Session-global, same
-    # non-reentrancy caveat as pagerank's AQE flip.
+    # small-graph regime gate — see module docstring; pagerank's
+    # measured 100M-edge evidence applies verbatim to this loop shape
+    mem_loop = ephemeral and n <= 2_000_000
+
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_prev: str | None = None
-    if ephemeral and num_partitions is None:
+    if mem_loop and num_partitions is None:
         sp_adaptive = min(sp, max(8, -(-n // 500_000)))
         if sp_adaptive != sp:
             sp = sp_adaptive
             _sp_prev = spark.conf.get(_sp_key)
             spark.conf.set(_sp_key, str(sp))
 
-    # same size-driven AQE policy (and session-global non-reentrancy
-    # caveat) as pagerank: at small |V| the per-stage replan round-trip
-    # is pure overhead and AQE's partition coalescing would break the
-    # co-partitioning the localCheckpoint loop relies on
     _aqe_key = "spark.sql.adaptive.enabled"
     _aqe_prev: str | None = None
-    if ephemeral and n <= 2_000_000:
+    if mem_loop:
         _aqe_prev = spark.conf.get(_aqe_key)
         spark.conf.set(_aqe_key, "false")
+
+    # large ephemeral runs roll their state through a tmpfs parquet dir
+    # exactly as in r5
+    state_root: str | None = None
+    if ephemeral and not mem_loop:
+        state_root = _ephemeral_state_dir()
 
     try:
         sym = (
@@ -117,7 +129,9 @@ def connected_components(
         )
         sym.count()
 
-        ckpt = CheckpointManager(spark, checkpoint_dir, "connected_components", {})
+        ckpt = CheckpointManager(
+            spark, checkpoint_dir or state_root, "connected_components", {}
+        )
         labels = verts.select("id", F.col("id").alias("component"))
         start_iter = 0
         if resume and checkpoint_dir:
@@ -131,14 +145,6 @@ def connected_components(
         info: dict[str, Any] = {"rounds": start_iter}
         converged = False
         _prev_ckpts: list[DataFrame] = []
-        # stats hygiene: the pointer-jump SELF-join doubles the carried
-        # Catalyst size estimate every round, and localCheckpoint
-        # faithfully preserves it (plans/lineage.py — the Borůvka
-        # meltdown; measured here: 5M digits after ~17 rounds on a 200k
-        # path graph). pagerank/LPA stay linear because their second
-        # state reference passes through an Aggregate, CC's does not —
-        # so every STATS_CUT_EVERY-th round does a real parquet
-        # round-trip that resets the estimate to the true file size.
         STATS_CUT_EVERY = 8
         _cut = None
         _labels_on_cut = False
@@ -161,7 +167,7 @@ def connected_components(
                 ).alias("component"),
                 F.col("component").alias("old"),
             )
-            if ephemeral:
+            if mem_loop:
                 # job 1: materialize stepped (consumed twice by the jump
                 # self-join below) as a partitioning-preserving block set
                 stepped = stepped.localCheckpoint(eager=True)
@@ -187,7 +193,7 @@ def connected_components(
                 from efficient_graph_algorithms_spark.plans.explain import dump_plan
 
                 dump_plan(jumped, "cc_round")
-            if ephemeral:
+            if mem_loop:
                 # job 2: restore the id partitioning (the jump join is
                 # keyed by component), ride the changed-count on the
                 # materialization as a CollectMetrics partial, cut
@@ -242,6 +248,8 @@ def connected_components(
                 )
                 jumped.unpersist()
                 stepped.unpersist()
+                if state_root:
+                    ckpt.delete_iteration(it - 1)  # rolling tmpfs hygiene
             info["rounds"] = it
             if changed == 0:
                 converged = True
@@ -256,7 +264,7 @@ def connected_components(
         sym.unpersist()
         verts.unpersist()
         labels0.unpersist()  # initial-state persist, superseded by snapshots
-        if ephemeral and _prev_ckpts:
+        if mem_loop and _prev_ckpts:
             # the final label state IS the result: free only its stepped
             # sibling, keep the labels block set alive for the caller
             _free_local_ckpt(_prev_ckpts[0])
@@ -265,6 +273,10 @@ def connected_components(
                 # pin the cutter-backed final state before its files go
                 labels = labels.localCheckpoint(eager=True)
             _cut.close()
+        if state_root:
+            # pin the result in block-manager memory, then drop the scratch
+            labels = labels.localCheckpoint(eager=True)
+            _shutil.rmtree(state_root, ignore_errors=True)
         return labels, info
     finally:
         if _sp_prev is not None:

@@ -69,6 +69,10 @@ def k_core(
         .persist()
     )
     n_edges = sym.count()
+    # in-memory barriers only while the live edge set is small enough to
+    # sit in the block manager without heap pressure (the pagerank
+    # 100M-edge measurement); larger graphs parquet-cut every round (r5)
+    mem_barrier = n_edges <= 8_000_000
 
     from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
 
@@ -92,8 +96,9 @@ def k_core(
                 from efficient_graph_algorithms_spark.plans.explain import dump_plan
 
                 dump_plan(nxt, "kcore_round")
-            if it % 8 == 0:
-                # periodic parquet round-trip: stats reset (lineage.py)
+            if (it % 8 == 0) or not mem_barrier:
+                # periodic parquet round-trip: stats reset (lineage.py);
+                # large graphs take this path every round
                 live, got = cut.observe(nxt, live_edges=F.count(F.lit(1)))
             else:
                 # r6: localCheckpoint barrier instead of a tmpfs parquet

@@ -49,7 +49,12 @@ def label_propagation(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, dict[str, Any]]:
     """Returns (labels(id, label), info)."""
-    from efficient_graph_algorithms_spark.operators.pagerank import _free_local_ckpt
+    import shutil as _shutil
+
+    from efficient_graph_algorithms_spark.operators.pagerank import (
+        _ephemeral_state_dir,
+        _free_local_ckpt,
+    )
 
     sp = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ephemeral = checkpoint_dir is None
@@ -64,11 +69,15 @@ def label_propagation(
     verts = verts.select("id").persist()
     n = verts.count()
 
-    # scale-adaptive loop partitioning + small-graph AQE policy: same
-    # rules and session-global non-reentrancy caveat as pagerank/CC
+    # small-graph regime gate + scale-adaptive loop partitioning +
+    # AQE policy: same rules, measured evidence and session-global
+    # non-reentrancy caveat as pagerank/CC (big deserialized states in
+    # the block manager create heap pressure the tmpfs snapshot never
+    # does — pagerank's 100M-edge measurement)
+    mem_loop = ephemeral and n <= 2_000_000
     _sp_key = "spark.sql.shuffle.partitions"
     _sp_prev: str | None = None
-    if ephemeral and num_partitions is None:
+    if mem_loop and num_partitions is None:
         sp_adaptive = min(sp, max(8, -(-n // 500_000)))
         if sp_adaptive != sp:
             sp = sp_adaptive
@@ -76,9 +85,13 @@ def label_propagation(
             spark.conf.set(_sp_key, str(sp))
     _aqe_key = "spark.sql.adaptive.enabled"
     _aqe_prev: str | None = None
-    if ephemeral and n <= 2_000_000:
+    if mem_loop:
         _aqe_prev = spark.conf.get(_aqe_key)
         spark.conf.set(_aqe_key, "false")
+    # large ephemeral runs roll their state through tmpfs parquet (r5+)
+    state_root: str | None = None
+    if ephemeral and not mem_loop:
+        state_root = _ephemeral_state_dir()
 
     try:
         sym = (
@@ -96,7 +109,10 @@ def label_propagation(
         )
         sym.count()
 
-        ckpt = CheckpointManager(spark, checkpoint_dir, "label_propagation", {"max_iter": max_iter})
+        ckpt = CheckpointManager(
+            spark, checkpoint_dir or state_root, "label_propagation",
+            {"max_iter": max_iter},
+        )
         labels = verts.select("id", F.col("id").alias("label"))
         start_iter = 0
         if resume and checkpoint_dir:
@@ -147,7 +163,7 @@ def label_propagation(
                 from efficient_graph_algorithms_spark.plans.explain import dump_plan
 
                 dump_plan(stepped, "lpa_round")
-            if ephemeral:
+            if mem_loop:
                 # ONE job: changed-count rides the localCheckpoint
                 # materialization as a CollectMetrics partial
                 import uuid as _uuid
@@ -178,6 +194,8 @@ def label_propagation(
                     stepped.select("id", "label"), it, {"changed": changed}
                 )
                 stepped.unpersist()
+                if state_root:
+                    ckpt.delete_iteration(it - 1)  # rolling tmpfs hygiene
             info["rounds"] = it
             if changed == 0:
                 info["rounds"] = it - 1
@@ -192,6 +210,10 @@ def label_propagation(
         sym.unpersist()
         verts.unpersist()
         labels0.unpersist()  # initial-state persist, superseded by snapshots
+        if state_root:
+            # pin the result in block-manager memory, then drop the scratch
+            labels = labels.localCheckpoint(eager=True)
+            _shutil.rmtree(state_root, ignore_errors=True)
         return labels, info
     finally:
         if _sp_prev is not None:
