@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 
 from efficient_graph_algorithms_spark.functions.f_fun import FFun, exp_kernel
 
+# |V| bound for the small-tree loop regime (adaptive partitions + AQE
+# off during the level walk) — same 2M gate as pagerank/cc/lpa. Module
+# constant so measurement harnesses can flip the regime explicitly.
+SMALL_TREE_GATE_MAX_N = 2_000_000
+
 
 def tree_depths(tree: DataFrame, root: int, max_depth: int = 10000,
                 cut_every: int = 8, method: str = "auto",
@@ -242,6 +247,30 @@ def tree_gfi_matvec(
 
     spark = tree_with_depth.sparkSession
     sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # SMALL-TREE REGIME (r6, same gate as pagerank/cc/lpa): the 2·depth
+    # eager barriers are pure per-action overhead at small |V|, so for
+    # n ≤ 2M the loop runs at the |V|-derived partition count (guide
+    # §2.2 fewer/larger partitions — every per-level exchange and
+    # barrier materialization drops from `sp` tasks to ~8) with AQE off
+    # (each eager action would otherwise pay replan round-trips that
+    # dominate sub-second stages). The session conf stays the
+    # cluster-scale knob — the rule only REDUCES task counts; large
+    # trees are untouched. Session-global flip, restored in `finally`
+    # (same single-tenant non-reentrancy note as pagerank's AQE flip).
+    n = field.count()
+    small_tree = n <= SMALL_TREE_GATE_MAX_N
+    _sp_key = "spark.sql.shuffle.partitions"
+    _aqe_key = "spark.sql.adaptive.enabled"
+    _sp_prev: str | None = None
+    _aqe_prev: str | None = None
+    if small_tree:
+        sp_adaptive = min(sp, max(8, -(-n // 500_000)))
+        if sp_adaptive != sp:
+            sp = sp_adaptive
+            _sp_prev = spark.conf.get(_sp_key)
+            spark.conf.set(_sp_key, str(sp))
+        _aqe_prev = spark.conf.get(_aqe_key)
+        spark.conf.set(_aqe_key, "false")
     cut = StateCutter(spark, "treegfi", keep=2)
     # ---- bottom-up: partial[v] = field[v] + Σ_children f(w)·partial[c]
     partial = field.select("id", F.col("value").alias("partial"))
@@ -260,63 +289,69 @@ def tree_gfi_matvec(
             return cutter(df)
         return df.coalesce(sp).localCheckpoint(eager=True)
 
-    steps = 0
-    for lvl in range(max_depth, 0, -1):
-        msgs = (
-            edges.where(F.col("depth") == lvl)
-            .join(partial, "id")
-            .groupBy(F.col("parent").alias("id"))
-            .agg(F.sum(F.col("fw") * F.col("partial")).alias("up"))
-        )
-        steps += 1
-        nxt_partial = partial.join(msgs, "id", "left").select(
-            "id",
-            (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
-        )
-        if steps == 1:
-            from efficient_graph_algorithms_spark.plans.explain import dump_plan
-
-            dump_plan(nxt_partial, "tree_gfi_level")
-        partial = _barrier(nxt_partial, cut, steps, last=(lvl == 1))
-    # the final up-pass state is always a parquet cut (last=True) in a
-    # separate cutter generation stream, so the down-pass reads stay
-    # valid for the whole function
-    partial.count()
-
-    # ---- top-down: sums[c] = f(w)·sums[parent] + (1-f(2w))·partial[c]
-    if root is None:
-        root_row = (
-            field.select("id")
-            .join(tree_with_depth.select("id"), "id", "left_anti")
-            .collect()
-        )
-        root = root_row[0]["id"]
-    down = StateCutter(tree_with_depth.sparkSession, "treegfi_down", keep=2)
-    sums = partial.where(F.col("id") == root).select("id", F.col("partial").alias("value"))
-    steps = 0
-    for lvl in range(1, max_depth + 1):
-        child = (
-            edges.where(F.col("depth") == lvl)
-            .join(sums.select(F.col("id").alias("parent"), F.col("value").alias("ps")), "parent")
-            .join(partial, "id")
-            .select(
-                "id",
-                (F.col("fw") * F.col("ps") + F.col("one_minus_f2w") * F.col("partial")).alias("value"),
+    try:
+        steps = 0
+        for lvl in range(max_depth, 0, -1):
+            msgs = (
+                edges.where(F.col("depth") == lvl)
+                .join(partial, "id")
+                .groupBy(F.col("parent").alias("id"))
+                .agg(F.sum(F.col("fw") * F.col("partial")).alias("up"))
             )
-        )
-        # batched barrier (see up-pass): sums appears in child AND in the
-        # union, so both the partition count (when the edge side
-        # broadcasts, the join inherits the streamed union's partitioning
-        # — observed 63k tasks at depth 13 on a 30-path) and the carried
-        # size estimate double per uncut level (plans/lineage.py)
-        steps += 1
-        sums = _barrier(sums.unionByName(child), down, steps, last=(lvl == max_depth))
-    sums = sums.localCheckpoint(eager=True)  # outlives the cutters
-    edges.unpersist()
-    partial.unpersist()
-    cut.close()
-    down.close()
-    return sums
+            steps += 1
+            nxt_partial = partial.join(msgs, "id", "left").select(
+                "id",
+                (F.col("partial") + F.coalesce(F.col("up"), F.lit(0.0))).alias("partial"),
+            )
+            if steps == 1:
+                from efficient_graph_algorithms_spark.plans.explain import dump_plan
+
+                dump_plan(nxt_partial, "tree_gfi_level")
+            partial = _barrier(nxt_partial, cut, steps, last=(lvl == 1))
+        # the final up-pass state is always a parquet cut (last=True) in a
+        # separate cutter generation stream, so the down-pass reads stay
+        # valid for the whole function
+        partial.count()
+
+        # ---- top-down: sums[c] = f(w)·sums[parent] + (1-f(2w))·partial[c]
+        if root is None:
+            root_row = (
+                field.select("id")
+                .join(tree_with_depth.select("id"), "id", "left_anti")
+                .collect()
+            )
+            root = root_row[0]["id"]
+        down = StateCutter(tree_with_depth.sparkSession, "treegfi_down", keep=2)
+        sums = partial.where(F.col("id") == root).select("id", F.col("partial").alias("value"))
+        steps = 0
+        for lvl in range(1, max_depth + 1):
+            child = (
+                edges.where(F.col("depth") == lvl)
+                .join(sums.select(F.col("id").alias("parent"), F.col("value").alias("ps")), "parent")
+                .join(partial, "id")
+                .select(
+                    "id",
+                    (F.col("fw") * F.col("ps") + F.col("one_minus_f2w") * F.col("partial")).alias("value"),
+                )
+            )
+            # batched barrier (see up-pass): sums appears in child AND in the
+            # union, so both the partition count (when the edge side
+            # broadcasts, the join inherits the streamed union's partitioning
+            # — observed 63k tasks at depth 13 on a 30-path) and the carried
+            # size estimate double per uncut level (plans/lineage.py)
+            steps += 1
+            sums = _barrier(sums.unionByName(child), down, steps, last=(lvl == max_depth))
+        sums = sums.localCheckpoint(eager=True)  # outlives the cutters
+        edges.unpersist()
+        partial.unpersist()
+        cut.close()
+        down.close()
+        return sums
+    finally:
+        if _sp_prev is not None:
+            spark.conf.set(_sp_key, _sp_prev)
+        if _aqe_prev is not None:
+            spark.conf.set(_aqe_key, _aqe_prev)
 
 
 def _tree_gfi_matvec_doubling(
