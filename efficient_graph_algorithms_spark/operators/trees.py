@@ -176,7 +176,7 @@ def tree_gfi_matvec(
     a: float = -1.0,
     f_fun: FFun | None = None,
     root: int | None = None,
-    cut_every: int = 8,
+    cut_every: int = 16,
     method: str = "auto",
     depth_switch: int = 24,
 ) -> DataFrame:
@@ -212,7 +212,15 @@ def tree_gfi_matvec(
     resetting the carried stats estimate (which multiplies per
     localCheckpoint level, plans/lineage.py) to the true file size.
     Measured at depth 16 / 126k vertices, local[32] warm: per-level
-    cuts 17-21 s → cut_every=8: 12-15 s.
+    cuts 17-21 s → cut_every=8: 12-15 s → cut_every=16 (r6): 7.0-8.2 s
+    (interleaved ×4, 16 wins every pair; median 7.55 vs 8.44). The lax
+    cadence is safe HERE because this walker's per-level stats growth
+    is LINEAR in digits — measured ~6 digits/level over 16 uncut levels
+    (126k-vertex heap tree, barrier cost flat at ~0.3 s): both passes
+    interpose an Aggregate (up) / a union (down) between the two state
+    references, unlike the SELF-join loops (tree_depths, doubling,
+    CC pointer-jump) whose digit count DOUBLES per uncut round — those
+    keep their tight cadences.
     """
     from efficient_graph_algorithms_spark.plans.lineage import StateCutter
 
